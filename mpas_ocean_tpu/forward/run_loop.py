@@ -1,0 +1,81 @@
+"""Jitted run loops: the whole rollout is one `lax.scan`.
+
+The reference drives a host-side while-loop over the clock, paying kernel
+launch + synchronize latency every step (reference: src/forward/run_loop.jl:8-22,
+SURVEY section 3.1). Here the clock is compiled down to a static step count
+before entering jit, and the entire rollout — including the optional
+sum(ssh^2) objective the reference computes with a serial one-thread device
+kernel (run_loop.jl:47-51) — is traced once and fused by XLA.
+
+Adjoints: `jax.grad` of `ocn_run_loop_objective` replaces the reference's
+Enzyme reverse pass over the loop (test/enzyme/test_Enzyme_end2end.jl;
+ext/MPASEnzymeExt.jl). The per-step `jax.checkpoint` keeps reverse-mode
+memory at O(sqrt? no — O(n_steps) checkpoints of O(state)) instead of
+storing every intermediate of every step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.shallow_water import PrognosticVars
+from .time_integration import ForwardEuler, ocn_timestep
+
+
+@partial(jax.jit, static_argnames=("n_steps", "method", "checkpoint"))
+def ocn_run_loop(
+    prog: PrognosticVars,
+    mesh,
+    dt,
+    n_steps: int,
+    method=ForwardEuler,
+    checkpoint: bool = False,
+) -> PrognosticVars:
+    """Advance ``n_steps`` timesteps under one jit/scan."""
+
+    def body(p, _):
+        return ocn_timestep(p, mesh, dt, method), None
+
+    if checkpoint:
+        body = jax.checkpoint(body)
+    final, _ = jax.lax.scan(body, prog, length=n_steps)
+    return final
+
+
+@partial(jax.jit, static_argnames=("n_steps", "method"))
+def ocn_run_loop_objective(
+    prog: PrognosticVars, mesh, dt, n_steps: int, method=ForwardEuler
+) -> jnp.ndarray:
+    """Rollout followed by the reference's test objective sum(ssh^2)
+    (reference: run_loop.jl:26-45). Differentiable end to end."""
+    final = ocn_run_loop(prog, mesh, dt, n_steps, method, checkpoint=True)
+    return jnp.sum(final.ssh * final.ssh)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_outputs", "method"))
+def ocn_run_loop_with_outputs(
+    prog: PrognosticVars,
+    mesh,
+    dt,
+    n_steps: int,
+    n_outputs: int,
+    method=ForwardEuler,
+):
+    """Rollout that also returns the state every n_steps/n_outputs steps
+    (the in-loop periodic output the reference's output alarm only stubs,
+    run_loop.jl:15-18). n_outputs must divide n_steps."""
+    assert n_steps % n_outputs == 0
+    chunk = n_steps // n_outputs
+
+    def outer(p, _):
+        def body(q, _):
+            return ocn_timestep(q, mesh, dt, method), None
+
+        p, _ = jax.lax.scan(body, p, length=chunk)
+        return p, p
+
+    final, outputs = jax.lax.scan(outer, prog, length=n_outputs)
+    return final, outputs

@@ -1,0 +1,136 @@
+"""Shallow-water dynamical core: state containers, diagnostics, tendencies.
+
+TPU-native re-design of the reference's ocean core (reference: src/ocn/):
+state lives in immutable pytrees threaded through `lax.scan`, not mutable
+structs updated by kernel launches. The dynamical core matches the
+reference's: gravity (ssh-gradient pressure) + linear Coriolis tendencies
+for normal velocity (src/ocn/Tendencies/normalVelocity/), thickness-flux
+divergence for layer thickness (src/ocn/Tendencies/layerThickness/), and the
+diagnostic chain thicknessFlux -> velocityDivCell -> relativeVorticity ->
+layerThicknessEdge (src/ocn/DiagnosticVars.jl:108-117).
+
+Shapes: ssh (nCells,), layer_thickness (nCells, K), normal_velocity
+(nEdges, K) — element-major with levels in TPU lanes (the reference is
+level-major (K, nElem), same memory order, opposite index convention).
+
+Deliberate quirk fixes (documented in SURVEY section 7; all inert for the
+single-layer equivalence configs): tendencies and interpolations run over
+every active level, not a hardcoded k=1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GRAVITY
+from ..ops.operators import (
+    curl_on_vertex,
+    divergence_on_cell,
+    gradient_on_edge,
+    interpolate_cell_to_edge,
+    tangential_reconstruction,
+)
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class PrognosticVars:
+    """Prognostic state at one time level (reference:
+    src/ocn/PrognosticVars.jl:6-57, which keeps a Vector of <=2 levels;
+    under `scan` the carry *is* the single live level)."""
+
+    ssh: jax.Array  # (nCells,)
+    layer_thickness: jax.Array  # (nCells, K)
+    normal_velocity: jax.Array  # (nEdges, K)
+
+
+@pytree_dataclass
+class DiagnosticVars:
+    """Diagnostic fields (reference: src/ocn/DiagnosticVars.jl:6-73)."""
+
+    layer_thickness_edge: jax.Array  # (nEdges, K)
+    thickness_flux: jax.Array  # (nEdges, K)
+    velocity_div_cell: jax.Array  # (nCells, K)
+    relative_vorticity: jax.Array  # (nVertices, K)
+
+
+@pytree_dataclass
+class TendencyVars:
+    """Prognostic tendencies (reference:
+    src/ocn/Tendencies/TendencyVars.jl:7-49)."""
+
+    tend_normal_velocity: jax.Array  # (nEdges, K)
+    tend_layer_thickness: jax.Array  # (nCells, K)
+
+
+def compute_diagnostics(prog: PrognosticVars, mesh) -> DiagnosticVars:
+    """Diagnostic pipeline (reference: DiagnosticVars.jl:108-117).
+
+    Order matters in the reference only because velocityDivCell scribbles
+    over layerThicknessEdge as scratch (DiagnosticVars.jl:175-193); here
+    each field is computed independently and XLA fuses what it can.
+    """
+    h_edge = interpolate_cell_to_edge(prog.layer_thickness, mesh)
+    # thicknessFlux = u * h_edge (reference kernel DiagnosticVars.jl:158-173)
+    flux = prog.normal_velocity * h_edge
+    div = divergence_on_cell(prog.normal_velocity, mesh)
+    vort = curl_on_vertex(prog.normal_velocity, mesh)
+    return DiagnosticVars(
+        layer_thickness_edge=h_edge,
+        thickness_flux=flux,
+        velocity_div_cell=div,
+        relative_vorticity=vort,
+    )
+
+
+def compute_normal_velocity_tendency(
+    prog: PrognosticVars, diag: DiagnosticVars, mesh
+) -> jnp.ndarray:
+    """du/dt = -g * grad(ssh) + TRiSK Coriolis.
+
+    (reference: normalVelocity.jl:21-53 dispatching to the sshGradient
+    pressure gradient, pressure_gradient.jl:45-65, and linearCoriolis,
+    horizontal_advection_and_coriolis.jl:50-75.)
+    """
+    edges = mesh.edges
+    # pressure gradient: tend -= g * (ssh[c2]-ssh[c1])/dc, all active levels
+    grad_ssh = gradient_on_edge(prog.ssh, mesh)  # (nEdges,)
+    tend = -GRAVITY * grad_ssh[:, None] * mesh.vert.edge_level_mask
+
+    # linear Coriolis: tend += sum_j w_j * u[eoe_j] * f[eoe_j]
+    # (the reference folds f at the *neighbor* edge into the tangential
+    # reconstruction, h_a_and_c.jl:70-72)
+    uf = prog.normal_velocity * edges.f[:, None]
+    tend = tend + tangential_reconstruction(uf, mesh) * mesh.vert.edge_level_mask
+
+    # closed-boundary edges never accelerate
+    return tend * edges.edge_mask[:, None]
+
+
+def compute_layer_thickness_tendency(
+    prog: PrognosticVars, diag: DiagnosticVars, mesh
+) -> jnp.ndarray:
+    """dh/dt = -div(thicknessFlux).
+
+    (reference: layerThickness.jl:14-28 -> thicknessFluxDivOnCell!,
+    horizontal_advection.jl:42-69 — its `+=` with edgeSignOnCell is exactly
+    minus the generic divergence, SURVEY quirk 7.8.)
+    """
+    tend = -divergence_on_cell(diag.thickness_flux, mesh)
+    return tend * mesh.vert.cell_level_mask
+
+
+def compute_tendencies(prog: PrognosticVars, diag: DiagnosticVars, mesh) -> TendencyVars:
+    return TendencyVars(
+        tend_normal_velocity=compute_normal_velocity_tendency(prog, diag, mesh),
+        tend_layer_thickness=compute_layer_thickness_tendency(prog, diag, mesh),
+    )
+
+
+def update_ssh(layer_thickness: jnp.ndarray, mesh) -> jnp.ndarray:
+    """ssh = total water-column thickness - resting total
+    (reference: time_integration.jl:205-212, `Update_ssh!`, generalized from
+    its k=1 to the full column sum as the RK4 path intends)."""
+    total = (layer_thickness * mesh.vert.cell_level_mask).sum(axis=1)
+    return total - mesh.vert.resting_thickness_sum

@@ -1,0 +1,100 @@
+"""Discrete TRiSK vector-calculus operators as pure JAX functions.
+
+TPU-native re-design of the reference's hot layer (reference:
+src/ocn/Operators.jl). Where the reference launches one KernelAbstractions
+kernel per operator with a host synchronize after each
+(Operators.jl:72,119,176,198 — ~12 launches + ~8 syncs per model step),
+these are pure `jnp` functions over padded dense arrays: under `jit`, XLA
+fuses the whole chain of gathers, masked segment-sums and elementwise math
+into a handful of TPU kernels with no host round-trips.
+
+Unstructured access pattern: every operator is a gather along the element
+axis (axis 0) followed by a masked reduction over a small static neighbor
+axis (maxEdges ~ 6, vertexDegree = 3, TWO = 2). Padding slots carry index 0
+with a 0.0 sign/weight, so reductions need no branches (cf. the reference's
+in-kernel `eoe == 0` skip, horizontal_advection_and_coriolis.jl:67).
+
+Fields are `(nElem,)` or `(nElem, nVertLevels)`; the level axis, when
+present, sits last so levels lie along TPU lanes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "gradient_on_edge",
+    "divergence_on_cell",
+    "curl_on_vertex",
+    "interpolate_cell_to_edge",
+    "tangential_reconstruction",
+]
+
+
+def _per_elem(coef: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-element (nElem,) coefficient against (nElem, ...)."""
+    return coef.reshape(coef.shape + (1,) * (like.ndim - 1))
+
+
+def _per_slot(coef: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-(elem, slot) coefficient against (nElem, slot, ...)."""
+    return coef.reshape(coef.shape + (1,) * (like.ndim - 2))
+
+
+def gradient_on_edge(scalar_cell: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Normal gradient on edges: (h[c2] - h[c1]) / dcEdge.
+
+    (reference: Operators.jl:84-100, `GradientOnEdge`)
+    """
+    coe = mesh.edges.cells_on_edge
+    diff = scalar_cell[coe[:, 1]] - scalar_cell[coe[:, 0]]
+    return diff / _per_elem(mesh.edges.dc_edge, diff)
+
+
+def divergence_on_cell(vec_edge: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Divergence at cell centers of an edge-normal vector field.
+
+    div_i = -(1/A_i) * sum_{e in EC(i)} sign_{e,i} * F_e * dvEdge_e,
+    matching the reference's two-phase kernel (Operators.jl:12-44):
+    P1 scales by dvEdge, P2 does the signed gather-sum over edgesOnCell.
+    With sign = -1 when the edge normal leaves the cell, this equals the
+    usual outward-flux divergence.
+    """
+    scaled = vec_edge * _per_elem(mesh.edges.dv_edge, vec_edge)
+    gathered = scaled[mesh.cells.edges_on_cell]  # (nCells, maxEdges, ...)
+    signed = gathered * _per_slot(mesh.cells.edge_sign_on_cell, gathered)
+    total = -signed.sum(axis=1)
+    return total / _per_elem(mesh.cells.area_cell, total)
+
+
+def curl_on_vertex(vec_edge: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Relative vorticity at vertices: circulation / areaTriangle.
+
+    (reference: Operators.jl:122-149, `CurlOnVertex`; unlike the reference —
+    which never zeroes its accumulator, Operators.jl:135, SURVEY quirk 7.2 —
+    this is a pure function and cannot accumulate stale state.)
+    """
+    gathered = vec_edge[mesh.duals.edges_on_vertex]  # (nV, deg, ...)
+    dc = mesh.edges.dc_edge[mesh.duals.edges_on_vertex]
+    signed = gathered * _per_slot(dc * mesh.duals.edge_sign_on_vertex, gathered)
+    total = signed.sum(axis=1)
+    return total / _per_elem(mesh.duals.area_triangle, total)
+
+
+def interpolate_cell_to_edge(cell_value: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Arithmetic-mean interpolation of a cell field to edges
+    (reference: Operators.jl:201-222; done for all levels, not just k=1)."""
+    coe = mesh.edges.cells_on_edge
+    return 0.5 * (cell_value[coe[:, 0]] + cell_value[coe[:, 1]])
+
+
+def tangential_reconstruction(normal_velocity: jnp.ndarray, mesh) -> jnp.ndarray:
+    """TRiSK tangential velocity: v_e = sum_j w_{e,j} * u_{eoe_j}.
+
+    The wide (up to 2*maxEdges neighbors) edgesOnEdge gather underlying the
+    Coriolis tendency (reference: horizontal_advection_and_coriolis.jl:50-75,
+    with f folded in by the caller). Padded slots carry zero weight.
+    """
+    gathered = normal_velocity[mesh.edges.edges_on_edge]  # (nEdges, me2, ...)
+    weighted = gathered * _per_slot(mesh.edges.weights_on_edge, gathered)
+    return weighted.sum(axis=1)
