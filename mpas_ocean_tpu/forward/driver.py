@@ -1,0 +1,103 @@
+"""CLI driver: run a full simulation from a YAML config.
+
+(reference: src/driver/mpas_ocean.jl — `ocn_run(config_fp)` + argv entry.
+Differences by design: the backend is whatever JAX selected (TPU when
+present) instead of hardcoded CUDA (mpas_ocean.jl:28); periodic outputs are
+actually written (the reference only resets the alarm, run_loop.jl:15-18);
+and the loop itself is a jitted scan, not a host while-loop.)
+
+Usage: python -m mpas_ocean_tpu.forward.driver <config.yml>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time as _time
+from datetime import timedelta
+
+import jax
+import numpy as np
+
+from ..infra.config import ConfigGet
+from ..infra.output import write_output
+from .init import ModelSetup, ocn_init, ocn_init_alarms, plan_steps
+from .run_loop import ocn_run_loop, ocn_run_loop_with_outputs
+
+
+def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False):
+    """Run the configured simulation; returns (setup, final prognostic state).
+
+    ``use_config_dt=False`` keeps reference behavior (dt recomputed from mesh
+    spacing, SURVEY quirk 7.4); pass True to honor config_dt.
+    """
+    print(f"Initializing with config: {config_fp}")
+    setup, prog = ocn_init(config_fp, dtype=dtype)
+
+    if use_config_dt:
+        clock = setup.time_manager
+        sim_alarm = clock.alarms["simulation_end"]
+    else:
+        clock, sim_alarm, _ = ocn_init_alarms(setup)
+
+    dt = clock.time_step.total_seconds()
+    n_steps, output_every = plan_steps(clock)
+    print(
+        f"Running {n_steps} steps of dt={dt}s "
+        f"({setup.integrator.__name__}), output every "
+        f"{output_every or 'end-only'} steps"
+    )
+
+    mesh = setup.mesh
+    t0 = _time.perf_counter()
+    outputs = None
+    if output_every and n_steps % output_every == 0 and n_steps > output_every:
+        n_outputs = n_steps // output_every
+        prog, outputs = ocn_run_loop_with_outputs(
+            prog, mesh, dtype(dt), n_steps, n_outputs, setup.integrator
+        )
+    else:
+        prog = ocn_run_loop(prog, mesh, dtype(dt), n_steps, setup.integrator)
+    jax.block_until_ready(prog)
+    elapsed = _time.perf_counter() - t0
+
+    # advance the host clock to the end for bookkeeping/alarms
+    clock.set_current_time(clock.start_time + timedelta(seconds=dt * n_steps))
+
+    output_cfg = ConfigGet(setup.config.streams, "output")
+    out_fp = ConfigGet(output_cfg, "filename_template")
+    sim_seconds = dt * n_steps
+    if outputs is not None:
+        base, ext = os.path.splitext(out_fp)
+        for i in range(int(np.asarray(outputs.ssh).shape[0]) - 1):
+            snap = jax.tree.map(lambda a, i=i: a[i], outputs)
+            write_output(
+                f"{base}.{i:04d}{ext}",
+                mesh,
+                snap,
+                dt,
+                dt * output_every * (i + 1),
+            )
+    write_output(out_fp, mesh, prog, dt, sim_seconds)
+
+    gridpoints = mesh.n_cells * mesh.n_vert_levels * n_steps
+    print(f"Simulation complete on backend: {jax.devices()[0].platform}")
+    print(f"Final time: {clock.curr_time}")
+    print(
+        f"Wall: {elapsed:.3f}s  ({gridpoints / max(elapsed, 1e-9):.3e} "
+        "cell-levels x steps / s)"
+    )
+    return setup, prog
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1 or not os.path.isfile(argv[0]):
+        print("usage: python -m mpas_ocean_tpu.forward.driver <config.yml>")
+        return 1
+    ocn_run(argv[0])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

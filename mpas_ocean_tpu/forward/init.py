@@ -1,0 +1,158 @@
+"""Model initialization from a YAML config.
+
+(reference: src/forward/init.jl — config -> mesh -> clock -> state. The
+TPU-specific addition is `plan_steps`, which compiles the clock + alarms
+down to a static step count and output stride *before* entering jit, so the
+run loop is a single `lax.scan` with no host-side clock in the hot path.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..infra.config import ConfigGet, ConfigRead, GlobalConfig
+from ..infra.time_manager import Clock, OneTimeAlarm, PeriodicAlarm, mpas_create_clock
+from ..mesh.io import (
+    horz_mesh_from_ncdata,
+    read_initial_state,
+    vertical_mesh_from_ncdata,
+)
+from ..infra.netcdf import read_netcdf
+from ..mesh.mesh import Mesh
+from ..models.shallow_water import PrognosticVars
+from .time_integration import ForwardEuler, RungeKutta4
+
+_INTEGRATORS = {"ForwardEuler": ForwardEuler, "RungeKutta4": RungeKutta4}
+
+
+@dataclass
+class ModelSetup:
+    """(reference: src/infra/ModelSetup.jl:4-9)"""
+
+    config: GlobalConfig
+    mesh: Mesh
+    time_manager: Clock
+    integrator: type = ForwardEuler
+
+
+def ocn_setup_mesh(config: GlobalConfig, dtype=np.float64) -> Mesh:
+    """(reference: init.jl:43-55)"""
+    mesh_cfg = ConfigGet(config.streams, "mesh")
+    mesh_fp = ConfigGet(mesh_cfg, "filename_template")
+    ds = read_netcdf(mesh_fp)
+    horz = horz_mesh_from_ncdata(ds, dtype=dtype)
+    vert = vertical_mesh_from_ncdata(ds, horz, dtype=dtype)
+    return Mesh(horz=horz, vert=vert)
+
+
+def ocn_setup_clock(config: GlobalConfig) -> Clock:
+    """(reference: init.jl:57-108)"""
+    output_cfg = ConfigGet(config.streams, "output")
+    tm_cfg = ConfigGet(config.namelist, "time_management")
+    ti_cfg = ConfigGet(config.namelist, "time_integration")
+
+    dt = ConfigGet(ti_cfg, "config_dt")
+    stop_time = ConfigGet(tm_cfg, "config_stop_time")
+    start_time = ConfigGet(tm_cfg, "config_start_time")
+    run_duration = ConfigGet(tm_cfg, "config_run_duration")
+
+    output_reference_time = ConfigGet(output_cfg, "reference_time")
+    output_interval = ConfigGet(output_cfg, "output_interval")
+
+    if run_duration != "none":
+        clock = mpas_create_clock(dt, start_time, run_duration=run_duration)
+        derived = start_time + run_duration
+        if stop_time != "none" and stop_time != derived:
+            print(
+                "Warning: config_run_duration and config_stop_time are "
+                "inconsistent: using config_run_duration."
+            )
+        stop_time = derived
+    elif stop_time != "none":
+        clock = mpas_create_clock(dt, start_time, stop_time=stop_time)
+    else:
+        raise ValueError(
+            "neither config_run_duration nor config_stop_time were specified"
+        )
+
+    clock.attach_alarm(OneTimeAlarm("simulation_end", stop_time))
+    clock.attach_alarm(
+        PeriodicAlarm("outputAlarm", output_interval, output_reference_time)
+    )
+    return clock
+
+
+def ocn_init(config_fp, dtype=np.float64):
+    """Build (Setup, PrognosticVars) from a config file
+    (reference: init.jl:3-30; Diagnostic/Tendency vars need no allocation
+    here — they are pure function outputs)."""
+    config = ConfigRead(config_fp)
+    mesh = ocn_setup_mesh(config, dtype=dtype).to_device()
+    clock = ocn_setup_clock(config)
+
+    ti_cfg = ConfigGet(config.namelist, "time_integration")
+    integrator = ForwardEuler
+    if "config_time_integrator" in ti_cfg:
+        integrator = _INTEGRATORS[ConfigGet(ti_cfg, "config_time_integrator")]
+
+    setup = ModelSetup(config, mesh, clock, integrator)
+
+    tm_cfg = ConfigGet(config.namelist, "time_management")
+    if ConfigGet(tm_cfg, "config_do_restart"):
+        # improvement over the reference, which raises "restart not yet
+        # supported" (PrognosticVars.jl:62-65): restart from a prior output
+        # file named by the restart stream
+        restart_cfg = ConfigGet(config.streams, "restart")
+        input_fp = ConfigGet(restart_cfg, "filename_template")
+    else:
+        input_cfg = ConfigGet(config.streams, "input")
+        input_fp = ConfigGet(input_cfg, "filename_template")
+
+    ssh, h, u = read_initial_state(input_fp, mesh.n_vert_levels)
+    prog = PrognosticVars(
+        ssh=jnp.asarray(ssh.astype(dtype)),
+        layer_thickness=jnp.asarray(h.astype(dtype)),
+        normal_velocity=jnp.asarray(u.astype(dtype)),
+    )
+    return setup, prog
+
+
+def ocn_init_alarms(setup: ModelSetup):
+    """Recompute dt from mean edge spacing and fetch the alarms — the
+    reference quirk kept for parity (init.jl:111-127, SURVEY quirk 7.4:
+    config_dt is discarded; dt = floor(2*(mean(dc)/1e3)*mean(dc)/200e3) s)."""
+    dc = np.asarray(setup.mesh.edges.dc_edge)
+    dt = float(np.floor(2.0 * (dc.mean() / 1e3) * dc.mean() / 200e3))
+    setup.time_manager.change_time_step(timedelta(seconds=dt))
+    clock = setup.time_manager
+    return clock, clock.alarms["simulation_end"], clock.alarms["outputAlarm"]
+
+
+def plan_steps(clock: Clock) -> tuple[int, int]:
+    """Compile the clock + alarms to (n_steps, output_every) static ints.
+
+    Respects the reference's exact-equality alarm semantics
+    (TimeManager.jl:127-129): if dt does not evenly divide the output
+    interval, the output alarm never fires (output_every = 0).
+    """
+    stop = clock.alarms["simulation_end"].ring_time
+    dt = clock.time_step
+    dt_s = dt.total_seconds()
+    total_s = (stop - clock.curr_time).total_seconds()
+    n_steps = int(round(total_s / dt_s))
+    if abs(n_steps * dt_s - total_s) > 1e-9:
+        n_steps = int(np.ceil(total_s / dt_s))
+
+    out = clock.alarms.get("outputAlarm")
+    output_every = 0
+    if out is not None:
+        iv = out.ring_interval
+        if isinstance(iv, timedelta):
+            iv_s = iv.total_seconds()
+            if iv_s > 0 and abs(iv_s / dt_s - round(iv_s / dt_s)) < 1e-9:
+                output_every = int(round(iv_s / dt_s))
+    return n_steps, output_every

@@ -1,0 +1,113 @@
+"""Model-state NetCDF output, including adjoint shadow fields.
+
+(reference: src/infra/OutPut.jl — same variable set: time + coordinates +
+metrics + connectivity + ssh/layerThickness/normalVelocity, with the 4-arg
+variant adding the adjoint shadows d_ssh/d_layerThickness/d_normalVelocity,
+OutPut.jl:76-112, and the timestep stored as a global attribute,
+OutPut.jl:40-42. Unlike the reference — which fills only some of the
+connectivity variables it defines, OutPut.jl:100-104 — everything defined
+here is written.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .netcdf import write_netcdf
+
+__all__ = ["write_output"]
+
+
+def write_output(
+    path,
+    mesh,
+    prog,
+    dt: float,
+    elapsed_seconds: float,
+    d_prog=None,
+) -> None:
+    """Write the model state (and optional adjoint shadow state) to NetCDF.
+
+    Args:
+      mesh: a Mesh (host or device pytree).
+      prog: PrognosticVars with ssh (nCells,), layer_thickness (nCells, K),
+        normal_velocity (nEdges, K).
+      dt: timestep in seconds (stored as a global attribute).
+      elapsed_seconds: simulation time since start, stored in `time`.
+      d_prog: optional adjoint shadows, same shapes as `prog`.
+    """
+    c, d, e = mesh.cells, mesh.duals, mesh.edges
+    K = mesh.vert.n_vert_levels
+    np_ = lambda a: np.asarray(a)
+
+    dims = {
+        "time": 1,
+        "nCells": mesh.n_cells,
+        "nEdges": mesh.n_edges,
+        "nVertices": mesh.n_vertices,
+        "nVertLevels": K,
+        "maxEdges": c.max_edges,
+        "TWO": 2,
+    }
+
+    f64 = np.float64
+    variables = {
+        "time": (("time",), np.array([elapsed_seconds], dtype=f64)),
+        "xCell": (("nCells",), np_(c.x).astype(f64)),
+        "yCell": (("nCells",), np_(c.y).astype(f64)),
+        "xEdge": (("nEdges",), np_(e.x).astype(f64)),
+        "yEdge": (("nEdges",), np_(e.y).astype(f64)),
+        "xVertex": (("nVertices",), np_(d.x).astype(f64)),
+        "yVertex": (("nVertices",), np_(d.y).astype(f64)),
+        "dcEdge": (("nEdges",), np_(e.dc_edge).astype(f64)),
+        "areaCell": (("nCells",), np_(c.area_cell).astype(f64)),
+        "angleEdge": (("nEdges",), np_(e.angle_edge).astype(f64)),
+        "areaTriangle": (("nVertices",), np_(d.area_triangle).astype(f64)),
+        "edgeSignOnCell": (
+            ("nCells", "maxEdges"),
+            np_(c.edge_sign_on_cell).astype(np.int32),
+        ),
+        "nEdgesOnCell": (("nCells",), np_(c.n_edges_on_cell).astype(np.int32)),
+        "nEdgesOnEdge": (("nEdges",), np_(e.n_edges_on_edge).astype(np.int32)),
+        "cellsOnEdge": (
+            ("nEdges", "TWO"),
+            np_(e.cells_on_edge).astype(np.int32) + 1,
+        ),
+        "verticesOnCell": (
+            ("nCells", "maxEdges"),
+            np.where(
+                np_(c.edge_mask_on_cell) > 0,
+                np_(c.vertices_on_cell).astype(np.int32) + 1,
+                0,
+            ),
+        ),
+        "verticesOnEdge": (
+            ("nEdges", "TWO"),
+            np_(e.vertices_on_edge).astype(np.int32) + 1,
+        ),
+        "ssh": (("time", "nCells"), np_(prog.ssh).astype(f64)[None]),
+        "layerThickness": (
+            ("time", "nCells", "nVertLevels"),
+            np_(prog.layer_thickness).astype(f64)[None],
+        ),
+        "normalVelocity": (
+            ("time", "nEdges", "nVertLevels"),
+            np_(prog.normal_velocity).astype(f64)[None],
+        ),
+    }
+    if d_prog is not None:
+        variables.update(
+            {
+                "d_ssh": (("time", "nCells"), np_(d_prog.ssh).astype(f64)[None]),
+                "d_layerThickness": (
+                    ("time", "nCells", "nVertLevels"),
+                    np_(d_prog.layer_thickness).astype(f64)[None],
+                ),
+                "d_normalVelocity": (
+                    ("time", "nEdges", "nVertLevels"),
+                    np_(d_prog.normal_velocity).astype(f64)[None],
+                ),
+            }
+        )
+
+    write_netcdf(path, dims, variables, attrs={"dt": float(dt)})

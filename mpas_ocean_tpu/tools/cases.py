@@ -1,0 +1,108 @@
+"""Self-contained test-case generation.
+
+The reference pulls its run-ready cases (mesh + initial_state.nc +
+config.yml per resolution) from a lazy artifact tarball (reference:
+Artifacts.toml:1-6, used at test/enzyme/test_Enzyme_end2end.jl:8-19). In a
+zero-egress environment we generate equivalent cases locally: a periodic hex
+mesh, the polaris-style inertial-gravity-wave initial state, and a YAML
+config in the reference's schema.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import timedelta
+
+import numpy as np
+
+from ..mesh.io import save_mpas_mesh
+from ..mesh.mesh import Mesh
+from ..mesh.planar_hex import planar_hex_mesh
+from ..mesh.vert_mesh import make_vertical_mesh
+from ..verification.inertial_gravity_wave import InertialGravityWave
+
+__all__ = ["make_igw_case", "mpas_interval"]
+
+
+def mpas_interval(seconds: float) -> str:
+    """Render seconds as an MPAS interval timestamp 0000-00-DD_hh:mm:ss."""
+    td = timedelta(seconds=float(seconds))
+    days = td.days
+    s = td.seconds
+    return f"0000-00-{days:02d}_{s // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+
+
+CONFIG_TEMPLATE = """omega:
+  time_management:
+    config_do_restart: false
+    config_start_time: 0001-01-01_00:00:00
+    config_stop_time: none
+    config_run_duration: {run_duration}
+    config_restart_timestamp_name: restart_timestamp
+  time_integration:
+    config_dt: {dt}
+    config_number_of_time_levels: 2
+    config_time_integrator: {integrator}
+  streams:
+    mesh:
+      filename_template: {case_dir}/initial_state.nc
+    input:
+      filename_template: {case_dir}/initial_state.nc
+    restart:
+      filename_template: {case_dir}/restart.nc
+    output:
+      filename_template: {case_dir}/output.nc
+      output_interval: {output_interval}
+      reference_time: 0001-01-01_00:00:00
+"""
+
+
+def make_igw_case(
+    case_dir,
+    nx: int = 50,
+    resolution_km: float = 200.0,
+    n_vert_levels: int = 1,
+    duration_seconds: float | None = None,
+    output_interval_seconds: float | None = None,
+    integrator: str = "ForwardEuler",
+    f0: float = 1e-4,
+) -> str:
+    """Generate an inertial-gravity-wave case directory; returns the config
+    path. Box size follows the polaris case the reference artifacts encode:
+    lx = nx * resolution, ly = sqrt(3)/2 * lx (inertialGravityWave.jl:13-14).
+    """
+    case_dir = os.fspath(case_dir)
+    os.makedirs(case_dir, exist_ok=True)
+    dc = resolution_km * 1e3
+
+    horz = planar_hex_mesh(nx, nx, dc, f0=f0)
+    igw = InertialGravityWave(lx=nx * resolution_km, f0=f0)
+    vert = make_vertical_mesh(
+        horz,
+        n_vert_levels=n_vert_levels,
+        resting_thickness=np.full(
+            (horz.n_cells, n_vert_levels), igw.bottom_depth / n_vert_levels
+        ),
+    )
+    mesh = Mesh(horz=horz, vert=vert)
+    state = igw.initial_state(horz, n_vert_levels)
+    save_mpas_mesh(os.path.join(case_dir, "initial_state.nc"), mesh, state)
+
+    # the dt the reference's heuristic will choose (init.jl:117-119)
+    dt = float(np.floor(2.0 * (dc / 1e3) * dc / 200e3))
+    if duration_seconds is None:
+        duration_seconds = 10 * dt
+    if output_interval_seconds is None:
+        output_interval_seconds = duration_seconds
+
+    config = CONFIG_TEMPLATE.format(
+        run_duration=mpas_interval(duration_seconds),
+        dt=mpas_interval(dt),
+        output_interval=mpas_interval(output_interval_seconds),
+        integrator=integrator,
+        case_dir=case_dir,
+    )
+    config_fp = os.path.join(case_dir, "config.yml")
+    with open(config_fp, "w") as f:
+        f.write(config)
+    return config_fp

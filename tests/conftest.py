@@ -8,12 +8,17 @@ virtual 8-device mesh in CI.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# NOTE: this environment force-prepends the TPU platform to JAX_PLATFORMS,
+# so the env var alone cannot select CPU; the config update below can.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
