@@ -1,0 +1,216 @@
+"""Sharded time stepping: `shard_map` over a cell partition with halo
+exchange through XLA collectives.
+
+TPU-native replacement for the MPI halo exchange the reference declares but
+never implements (SURVEY section 2.2): each device owns a contiguous block
+of cells/edges (partition.py), computes tendencies for its owned elements
+from owned+halo data, and refreshes halos with an `all_gather` of packed
+boundary values over the mesh axis — a static-shape collective XLA schedules
+on ICI. The whole multi-step rollout, collectives included, is one jitted
+`lax.scan`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.shallow_water import PrognosticVars
+from ..forward.time_integration import ForwardEuler, ocn_timestep
+from ..utils.pytree import pytree_dataclass
+from .partition import PartitionedMesh, build_partition
+
+try:  # JAX >= 0.6 spells it jax.shard_map
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["ShardedModel", "ExchangeSpec"]
+
+
+@pytree_dataclass
+class ExchangeSpec:
+    """Static halo-exchange schedule, one leading (P,) axis per leaf."""
+
+    cell_send: jax.Array  # (P, Sc) local slots to pack
+    cell_recv_flat: jax.Array  # (P, Hc) flat index into (P*Sc) gathered packs
+    cell_halo_slots: jax.Array  # (P, Hc)
+    edge_send: jax.Array  # (P, Se)
+    edge_recv_flat: jax.Array  # (P, He)
+    edge_halo_slots: jax.Array  # (P, He)
+
+
+def _halo_exchange(prog: PrognosticVars, ex: ExchangeSpec, axis: str) -> PrognosticVars:
+    """Refresh halo values of all prognostic fields (inside shard_map;
+    per-device views carry no leading parts axis)."""
+    # pack owned boundary values: cells carry h (K) + ssh (1) together
+    cell_pack = jnp.concatenate(
+        [
+            prog.layer_thickness[ex.cell_send],
+            prog.ssh[ex.cell_send][:, None],
+        ],
+        axis=1,
+    )  # (Sc, K+1)
+    edge_pack = prog.normal_velocity[ex.edge_send]  # (Se, K)
+
+    all_cells = jax.lax.all_gather(cell_pack, axis, tiled=True)  # (P*Sc, K+1)
+    all_edges = jax.lax.all_gather(edge_pack, axis, tiled=True)  # (P*Se, K)
+
+    cell_in = all_cells[ex.cell_recv_flat]  # (Hc, K+1)
+    h = prog.layer_thickness.at[ex.cell_halo_slots].set(cell_in[:, :-1])
+    ssh = prog.ssh.at[ex.cell_halo_slots].set(cell_in[:, -1])
+    u = prog.normal_velocity.at[ex.edge_halo_slots].set(all_edges[ex.edge_recv_flat])
+    return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u)
+
+
+class ShardedModel:
+    """Drives a partitioned shallow-water model over a 1-D device mesh.
+
+    Usage:
+        sm = ShardedModel(mesh, devices=jax.devices())
+        local = sm.scatter(prog)          # global state -> sharded state
+        local = sm.run(local, dt, n)      # jitted scan of sharded steps
+        prog = sm.gather(local)           # sharded -> global (host)
+    """
+
+    AXIS = "space"
+
+    def __init__(self, mesh, devices=None, part: PartitionedMesh | None = None):
+        devices = list(devices if devices is not None else jax.devices())
+        self.n_parts = len(devices)
+        self.global_mesh = mesh
+        if part is None:
+            part = build_partition(mesh, self.n_parts)
+        self.part = part
+        self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
+        self._sharded = NamedSharding(self.device_mesh, P(self.AXIS))
+        self._spec_parts = P(self.AXIS)
+
+        self.local_mesh = jax.device_put(
+            part.local_mesh, self._leaf_sharding(part.local_mesh)
+        )
+        ex = ExchangeSpec(
+            cell_send=jnp.asarray(part.cell_send),
+            cell_recv_flat=jnp.asarray(part.cell_recv_flat),
+            cell_halo_slots=jnp.asarray(part.cell_halo_slots),
+            edge_send=jnp.asarray(part.edge_send),
+            edge_recv_flat=jnp.asarray(part.edge_recv_flat),
+            edge_halo_slots=jnp.asarray(part.edge_halo_slots),
+        )
+        self.ex = jax.device_put(ex, self._leaf_sharding(ex))
+
+    # -- layout helpers -------------------------------------------------
+    def _leaf_sharding(self, tree):
+        return jax.tree.map(lambda _: self._sharded, tree)
+
+    def _in_specs(self, tree):
+        return jax.tree.map(lambda _: self._spec_parts, tree)
+
+    def scatter(self, prog: PrognosticVars) -> PrognosticVars:
+        """Split a global prognostic state into stacked per-part local
+        states (owned + halo + pad slots), placed on the device mesh."""
+        p = self.part
+        gids_c = np.where(p.cell_gids >= 0, p.cell_gids, 0)
+        gids_e = np.where(p.edge_gids >= 0, p.edge_gids, 0)
+        ssh = np.asarray(prog.ssh)[gids_c]
+        h = np.asarray(prog.layer_thickness)[gids_c]
+        u = np.asarray(prog.normal_velocity)[gids_e]
+        local = PrognosticVars(
+            ssh=jnp.asarray(ssh),
+            layer_thickness=jnp.asarray(h),
+            normal_velocity=jnp.asarray(u),
+        )
+        return jax.device_put(local, self._leaf_sharding(local))
+
+    def gather(self, local: PrognosticVars) -> PrognosticVars:
+        """Reassemble the global state from owned slots (host-side)."""
+        p = self.part
+        n_cells = self.global_mesh.n_cells
+        n_edges = self.global_mesh.n_edges
+        K = self.global_mesh.n_vert_levels
+        ssh = np.empty(n_cells)
+        h = np.empty((n_cells, K))
+        u = np.empty((n_edges, K))
+        l_ssh = np.asarray(local.ssh)
+        l_h = np.asarray(local.layer_thickness)
+        l_u = np.asarray(local.normal_velocity)
+        for q in range(self.n_parts):
+            oc = p.cell_gids[q, : p.n_owned_cells[q]]
+            ssh[oc] = l_ssh[q, : p.n_owned_cells[q]]
+            h[oc] = l_h[q, : p.n_owned_cells[q]]
+            oe = p.edge_gids[q, : p.n_owned_edges[q]]
+            u[oe] = l_u[q, : p.n_owned_edges[q]]
+        return PrognosticVars(
+            ssh=jnp.asarray(ssh), layer_thickness=jnp.asarray(h), normal_velocity=jnp.asarray(u)
+        )
+
+    # -- compute --------------------------------------------------------
+    def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler):
+        """n_steps sharded timesteps under one jit (scan inside shard_map)."""
+        return self._run_jit(local, self.local_mesh, self.ex, float(dt), n_steps, method)
+
+    @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method"))
+    def _run_jit(self, local, lmesh, ex, dt, n_steps, method):
+        axis = self.AXIS
+
+        def device_fn(local, lmesh, ex):
+            # leaves arrive as (1, ...) blocks of the parts axis
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            local, lmesh, ex = sq(local), sq(lmesh), sq(ex)
+
+            def body(prog, _):
+                prog = ocn_timestep(prog, lmesh, dt, method)
+                return _halo_exchange(prog, ex, axis), None
+
+            out, _ = jax.lax.scan(body, local, length=n_steps)
+            return jax.tree.map(lambda a: a[None], out)
+
+        return shard_map(
+            device_fn,
+            mesh=self.device_mesh,
+            in_specs=(
+                self._in_specs(local),
+                self._in_specs(lmesh),
+                self._in_specs(ex),
+            ),
+            out_specs=self._in_specs(local),
+        )(local, lmesh, ex)
+
+    def objective(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler):
+        """Differentiable sharded rollout + global sum(ssh^2) over owned
+        cells (psum over the mesh axis)."""
+        p = self.part
+        owned_mask = (
+            np.arange(p.cell_gids.shape[1])[None, :] < p.n_owned_cells[:, None]
+        ).astype(local.ssh.dtype)
+        owned_mask = jax.device_put(jnp.asarray(owned_mask), self._sharded)
+
+        def device_fn(local, lmesh, ex, mask):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            local, lmesh, ex, mask = sq(local), sq(lmesh), sq(ex), sq(mask)
+
+            def body(prog, _):
+                prog = ocn_timestep(prog, lmesh, dt, method)
+                return _halo_exchange(prog, ex, self.AXIS), None
+
+            out, _ = jax.lax.scan(jax.checkpoint(body), local, length=n_steps)
+            s = jnp.sum(out.ssh * out.ssh * mask)
+            return jax.lax.psum(s, self.AXIS)
+
+        fn = shard_map(
+            device_fn,
+            mesh=self.device_mesh,
+            in_specs=(
+                self._in_specs(local),
+                self._in_specs(self.local_mesh),
+                self._in_specs(self.ex),
+                self._spec_parts,
+            ),
+            out_specs=P(),
+        )
+        return fn(local, self.local_mesh, self.ex, owned_mask)

@@ -1,0 +1,125 @@
+"""Multi-device domain decomposition tests on an 8-device virtual mesh —
+the test tier the reference lacks entirely (SURVEY section 4: "multi-node
+testing: none")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpas_ocean_tpu.forward.run_loop import ocn_run_loop, ocn_run_loop_objective
+from mpas_ocean_tpu.models.shallow_water import PrognosticVars
+from mpas_ocean_tpu.parallel import ShardedModel, build_partition, partition_cells
+from mpas_ocean_tpu.verification.inertial_gravity_wave import InertialGravityWave
+
+
+@pytest.fixture(scope="module")
+def igw_prog(igw_mesh):
+    igw = InertialGravityWave()
+    ssh, h, u = igw.initial_state(igw_mesh)
+    return PrognosticVars(
+        ssh=jnp.asarray(ssh),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+
+
+def test_partition_covers_everything(igw_mesh):
+    p = build_partition(igw_mesh, 8)
+    # every cell/edge owned exactly once
+    all_owned_cells = np.concatenate(
+        [p.cell_gids[q, : p.n_owned_cells[q]] for q in range(8)]
+    )
+    assert sorted(all_owned_cells) == list(range(igw_mesh.n_cells))
+    all_owned_edges = np.concatenate(
+        [p.edge_gids[q, : p.n_owned_edges[q]] for q in range(8)]
+    )
+    assert sorted(all_owned_edges) == list(range(igw_mesh.n_edges))
+    all_owned_verts = np.concatenate(
+        [p.vertex_gids[q, : p.n_owned_vertices[q]] for q in range(8)]
+    )
+    assert sorted(all_owned_verts) == list(range(igw_mesh.n_vertices))
+    # balanced
+    assert p.n_owned_cells.max() - p.n_owned_cells.min() <= 1
+
+
+def test_scatter_gather_roundtrip(igw_mesh, igw_prog):
+    sm = ShardedModel(igw_mesh)
+    back = sm.gather(sm.scatter(igw_prog))
+    np.testing.assert_allclose(np.asarray(back.ssh), np.asarray(igw_prog.ssh))
+    np.testing.assert_allclose(
+        np.asarray(back.normal_velocity), np.asarray(igw_prog.normal_velocity)
+    )
+
+
+def test_sharded_matches_single_device(igw_mesh, igw_prog):
+    """The headline correctness gate: 10 sharded steps across 8 devices
+    reproduce the single-device rollout (same data, same reduction order
+    per element => tight tolerance)."""
+    dt = 976.0
+    n = 10
+    ref = ocn_run_loop(igw_prog, igw_mesh, dt, n)
+
+    sm = ShardedModel(igw_mesh)
+    local = sm.scatter(igw_prog)
+    local = sm.run(local, dt, n)
+    out = sm.gather(local)
+
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.layer_thickness),
+        np.asarray(ref.layer_thickness),
+        rtol=0,
+        atol=1e-12,
+    )
+
+
+def test_sharded_objective_and_grad(igw_mesh, igw_prog):
+    """Differentiating through the sharded rollout (collectives included)
+    matches the single-device adjoint."""
+    dt, n = 976.0, 4
+    sm = ShardedModel(igw_mesh)
+
+    obj_ref = float(ocn_run_loop_objective(igw_prog, igw_mesh, dt, n))
+    obj_sh = float(sm.objective(sm.scatter(igw_prog), dt, n))
+    assert obj_sh == pytest.approx(obj_ref, rel=1e-12)
+
+    g_ref = jax.grad(lambda p: ocn_run_loop_objective(p, igw_mesh, dt, n))(igw_prog)
+    g_sh_local = jax.grad(lambda l: sm.objective(l, dt, n))(sm.scatter(igw_prog))
+    # halo slots accumulate gradient shares locally; owned-slot gradients of
+    # the scattered state correspond to d/d(owned copy). To compare against
+    # the global gradient, sum each global element's contributions across
+    # every part that holds a copy of it.
+    p = sm.part
+    gc = np.zeros(igw_mesh.n_cells)
+    for q in range(sm.n_parts):
+        ids = p.cell_gids[q, : p.n_local_cells[q]]
+        np.add.at(gc, ids, np.asarray(g_sh_local.ssh)[q, : p.n_local_cells[q]])
+    np.testing.assert_allclose(gc, np.asarray(g_ref.ssh), atol=1e-10)
+
+
+def test_partition_with_more_parts_than_rows(igw_mesh):
+    """Degenerate-ish partitions still reproduce the reference rollout."""
+    for n_parts in (2, 3):
+        devices = jax.devices()[:n_parts]
+        sm = ShardedModel(igw_mesh, devices=devices)
+        igw = InertialGravityWave()
+        ssh, h, u = igw.initial_state(igw_mesh)
+        prog = PrognosticVars(
+            ssh=jnp.asarray(ssh),
+            layer_thickness=jnp.asarray(h),
+            normal_velocity=jnp.asarray(u),
+        )
+        ref = ocn_run_loop(prog, igw_mesh, 976.0, 3)
+        out = sm.gather(sm.run(sm.scatter(prog), 976.0, 3))
+        np.testing.assert_allclose(
+            np.asarray(out.ssh), np.asarray(ref.ssh), atol=1e-12
+        )
