@@ -1,0 +1,134 @@
+"""Benchmark harness: grid-point throughput of the shallow-water core.
+
+Mirrors the reference's headline perf experiment (reference: README.MD:45-50
+— coastal-wave config, 64x64 mesh, 100 vertical levels, GPU-vs-CPU speedup)
+as a TPU-vs-host-CPU comparison on this machine. The north-star metric from
+BASELINE.json is grid-points/s/chip = cells x layers x steps / wall-second.
+
+Prints ONE JSON line:
+  value        TPU (default-backend) grid-points/s/chip
+  vs_baseline  speedup over the same jitted model on the host CPU — the
+               reference's own headline metric shape (it reports ~500x GPU
+               vs 1 CPU process; our CPU baseline is the multithreaded XLA
+               host build of the SAME model, a much stronger baseline)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+NX = int(os.environ.get("BENCH_NX", 64))
+LEVELS = int(os.environ.get("BENCH_LEVELS", 100))
+STEPS = int(os.environ.get("BENCH_STEPS", 100))
+REPS = int(os.environ.get("BENCH_REPS", 3))
+
+
+def build(dtype=np.float32):
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.mesh import planar_hex_mesh
+    from mpas_ocean_tpu.mesh.mesh import Mesh
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.models.shallow_water import PrognosticVars
+    from mpas_ocean_tpu.verification.inertial_gravity_wave import InertialGravityWave
+
+    dc = 10000.0e3 / NX
+    horz = planar_hex_mesh(NX, NX, dc, f0=1e-4, dtype=dtype)
+    igw = InertialGravityWave(lx=NX * dc / 1e3)
+    vert = make_vertical_mesh(
+        horz,
+        n_vert_levels=LEVELS,
+        resting_thickness=np.full(
+            (horz.n_cells, LEVELS), igw.bottom_depth / LEVELS, dtype=dtype
+        ),
+        dtype=dtype,
+    )
+    mesh = Mesh(horz=horz, vert=vert)
+    ssh, h, u = igw.initial_state(horz, LEVELS)
+    prog = PrognosticVars(
+        ssh=jnp.asarray(ssh.astype(dtype)),
+        layer_thickness=jnp.asarray(h.astype(dtype)),
+        normal_velocity=jnp.asarray(u.astype(dtype)),
+    )
+    # small, stable dt: forward Euler is weakly unstable for gravity waves
+    # (reference behavior too); keeps the long benchmark rollout finite.
+    # dt does not affect throughput.
+    dt = dtype(30.0)
+    return mesh, prog, dt
+
+
+def measure(device, mesh, prog, dt, steps, reps) -> float:
+    """Median wall time of a jitted `steps`-step scan on `device`.
+
+    NOTE: on this machine's tunneled TPU platform, block_until_ready does
+    not actually wait for remote completion — a host readback of a value
+    derived from the result is the only reliable synchronization.
+    """
+    from mpas_ocean_tpu.forward.run_loop import ocn_run_loop
+
+    mesh = jax.device_put(mesh, device)
+    prog = jax.device_put(prog, device)
+    out = ocn_run_loop(prog, mesh, dt, steps)  # compile + warm up
+    float(out.ssh.sum())
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = ocn_run_loop(prog, mesh, dt, steps)
+        float(out.ssh.sum())  # forces completion + readback
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(float(out.ssh.sum())), "benchmark state went non-finite"
+    return float(np.median(times))
+
+
+def main():
+    mesh, prog, dt = build()
+    n_gridpoints = mesh.n_cells * LEVELS
+
+    accel = jax.devices()[0]
+    t_accel = measure(accel, mesh, prog, dt, STEPS, REPS)
+    value = n_gridpoints * STEPS / t_accel
+
+    vs = None
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = []
+    if cpus and accel.platform != "cpu":
+        cpu_steps = max(5, STEPS // 10)
+        t_cpu = measure(cpus[0], mesh, prog, dt, cpu_steps, 1)
+        cpu_value = n_gridpoints * cpu_steps / t_cpu
+        vs = value / cpu_value
+    else:
+        cpu_value = value
+        vs = 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "gridpoints_per_sec_per_chip",
+                "value": value,
+                "unit": "cells*levels*steps/s",
+                "vs_baseline": vs,
+                "detail": {
+                    "config": f"{NX}x{NX} hex, {LEVELS} levels, {STEPS} steps, f32",
+                    "accel_platform": accel.platform,
+                    "accel_seconds_per_step": t_accel / STEPS,
+                    "cpu_gridpoints_per_sec": cpu_value,
+                    "baseline_note": (
+                        "vs_baseline = speedup over the same XLA model on host "
+                        "CPU (reference reports ~500x GPU vs 1 Julia CPU proc "
+                        "on this config shape, README.MD:45-50)"
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
