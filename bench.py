@@ -24,7 +24,7 @@ import numpy as np
 
 NX = int(os.environ.get("BENCH_NX", 64))
 LEVELS = int(os.environ.get("BENCH_LEVELS", 100))
-STEPS = int(os.environ.get("BENCH_STEPS", 100))
+STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 
 
@@ -62,45 +62,71 @@ def build(dtype=np.float32):
     return mesh, prog, dt
 
 
-def measure(device, mesh, prog, dt, steps, reps) -> float:
-    """Median wall time of a jitted `steps`-step scan on `device`.
+def _time_fn(run, reps) -> float:
+    """Median wall time of run().
 
     NOTE: on this machine's tunneled TPU platform, block_until_ready does
     not actually wait for remote completion — a host readback of a value
-    derived from the result is the only reliable synchronization.
+    derived from the result is the only reliable synchronization, and
+    run() must end with one.
     """
+    s = run()  # compile + warm up
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = run()
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(s), "benchmark state went non-finite"
+    return float(np.median(times))
+
+
+def measure(device, mesh, prog, dt, steps, reps) -> float:
+    """Unstructured (general-mesh gather) path."""
     from mpas_ocean_tpu.forward.run_loop import ocn_run_loop
 
     mesh = jax.device_put(mesh, device)
     prog = jax.device_put(prog, device)
-    out = ocn_run_loop(prog, mesh, dt, steps)  # compile + warm up
-    float(out.ssh.sum())
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+
+    def run():
         out = ocn_run_loop(prog, mesh, dt, steps)
-        float(out.ssh.sum())  # forces completion + readback
-        times.append(time.perf_counter() - t0)
-    assert np.isfinite(float(out.ssh.sum())), "benchmark state went non-finite"
-    return float(np.median(times))
+        return float(out.ssh.sum())
+
+    return _time_fn(run, reps)
+
+
+def measure_structured(device, sm, prog, dt, steps, reps) -> float:
+    """Structured hex fast path (roll/shift stencils, zero gathers)."""
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+
+    st = jax.device_put(sm.to_struct(prog), device)
+    smesh = jax.device_put(sm.struct_mesh, device)
+
+    def run():
+        out = structured_run_loop(st, smesh, dt, steps)
+        return float(out.ssh.sum())
+
+    return _time_fn(run, reps)
 
 
 def main():
+    from mpas_ocean_tpu.structured import StructuredModel
+
     mesh, prog, dt = build()
     n_gridpoints = mesh.n_cells * LEVELS
+    sm = StructuredModel(mesh, NX, NX)
 
     accel = jax.devices()[0]
-    t_accel = measure(accel, mesh, prog, dt, STEPS, REPS)
+    t_unstruct = measure(accel, mesh, prog, dt, max(10, STEPS // 10), 1)
+    t_accel = measure_structured(accel, sm, prog, dt, STEPS, REPS)
     value = n_gridpoints * STEPS / t_accel
 
-    vs = None
     try:
         cpus = jax.devices("cpu")
     except RuntimeError:
         cpus = []
     if cpus and accel.platform != "cpu":
-        cpu_steps = max(5, STEPS // 10)
-        t_cpu = measure(cpus[0], mesh, prog, dt, cpu_steps, 1)
+        cpu_steps = max(10, STEPS // 5)
+        t_cpu = measure_structured(cpus[0], sm, prog, dt, cpu_steps, 1)
         cpu_value = n_gridpoints * cpu_steps / t_cpu
         vs = value / cpu_value
     else:
@@ -118,6 +144,9 @@ def main():
                     "config": f"{NX}x{NX} hex, {LEVELS} levels, {STEPS} steps, f32",
                     "accel_platform": accel.platform,
                     "accel_seconds_per_step": t_accel / STEPS,
+                    "unstructured_gridpoints_per_sec": n_gridpoints
+                    * max(10, STEPS // 10)
+                    / t_unstruct,
                     "cpu_gridpoints_per_sec": cpu_value,
                     "baseline_note": (
                         "vs_baseline = speedup over the same XLA model on host "
