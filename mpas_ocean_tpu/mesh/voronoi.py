@@ -322,50 +322,19 @@ def build_planar_trisk_mesh(
     )
 
     # --- TRiSK reconstruction weights (Thuburn 2009 / Ringler 2010) -----
+    from .weights import trisk_weights
+
     max_edges2 = 2 * max_edges
-    edges_on_edge = np.zeros((n_edges, max_edges2), dtype=np.int64)
-    weights_on_edge = np.zeros((n_edges, max_edges2))
-    n_edges_on_edge = np.zeros(n_edges, dtype=np.int32)
-
-    inv_area_cell = 1.0 / area_cell
-    for side in (0, 1):
-        c = cells_on_edge[:, side]  # (nEdges,)
-        m = n_edges_on_cell[c].astype(np.int64)  # cell edge count
-        row = edges_on_cell[c]  # (nEdges, maxEdges)
-        vrow = vertices_on_cell[c]
-        krow = kite_areas_on_cell[c]
-        # position of e within its cell's edge cycle
-        pos = np.argmax(row == np.arange(n_edges)[:, None], axis=1)
-        j = np.arange(1, max_edges)[None, :]  # steps around the cycle
-        valid = j < m[:, None]
-        idx_e = (pos[:, None] + j) % m[:, None]  # edge slot at step j
-        idx_v = (pos[:, None] + j - 1) % m[:, None]  # vertex between steps
-        eoe = np.take_along_axis(row, idx_e, axis=1)
-        kite = np.take_along_axis(krow, idx_v, axis=1)
-        R = np.cumsum(kite * inv_area_cell[c][:, None], axis=1)
-        # orientation of eoe's normal relative to cell c (+1 outward when c
-        # is its first cell)
-        t_sign = np.where(cells_on_edge[eoe, 0] == c[:, None], 1.0, -1.0)
-        # side sign: +1 for the cell the normal leaves, -1 for the cell it
-        # enters
-        s_sign = 1.0 if side == 0 else -1.0
-        w = (
-            s_sign
-            * (0.5 - R)
-            * (dv_edge[eoe] / dc_edge[:, None])
-            * t_sign
-        )
-        w = np.where(valid, w, 0.0)
-        eoe = np.where(valid, eoe, 0)
-
-        # Pack side-0 entries first, then side-1. Valid counts per side are
-        # at most max_edges-1, so column max_edges2-1 is never validly
-        # occupied and safely absorbs the (zero-valued) padding writes.
-        base = n_edges_on_edge.astype(np.int64)
-        cols = np.where(valid, base[:, None] + (j - 1), max_edges2 - 1)
-        np.put_along_axis(edges_on_edge, cols, eoe, axis=1)
-        np.put_along_axis(weights_on_edge, cols, w, axis=1)
-        n_edges_on_edge = (base + valid.sum(1)).astype(np.int32)
+    n_edges_on_edge, edges_on_edge, weights_on_edge = trisk_weights(
+        cells_on_edge,
+        dv_edge,
+        dc_edge,
+        n_edges_on_cell,
+        edges_on_cell,
+        vertices_on_cell,
+        kite_areas_on_cell,
+        area_cell,
+    )
 
     # --- Coriolis fields -------------------------------------------------
     f_cell = f0 + beta * points[:, 1]
