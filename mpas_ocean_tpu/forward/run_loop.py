@@ -25,7 +25,7 @@ from ..models.shallow_water import PrognosticVars
 from .time_integration import ForwardEuler, ocn_timestep
 
 
-@partial(jax.jit, static_argnames=("n_steps", "method", "checkpoint"))
+@partial(jax.jit, static_argnames=("n_steps", "method", "checkpoint", "del2_coeff"))
 def ocn_run_loop(
     prog: PrognosticVars,
     mesh,
@@ -33,11 +33,12 @@ def ocn_run_loop(
     n_steps: int,
     method=ForwardEuler,
     checkpoint: bool = False,
+    del2_coeff: float = 0.0,
 ) -> PrognosticVars:
     """Advance ``n_steps`` timesteps under one jit/scan."""
 
     def body(p, _):
-        return ocn_timestep(p, mesh, dt, method), None
+        return ocn_timestep(p, mesh, dt, method, del2_coeff), None
 
     if checkpoint:
         body = jax.checkpoint(body)

@@ -47,7 +47,9 @@ class PrognosticVars:
 
 @pytree_dataclass
 class DiagnosticVars:
-    """Diagnostic fields (reference: src/ocn/DiagnosticVars.jl:6-73)."""
+    """Diagnostic fields (reference: src/ocn/DiagnosticVars.jl:6-73). The
+    kinetic-energy / tangential-velocity diagnostics live in standalone
+    functions so the hot step path stays lean."""
 
     layer_thickness_edge: jax.Array  # (nEdges, K)
     thickness_flux: jax.Array  # (nEdges, K)
@@ -84,14 +86,47 @@ def compute_diagnostics(prog: PrognosticVars, mesh) -> DiagnosticVars:
     )
 
 
+def kinetic_energy_on_cell(normal_velocity: jnp.ndarray, mesh) -> jnp.ndarray:
+    """KE_i = (1/A_i) sum_{e in EC(i)} (dc_e dv_e / 4) u_e^2 — the standard
+    MPAS cell kinetic energy (BASELINE north-star diagnostic)."""
+    edges = mesh.edges
+    w = 0.25 * edges.dc_edge * edges.dv_edge
+    e_sq = (w[:, None] * normal_velocity * normal_velocity)[
+        mesh.cells.edges_on_cell
+    ]
+    masked = e_sq * mesh.cells.edge_mask_on_cell[:, :, None]
+    return masked.sum(axis=1) / mesh.cells.area_cell[:, None]
+
+
+def del2_tendency(normal_velocity: jnp.ndarray, mesh, coeff) -> jnp.ndarray:
+    """Harmonic (del2) momentum mixing done right.
+
+    The reference ships this formulation in a dead, broken module
+    (reference: normalVelocity/horizontal_momentum_mixing.jl — not included
+    by normalVelocity.jl:12-13, with an undefined variable, a
+    self-referential assignment and the wrong kernel instantiated, SURVEY
+    section 1 "Dead code"). Intended math (:74-79):
+        tend += nu * ( (div[c2]-div[c1])/dc - (vort[v2]-vort[v1])/dv )
+    i.e. the vector Laplacian del2 u = grad(div u) - curl(vort u).
+    """
+    div = divergence_on_cell(normal_velocity, mesh)
+    vort = curl_on_vertex(normal_velocity, mesh)
+    coe = mesh.edges.cells_on_edge
+    voe = mesh.edges.vertices_on_edge
+    grad_div = (div[coe[:, 1]] - div[coe[:, 0]]) / mesh.edges.dc_edge[:, None]
+    grad_vort = (vort[voe[:, 1]] - vort[voe[:, 0]]) / mesh.edges.dv_edge[:, None]
+    return coeff * (grad_div - grad_vort)
+
+
 def compute_normal_velocity_tendency(
-    prog: PrognosticVars, diag: DiagnosticVars, mesh
+    prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0
 ) -> jnp.ndarray:
-    """du/dt = -g * grad(ssh) + TRiSK Coriolis.
+    """du/dt = -g * grad(ssh) + TRiSK Coriolis [+ del2 mixing].
 
     (reference: normalVelocity.jl:21-53 dispatching to the sshGradient
     pressure gradient, pressure_gradient.jl:45-65, and linearCoriolis,
-    horizontal_advection_and_coriolis.jl:50-75.)
+    horizontal_advection_and_coriolis.jl:50-75; del2 is the repaired
+    version of its dead mixing module, see del2_tendency.)
     """
     edges = mesh.edges
     # pressure gradient: tend -= g * (ssh[c2]-ssh[c1])/dc, all active levels
@@ -103,6 +138,9 @@ def compute_normal_velocity_tendency(
     # reconstruction, h_a_and_c.jl:70-72)
     uf = prog.normal_velocity * edges.f[:, None]
     tend = tend + tangential_reconstruction(uf, mesh) * mesh.vert.edge_level_mask
+
+    if del2_coeff:
+        tend = tend + del2_tendency(prog.normal_velocity, mesh, del2_coeff)
 
     # closed-boundary edges never accelerate
     return tend * edges.edge_mask[:, None]
@@ -121,9 +159,13 @@ def compute_layer_thickness_tendency(
     return tend * mesh.vert.cell_level_mask
 
 
-def compute_tendencies(prog: PrognosticVars, diag: DiagnosticVars, mesh) -> TendencyVars:
+def compute_tendencies(
+    prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0
+) -> TendencyVars:
     return TendencyVars(
-        tend_normal_velocity=compute_normal_velocity_tendency(prog, diag, mesh),
+        tend_normal_velocity=compute_normal_velocity_tendency(
+            prog, diag, mesh, del2_coeff
+        ),
         tend_layer_thickness=compute_layer_thickness_tendency(prog, diag, mesh),
     )
 
