@@ -38,16 +38,24 @@ def partition_cells(horz: HorzMesh, n_parts: int, method: str = "stripes") -> np
 
     "stripes": order cells by (y, x) and cut into equal contiguous chunks —
     near-optimal surface/volume for planar hex meshes and deterministic.
+    "graph": balanced BFS graph growing over the cell adjacency (native C++
+    when available, parallel/graph.py) — use for spherical or irregular
+    meshes where coordinate stripes perform poorly.
     """
     n = horz.n_cells
-    if method != "stripes":
-        raise ValueError(f"unknown partition method {method!r}")
-    order = np.lexsort((np.asarray(horz.cells.x), np.asarray(horz.cells.y)))
-    part = np.empty(n, dtype=np.int32)
-    # equal-size contiguous chunks over the sorted order
-    bounds = (np.arange(n, dtype=np.int64) * n_parts) // n
-    part[order] = bounds.astype(np.int32)
-    return part
+    if method == "stripes":
+        order = np.lexsort((np.asarray(horz.cells.x), np.asarray(horz.cells.y)))
+        part = np.empty(n, dtype=np.int32)
+        # equal-size contiguous chunks over the sorted order
+        bounds = (np.arange(n, dtype=np.int64) * n_parts) // n
+        part[order] = bounds.astype(np.int32)
+        return part
+    if method == "graph":
+        from .graph import cell_adjacency_csr, greedy_partition
+
+        xadj, adjncy = cell_adjacency_csr(horz)
+        return greedy_partition(n, xadj, adjncy, n_parts).astype(np.int32)
+    raise ValueError(f"unknown partition method {method!r}")
 
 
 @dataclass
