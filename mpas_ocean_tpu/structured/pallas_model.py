@@ -1,0 +1,241 @@
+"""Fused Pallas TPU kernel for the structured hex shallow-water step.
+
+The roll formulation (model.py) is correct but HBM-bound: XLA materializes
+~75 shifted planes per step in HBM. This module fuses the ENTIRE forward
+rollout into one Pallas kernel: the prognostic state (a few MB for the
+reference's headline 64x64x100 config, reference: README.MD:45-50) is loaded
+into VMEM once, every step's shifts/multiply-adds run on the VPU out of
+VMEM, and HBM is touched exactly twice — once to read the initial state and
+once to write the final state. This is the TPU equivalent of the
+reference's KernelAbstractions device kernels (reference:
+src/ocn/Operators.jl, src/forward/time_integration.jl:150-193), except the
+whole time loop lives on-chip instead of one host-synchronized launch per
+operator per step.
+
+Math is identical to model.structured_step (tests assert agreement to
+roundoff); terminology and stencils come from hex_layout.py's
+machine-extracted tables.
+
+Differentiability: `pallas_step` is a custom-VJP wrapper whose forward pass
+is the fused kernel and whose backward pass is `jax.vjp` of the (equal-math)
+roll step — the pattern the reference needed hand-written Enzyme rules for
+(reference: ext/MPASEnzymeExt.jl:13-36).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import GRAVITY
+from .conv_model import _INCOMING, _NEIGHBOR
+from .hex_layout import E, NE, NW
+from .model import StructMesh, StructState, structured_step
+
+__all__ = ["pallas_run_loop", "pallas_step"]
+
+
+def _shift(x, dm: int, di: int):
+    """out[m, i] = x[m + dm, i + di] (periodic), static shifts.
+
+    Same semantics as model._shift (jnp.roll(x, -dm, 0) then roll(-di, 1)),
+    written as static slices + concatenate, which Mosaic lowers natively.
+    """
+    if dm:
+        x = jnp.concatenate([x[dm:], x[:dm]], axis=0)
+    if di:
+        x = jnp.concatenate([x[:, di:], x[:, :di]], axis=1)
+    return x
+
+
+def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms):
+    """One forward-Euler step on parity-plane lists.
+
+    ssh[p]: (ny2, nx, 1); h[p]: (ny2, nx, K); u[fam*2+p]: (ny2, nx, K);
+    f_edge[c] and rts[p] are (ny2, nx, 1). Returns (ssh', h', u') tuples.
+
+    Layout note: ALL fields carry the level axis last (singleton for 2-D
+    fields). In VMEM the last axis is the lane dimension, so a 2-D field
+    stored as (ny2, nx) would put nx on lanes while 3-D fields put nx on
+    sublanes — every 2D*3D broadcast would then be a relayout (transpose),
+    which ablation showed dominates the step cost. With the trailing
+    singleton, broadcasts are free lane-replications.
+
+    Pure jnp — runs inside the Pallas kernel (and in interpret mode on CPU).
+    """
+    # thickness flux on edges: u * 0.5 (h_self + h_neighbor)
+    flux = []
+    for fam in (E, NE, NW):
+        for p in (0, 1):
+            pin, dm, di = _NEIGHBOR[(fam, p)]
+            flux.append(u[fam * 2 + p] * (0.5 * (_shift(h[pin], dm, di) + h[p])))
+
+    # flux divergence -> thickness update -> ssh diagnostic
+    h_new, ssh_new = [], []
+    for p in (0, 1):
+        total = flux[E * 2 + p] + flux[NE * 2 + p] + flux[NW * 2 + p]
+        for ch, dm, di in _INCOMING[p]:
+            total = total - _shift(flux[ch], dm, di)
+        hp = h[p] - (dt * s_div) * total
+        h_new.append(hp)
+        ssh_new.append(jnp.sum(hp, axis=-1, keepdims=True) - rts[p])
+
+    # ssh gradient on edges (2-D planes; broadcast over levels at the end)
+    grad2 = []
+    for fam in (E, NE, NW):
+        for p in (0, 1):
+            pin, dm, di = _NEIGHBOR[(fam, p)]
+            grad2.append((_shift(ssh[pin], dm, di) - ssh[p]) * inv_dc)
+
+    # TRiSK Coriolis: 60 static roll-multiply-adds of u*f (Mosaic CSEs the
+    # repeated shifted planes; hand-deduplicating measured slower)
+    uf = [u[c] * f_edge[c] for c in range(6)]
+    acc = [None] * 6
+    for f_out, p_out, f_in, p_in, dm, di, w in terms:
+        contrib = w * _shift(uf[f_in * 2 + p_in], dm, di)
+        c = f_out * 2 + p_out
+        acc[c] = contrib if acc[c] is None else acc[c] + contrib
+
+    u_new = [
+        u[c] + dt * acc[c] + (-GRAVITY * dt) * grad2[c] for c in range(6)
+    ]
+    return tuple(ssh_new), tuple(h_new), tuple(u_new)
+
+
+def _rollout_kernel(
+    scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
+    ssh_out, h_out, u_out, *, terms, n_steps,
+):
+    dt = scal_ref[0, 0]
+    inv_dc = scal_ref[0, 1]
+    s_div = scal_ref[0, 2]
+
+    # trailing singleton puts 2-D fields in the 3-D lane layout (see
+    # _step_planes docstring); the one-time relayout happens here, outside
+    # the time loop
+    f_edge = tuple(f_ref[c][:, :, None] for c in range(6))
+    rts = tuple(rts_ref[p][:, :, None] for p in range(2))
+
+    carry0 = (
+        tuple(ssh_ref[p][:, :, None] for p in range(2)),
+        tuple(h_ref[p] for p in range(2)),
+        tuple(u_ref[c] for c in range(6)),
+    )
+
+    def body(_, carry):
+        ssh, h, u = carry
+        return _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms)
+
+    ssh_f, h_f, u_f = jax.lax.fori_loop(0, n_steps, body, carry0)
+    for p in range(2):
+        ssh_out[p] = ssh_f[p][:, :, 0]
+        h_out[p] = h_f[p]
+    for c in range(6):
+        u_out[c] = u_f[c]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "interpret", "terms")
+)
+def _pallas_rollout(ssh, h, u, f_edge, rts, scal, *, terms, n_steps, interpret):
+    kernel = functools.partial(_rollout_kernel, terms=terms, n_steps=n_steps)
+    ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
+    flops_step = (len(terms) + 30) * 2 * (6 * ny2 * nx * k)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
+            jax.ShapeDtypeStruct(h.shape, h.dtype),
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * n_steps,
+            bytes_accessed=(ssh.size + h.size + u.size) * 2 * ssh.dtype.itemsize,
+            transcendentals=0,
+        ),
+        # the rollout state lives entirely in VMEM; the default 16 MB scoped
+        # limit is far below the chip's physical VMEM, so raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=interpret,
+    )(scal, ssh, h, u, f_edge, rts)
+
+
+def _scal(mesh: StructMesh, dt, dtype):
+    dt = jnp.asarray(dt, dtype)
+    return jnp.stack(
+        [
+            dt,
+            (1.0 / mesh.dc).astype(dtype),
+            (mesh.dv / mesh.area_cell).astype(dtype),
+            jnp.zeros((), dtype),
+        ]
+    ).reshape(1, 4)
+
+
+def pallas_run_loop(
+    state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None
+) -> StructState:
+    """Run n_steps of the structured model in ONE fused on-chip kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ny2, nx = mesh.ny2, mesh.nx
+    k = state.layer_thickness.shape[-1]
+    dtype = state.layer_thickness.dtype
+    ssh, h, u = (
+        state.ssh,
+        state.layer_thickness,
+        state.normal_velocity.reshape(6, ny2, nx, k),
+    )
+    f_edge = mesh.f_edge.reshape(6, ny2, nx).astype(dtype)
+    rts = mesh.resting_thickness_sum.astype(dtype)
+    ssh_f, h_f, u_f = _pallas_rollout(
+        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype),
+        terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
+    )
+    return StructState(
+        ssh=ssh_f,
+        layer_thickness=h_f,
+        normal_velocity=u_f.reshape(3, 2, ny2, nx, k),
+    )
+
+
+@jax.custom_vjp
+def pallas_step(state: StructState, mesh: StructMesh, dt) -> StructState:
+    """One fused-kernel step, differentiable: Pallas forward, roll-model
+    backward (equal math, so the VJP is exact)."""
+    return pallas_run_loop(state, mesh, dt, 1)
+
+
+def _step_fwd(state, mesh, dt):
+    return pallas_step(state, mesh, dt), (state, mesh, dt)
+
+
+def _step_bwd(res, g):
+    state, mesh, dt = res
+    _, vjp = jax.vjp(lambda s, t: structured_step(s, mesh, t), state, dt)
+    d_state, d_dt = vjp(g)
+    d_mesh = jax.tree.map(jnp.zeros_like, mesh)
+    return d_state, d_mesh, d_dt
+
+
+pallas_step.defvjp(_step_fwd, _step_bwd)
