@@ -94,6 +94,20 @@ def measure(device, mesh, prog, dt, steps, reps) -> float:
     return _time_fn(run, reps)
 
 
+def measure_matrix(device, mesh, prog, dt, steps, reps) -> float:
+    """General-mesh BSR/MXU path (stencils as block-sparse matmuls)."""
+    from mpas_ocean_tpu.models.matrix_model import MatrixModel, matrix_run_loop
+
+    mm = jax.device_put(MatrixModel.from_mesh(mesh), device)
+    prog = jax.device_put(prog, device)
+
+    def run():
+        out = matrix_run_loop(prog, mm, dt, steps)
+        return float(out.ssh.sum())
+
+    return _time_fn(run, reps)
+
+
 def measure_structured(device, sm, prog, dt, steps, reps) -> float:
     """Structured hex fast path (roll/shift stencils, zero gathers)."""
     from mpas_ocean_tpu.structured.model import structured_run_loop
@@ -132,6 +146,7 @@ def main():
 
     accel = jax.devices()[0]
     t_unstruct = measure(accel, mesh, prog, dt, max(10, STEPS // 10), 1)
+    t_matrix = measure_matrix(accel, mesh, prog, dt, max(10, STEPS // 2), 1)
     t_roll = measure_structured(accel, sm, prog, dt, STEPS, REPS)
     if accel.platform == "tpu":
         try:
@@ -173,6 +188,9 @@ def main():
                     "unstructured_gridpoints_per_sec": n_gridpoints
                     * max(10, STEPS // 10)
                     / t_unstruct,
+                    "matrix_path_gridpoints_per_sec": n_gridpoints
+                    * max(10, STEPS // 2)
+                    / t_matrix,
                     "cpu_gridpoints_per_sec": cpu_value,
                     "baseline_note": (
                         "vs_baseline = speedup over the same XLA model on host "

@@ -61,6 +61,7 @@ from .models.shallow_water import (
     compute_layer_thickness_tendency,
     compute_normal_velocity_tendency,
 )
+from .models.matrix_model import MatrixModel, matrix_run_loop, matrix_step
 from .forward.time_integration import ForwardEuler, RungeKutta4, ocn_timestep
 from .forward.run_loop import ocn_run_loop, ocn_run_loop_objective
 
@@ -91,6 +92,9 @@ __all__ = [
     "compute_diagnostics",
     "compute_layer_thickness_tendency",
     "compute_normal_velocity_tendency",
+    "MatrixModel",
+    "matrix_run_loop",
+    "matrix_step",
     "ForwardEuler",
     "RungeKutta4",
     "ocn_timestep",

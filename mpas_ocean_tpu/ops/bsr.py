@@ -1,0 +1,184 @@
+"""Block-sparse (BSR) MXU formulation of the TRiSK stencil operators.
+
+TPUs execute row-gathers (jnp.take along the element axis) at tens of GB/s —
+profiling shows every gather-based operator in ops/operators.py costs
+300-800 us/step on the reference's headline 64x64x100 config, making the
+general-mesh path ~20x slower than the structured lattice path. This module
+removes the gathers entirely: each linear TRiSK operator (cell->edge
+interpolation, ssh gradient, flux divergence, Coriolis/tangential
+reconstruction, curl) IS a sparse matrix with static sparsity, so we store
+it as dense 128x128 blocks over a block-banded pattern and apply it with
+batched matmuls on the MXU. The only remaining "gather" moves whole
+(128, K)-row blocks — coarse enough that the TPU streams it at full HBM
+bandwidth.
+
+Matrix entries mirror ops/operators.py exactly (same values, same padding
+conventions — padded connectivity slots carry zero weight/sign and generate
+no entries), which in turn mirror the reference's KernelAbstractions kernels
+(reference: src/ocn/Operators.jl:12-222,
+src/ocn/Tendencies/normalVelocity/horizontal_advection_and_coriolis.jl:50-75).
+
+Mesh locality matters: the bandwidth of the block pattern (B = max distinct
+input blocks per output block-row) scales the matrix bytes. Generated hex
+meshes are row-major (B ~ 3-4); arbitrary NetCDF meshes should be RCM-
+reordered first (native/mesh_preprocess.cpp).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import pytree_dataclass, static_field
+
+__all__ = ["Bsr", "build_bsr", "bsr_matvec", "trisk_matrices"]
+
+
+@pytree_dataclass
+class Bsr:
+    """One block-sparse matrix: y = A @ x with dense (bs, bs) blocks."""
+
+    n_out: int = static_field()
+    n_in: int = static_field()
+    bs: int = static_field()
+
+    block_cols: jax.Array  # (nb_out, B) int32 — input block index per slot
+    blocks: jax.Array  # (nb_out, B, bs, bs)
+
+    @property
+    def nb_out(self) -> int:
+        return self.block_cols.shape[0]
+
+    @property
+    def band(self) -> int:
+        return self.block_cols.shape[1]
+
+    @property
+    def density(self) -> float:
+        """Fraction of stored block entries that are nonzero."""
+        return float(np.count_nonzero(np.asarray(self.blocks))) / self.blocks.size
+
+
+def build_bsr(rows, cols, vals, n_out: int, n_in: int, bs: int = 128,
+              dtype=np.float32) -> Bsr:
+    """Assemble a Bsr from COO triplets (host-side, numpy).
+
+    Duplicate (row, col) entries accumulate, matching the `+=` semantics of
+    the stencil kernels they replace.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    keep = vals != 0.0
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+
+    nbo = -(-n_out // bs)
+    nbi = -(-n_in // bs)
+    br, bc = rows // bs, cols // bs
+
+    # distinct input blocks per output block-row
+    cols_per_block: list[dict[int, int]] = [dict() for _ in range(nbo)]
+    for b, c in zip(br, bc):
+        d = cols_per_block[b]
+        if c not in d:
+            d[c] = len(d)
+    band = max((len(d) for d in cols_per_block), default=1) or 1
+
+    block_cols = np.zeros((nbo, band), dtype=np.int32)
+    for b, d in enumerate(cols_per_block):
+        for c, slot in d.items():
+            block_cols[b, slot] = c
+
+    blocks = np.zeros((nbo, band, bs, bs), dtype=np.float64)
+    slot = np.fromiter(
+        (cols_per_block[b][c] for b, c in zip(br, bc)),
+        dtype=np.int64,
+        count=len(br),
+    )
+    np.add.at(blocks, (br, slot, rows % bs, cols % bs), vals)
+
+    return Bsr(
+        n_out=int(n_out),
+        n_in=int(n_in),
+        bs=int(bs),
+        block_cols=jnp.asarray(block_cols),
+        blocks=jnp.asarray(blocks.astype(dtype)),
+    )
+
+
+def bsr_matvec(A: Bsr, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x for x of shape (n_in,) or (n_in, K)."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    k = x.shape[1]
+    nbi = -(-A.n_in // A.bs)
+    pad = nbi * A.bs - A.n_in
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, k), x.dtype)], axis=0)
+    xb = x.reshape(nbi, A.bs, k)
+    xg = xb[A.block_cols]  # (nb_out, B, bs, K) — block-granular take
+    y = jnp.einsum(
+        "obij,objk->oik", A.blocks.astype(x.dtype), xg,
+        preferred_element_type=x.dtype,
+    )
+    y = y.reshape(-1, k)[: A.n_out]
+    return y[:, 0] if squeeze else y
+
+
+def trisk_matrices(mesh, bs: int = 128, dtype=np.float32) -> dict:
+    """Build the step's linear operators as Bsr matrices from a Mesh.
+
+    Returns dict with keys:
+      grad  (nEdges x nCells): (ssh[c2]-ssh[c1])/dc       [operators.py:44]
+      c2e   (nEdges x nCells): 0.5 (h[c1]+h[c2])          [operators.py:84]
+      div   (nCells x nEdges): outward-flux divergence    [operators.py:54]
+      corf  (nEdges x nEdges): sum_j w_j f[eoe_j] u[eoe_j] [operators.py:91]
+      curl  (nVertices x nEdges): circulation/areaTri     [operators.py:70]
+    """
+    horz = mesh.horz if hasattr(mesh, "horz") else mesh
+    cells, edges, duals = horz.cells, horz.edges, horz.duals
+    nc, ne, nv = cells.n_cells, edges.n_edges, duals.n_vertices
+
+    coe = np.asarray(edges.cells_on_edge)
+    dc = np.asarray(edges.dc_edge, dtype=np.float64)
+    dv = np.asarray(edges.dv_edge, dtype=np.float64)
+    e_ids = np.arange(ne)
+
+    # gradient and interpolation share the cells_on_edge pattern
+    g_rows = np.concatenate([e_ids, e_ids])
+    g_cols = np.concatenate([coe[:, 1], coe[:, 0]])
+    grad = build_bsr(
+        g_rows, g_cols,
+        np.concatenate([1.0 / dc, -1.0 / dc]),
+        ne, nc, bs, dtype,
+    )
+    c2e = build_bsr(
+        g_rows, g_cols, np.full(2 * ne, 0.5), ne, nc, bs, dtype
+    )
+
+    # divergence: div_i = -(1/A_i) sum_s sign_{i,s} dv_e F_e
+    eoc = np.asarray(cells.edges_on_cell)
+    sign = np.asarray(cells.edge_sign_on_cell, dtype=np.float64)
+    area = np.asarray(cells.area_cell, dtype=np.float64)
+    c_ids = np.repeat(np.arange(nc), eoc.shape[1])
+    d_vals = (-(sign * dv[eoc]) / area[:, None]).ravel()
+    div = build_bsr(c_ids, eoc.ravel(), d_vals, nc, ne, bs, dtype)
+
+    # Coriolis: tend_e += sum_j w_{e,j} f[eoe_j] u[eoe_j]
+    eoe = np.asarray(edges.edges_on_edge)
+    w = np.asarray(edges.weights_on_edge, dtype=np.float64)
+    f = np.asarray(edges.f, dtype=np.float64)
+    r = np.repeat(e_ids, eoe.shape[1])
+    corf = build_bsr(r, eoe.ravel(), (w * f[eoe]).ravel(), ne, ne, bs, dtype)
+
+    # curl: zeta_v = (1/A_v) sum_j dc_e sign_{v,j} u_e
+    eov = np.asarray(duals.edges_on_vertex)
+    vsign = np.asarray(duals.edge_sign_on_vertex, dtype=np.float64)
+    atri = np.asarray(duals.area_triangle, dtype=np.float64)
+    v_ids = np.repeat(np.arange(nv), eov.shape[1])
+    c_vals = (vsign * dc[eov] / atri[:, None]).ravel()
+    curl = build_bsr(v_ids, eov.ravel(), c_vals, nv, ne, bs, dtype)
+
+    return {"grad": grad, "c2e": c2e, "div": div, "corf": corf, "curl": curl}
