@@ -37,7 +37,13 @@ __all__ = ["Bsr", "build_bsr", "bsr_matvec", "trisk_matrices"]
 
 @pytree_dataclass
 class Bsr:
-    """One block-sparse matrix: y = A @ x with dense (bs, bs) blocks."""
+    """One block-sparse matrix: y = A @ x with dense (bs, bs) blocks.
+
+    Storage is banded-plus-overflow: every block-row stores `band` slots in
+    the dense (nb_out, band, bs, bs) tensor, and the few block-rows wider
+    than the band (e.g. periodic-wrap rows) spill their extra blocks into a
+    block-COO overflow list — the band is chosen to minimize total bytes, so
+    a handful of wide rows doesn't pad the whole matrix."""
 
     n_out: int = static_field()
     n_in: int = static_field()
@@ -45,6 +51,9 @@ class Bsr:
 
     block_cols: jax.Array  # (nb_out, B) int32 — input block index per slot
     blocks: jax.Array  # (nb_out, B, bs, bs)
+    ov_rows: jax.Array  # (M,) int32 — overflow output block index
+    ov_cols: jax.Array  # (M,) int32 — overflow input block index
+    ov_blocks: jax.Array  # (M, bs, bs)
 
     @property
     def nb_out(self) -> int:
@@ -55,9 +64,19 @@ class Bsr:
         return self.block_cols.shape[1]
 
     @property
+    def n_overflow(self) -> int:
+        return self.ov_rows.shape[0]
+
+    @property
+    def nbytes(self) -> int:
+        return np.asarray(self.blocks).nbytes + np.asarray(self.ov_blocks).nbytes
+
+    @property
     def density(self) -> float:
         """Fraction of stored block entries that are nonzero."""
-        return float(np.count_nonzero(np.asarray(self.blocks))) / self.blocks.size
+        nnz = float(np.count_nonzero(np.asarray(self.blocks)))
+        nnz += float(np.count_nonzero(np.asarray(self.ov_blocks)))
+        return nnz / (self.blocks.size + self.ov_blocks.size + 1e-300)
 
 
 def build_bsr(rows, cols, vals, n_out: int, n_in: int, bs: int = 128,
@@ -77,26 +96,52 @@ def build_bsr(rows, cols, vals, n_out: int, n_in: int, bs: int = 128,
     nbi = -(-n_in // bs)
     br, bc = rows // bs, cols // bs
 
-    # distinct input blocks per output block-row
-    cols_per_block: list[dict[int, int]] = [dict() for _ in range(nbo)]
+    # distinct input blocks per output block-row, ordered by nnz count so
+    # the widely-used blocks land in the banded slots
+    from collections import Counter
+
+    per_row: list[Counter] = [Counter() for _ in range(nbo)]
     for b, c in zip(br, bc):
-        d = cols_per_block[b]
-        if c not in d:
-            d[c] = len(d)
-    band = max((len(d) for d in cols_per_block), default=1) or 1
+        per_row[b][c] += 1
+    widths = np.array([len(d) for d in per_row], dtype=np.int64)
+    max_w = int(widths.max()) if len(widths) else 1
+
+    # band minimizing effective cost. An overflow block costs ~4x a banded
+    # block at run time (separate einsum + block scatter-add), so it only
+    # pays for true outlier rows (e.g. periodic wraps), not the common case.
+    best_band, best_cost = max(max_w, 1), None
+    for cand in range(1, max(max_w, 1) + 1):
+        cost = nbo * cand + 4 * int(np.maximum(widths - cand, 0).sum())
+        if best_cost is None or cost < best_cost:
+            best_band, best_cost = cand, cost
+    band = best_band
+
+    slot_of: list[dict[int, int]] = []
+    ov_index: dict[tuple[int, int], int] = {}
+    ov_rows, ov_cols = [], []
+    for b, d in enumerate(per_row):
+        ordered = [c for c, _ in d.most_common()]
+        m = {c: i for i, c in enumerate(ordered[:band])}
+        slot_of.append(m)
+        for c in ordered[band:]:
+            ov_index[(b, c)] = len(ov_rows)
+            ov_rows.append(b)
+            ov_cols.append(c)
 
     block_cols = np.zeros((nbo, band), dtype=np.int32)
-    for b, d in enumerate(cols_per_block):
-        for c, slot in d.items():
+    for b, m in enumerate(slot_of):
+        for c, slot in m.items():
             block_cols[b, slot] = c
 
     blocks = np.zeros((nbo, band, bs, bs), dtype=np.float64)
-    slot = np.fromiter(
-        (cols_per_block[b][c] for b, c in zip(br, bc)),
-        dtype=np.int64,
-        count=len(br),
-    )
-    np.add.at(blocks, (br, slot, rows % bs, cols % bs), vals)
+    n_ov = len(ov_rows)
+    ov_blocks = np.zeros((n_ov, bs, bs), dtype=np.float64)
+    for b, c, r, co, v in zip(br, bc, rows % bs, cols % bs, vals):
+        s = slot_of[b].get(c)
+        if s is None:
+            ov_blocks[ov_index[(b, c)], r, co] += v
+        else:
+            blocks[b, s, r, co] += v
 
     return Bsr(
         n_out=int(n_out),
@@ -104,6 +149,9 @@ def build_bsr(rows, cols, vals, n_out: int, n_in: int, bs: int = 128,
         bs=int(bs),
         block_cols=jnp.asarray(block_cols),
         blocks=jnp.asarray(blocks.astype(dtype)),
+        ov_rows=jnp.asarray(np.asarray(ov_rows, dtype=np.int32)),
+        ov_cols=jnp.asarray(np.asarray(ov_cols, dtype=np.int32)),
+        ov_blocks=jnp.asarray(ov_blocks.astype(dtype)),
     )
 
 
@@ -123,6 +171,12 @@ def bsr_matvec(A: Bsr, x: jnp.ndarray) -> jnp.ndarray:
         "obij,objk->oik", A.blocks.astype(x.dtype), xg,
         preferred_element_type=x.dtype,
     )
+    if A.n_overflow:
+        y2 = jnp.einsum(
+            "mij,mjk->mik", A.ov_blocks.astype(x.dtype), xb[A.ov_cols],
+            preferred_element_type=x.dtype,
+        )
+        y = y.at[A.ov_rows].add(y2)
     y = y.reshape(-1, k)[: A.n_out]
     return y[:, 0] if squeeze else y
 
