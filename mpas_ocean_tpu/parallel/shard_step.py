@@ -24,6 +24,7 @@ from ..models.shallow_water import PrognosticVars
 from ..forward.time_integration import ForwardEuler, ocn_timestep
 from ..utils.pytree import pytree_dataclass
 from .partition import PartitionedMesh, build_partition
+from .ppermute import build_permute_schedule, halo_exchange_ppermute
 
 try:  # JAX >= 0.6 spells it jax.shard_map
     shard_map = jax.shard_map
@@ -80,13 +81,20 @@ class ShardedModel:
 
     AXIS = "space"
 
-    def __init__(self, mesh, devices=None, part: PartitionedMesh | None = None):
+    def __init__(self, mesh, devices=None, part: PartitionedMesh | None = None,
+                 exchange: str = "ppermute"):
+        """``exchange``: 'ppermute' (default — neighbor-only ring rotations
+        over ICI, SURVEY section 8 plan) or 'allgather' (every part's
+        boundary pack broadcast to all devices)."""
         devices = list(devices if devices is not None else jax.devices())
         self.n_parts = len(devices)
         self.global_mesh = mesh
         if part is None:
             part = build_partition(mesh, self.n_parts)
         self.part = part
+        if exchange not in ("ppermute", "allgather"):
+            raise ValueError(f"unknown exchange {exchange!r}")
+        self.exchange = exchange
         self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
         self._sharded = NamedSharding(self.device_mesh, P(self.AXIS))
         self._spec_parts = P(self.AXIS)
@@ -103,6 +111,11 @@ class ShardedModel:
             edge_halo_slots=jnp.asarray(part.edge_halo_slots),
         )
         self.ex = jax.device_put(ex, self._leaf_sharding(ex))
+        if exchange == "ppermute":
+            rounds = build_permute_schedule(part)
+            self.rounds = jax.device_put(rounds, self._leaf_sharding(rounds))
+        else:
+            self.rounds = None
 
     # -- layout helpers -------------------------------------------------
     def _leaf_sharding(self, tree):
@@ -149,14 +162,27 @@ class ShardedModel:
             ssh=jnp.asarray(ssh), layer_thickness=jnp.asarray(h), normal_velocity=jnp.asarray(u)
         )
 
+    def _exchange_fn(self):
+        """(prog, ex) -> prog with fresh halos, per the configured backend."""
+        if self.exchange == "ppermute":
+            axis, n_parts = self.AXIS, self.n_parts
+            return lambda prog, ex: halo_exchange_ppermute(prog, ex, axis, n_parts)
+        return lambda prog, ex: _halo_exchange(prog, ex, self.AXIS)
+
+    @property
+    def _ex_arg(self):
+        return self.rounds if self.exchange == "ppermute" else self.ex
+
     # -- compute --------------------------------------------------------
     def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler):
         """n_steps sharded timesteps under one jit (scan inside shard_map)."""
-        return self._run_jit(local, self.local_mesh, self.ex, float(dt), n_steps, method)
+        return self._run_jit(
+            local, self.local_mesh, self._ex_arg, float(dt), n_steps, method
+        )
 
     @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method"))
     def _run_jit(self, local, lmesh, ex, dt, n_steps, method):
-        axis = self.AXIS
+        exchange = self._exchange_fn()
 
         def device_fn(local, lmesh, ex):
             # leaves arrive as (1, ...) blocks of the parts axis
@@ -165,7 +191,7 @@ class ShardedModel:
 
             def body(prog, _):
                 prog = ocn_timestep(prog, lmesh, dt, method)
-                return _halo_exchange(prog, ex, axis), None
+                return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(body, local, length=n_steps)
             return jax.tree.map(lambda a: a[None], out)
@@ -190,27 +216,30 @@ class ShardedModel:
         ).astype(local.ssh.dtype)
         owned_mask = jax.device_put(jnp.asarray(owned_mask), self._sharded)
 
+        exchange = self._exchange_fn()
+
         def device_fn(local, lmesh, ex, mask):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, lmesh, ex, mask = sq(local), sq(lmesh), sq(ex), sq(mask)
 
             def body(prog, _):
                 prog = ocn_timestep(prog, lmesh, dt, method)
-                return _halo_exchange(prog, ex, self.AXIS), None
+                return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(jax.checkpoint(body), local, length=n_steps)
             s = jnp.sum(out.ssh * out.ssh * mask)
             return jax.lax.psum(s, self.AXIS)
 
+        ex_arg = self._ex_arg
         fn = shard_map(
             device_fn,
             mesh=self.device_mesh,
             in_specs=(
                 self._in_specs(local),
                 self._in_specs(self.local_mesh),
-                self._in_specs(self.ex),
+                self._in_specs(ex_arg),
                 self._spec_parts,
             ),
             out_specs=P(),
         )
-        return fn(local, self.local_mesh, self.ex, owned_mask)
+        return fn(local, self.local_mesh, ex_arg, owned_mask)

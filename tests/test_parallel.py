@@ -52,15 +52,17 @@ def test_scatter_gather_roundtrip(igw_mesh, igw_prog):
     )
 
 
-def test_sharded_matches_single_device(igw_mesh, igw_prog):
+@pytest.mark.parametrize("exchange", ["ppermute", "allgather"])
+def test_sharded_matches_single_device(igw_mesh, igw_prog, exchange):
     """The headline correctness gate: 10 sharded steps across 8 devices
     reproduce the single-device rollout (same data, same reduction order
-    per element => tight tolerance)."""
+    per element => tight tolerance) — under both halo-exchange backends
+    (neighbor ppermute rings and boundary all_gather)."""
     dt = 976.0
     n = 10
     ref = ocn_run_loop(igw_prog, igw_mesh, dt, n)
 
-    sm = ShardedModel(igw_mesh)
+    sm = ShardedModel(igw_mesh, exchange=exchange)
     local = sm.scatter(igw_prog)
     local = sm.run(local, dt, n)
     out = sm.gather(local)
