@@ -24,7 +24,9 @@ import numpy as np
 
 NX = int(os.environ.get("BENCH_NX", 64))
 LEVELS = int(os.environ.get("BENCH_LEVELS", 100))
-STEPS = int(os.environ.get("BENCH_STEPS", 1000))
+# this machine's tunneled TPU has ~25 ms of fixed dispatch+readback latency
+# per rollout call; 8000 steps amortizes it to <5% of the measurement
+STEPS = int(os.environ.get("BENCH_STEPS", 8000))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 
 
@@ -145,8 +147,8 @@ def main():
     sm = StructuredModel(mesh, NX, NX)
 
     accel = jax.devices()[0]
-    t_unstruct = measure(accel, mesh, prog, dt, max(10, STEPS // 10), 1)
-    t_matrix = measure_matrix(accel, mesh, prog, dt, max(10, STEPS // 2), 1)
+    t_unstruct = measure(accel, mesh, prog, dt, max(10, STEPS // 20), 1)
+    t_matrix = measure_matrix(accel, mesh, prog, dt, max(10, STEPS // 4), 1)
     t_roll = measure_structured(accel, sm, prog, dt, STEPS, REPS)
     if accel.platform == "tpu":
         try:
@@ -164,7 +166,7 @@ def main():
     except RuntimeError:
         cpus = []
     if cpus and accel.platform != "cpu":
-        cpu_steps = max(10, STEPS // 5)
+        cpu_steps = max(10, STEPS // 20)
         t_cpu = measure_structured(cpus[0], sm, prog, dt, cpu_steps, 1)
         cpu_value = n_gridpoints * cpu_steps / t_cpu
         vs = value / cpu_value
@@ -186,10 +188,10 @@ def main():
                     "accel_seconds_per_step": t_accel / STEPS,
                     "roll_path_seconds_per_step": t_roll / STEPS,
                     "unstructured_gridpoints_per_sec": n_gridpoints
-                    * max(10, STEPS // 10)
+                    * max(10, STEPS // 20)
                     / t_unstruct,
                     "matrix_path_gridpoints_per_sec": n_gridpoints
-                    * max(10, STEPS // 2)
+                    * max(10, STEPS // 4)
                     / t_matrix,
                     "cpu_gridpoints_per_sec": cpu_value,
                     "baseline_note": (
