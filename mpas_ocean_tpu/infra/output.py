@@ -13,9 +13,27 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..mesh.sphere import latlon_from_xyz
 from .netcdf import write_netcdf
 
 __all__ = ["write_output"]
+
+
+def _latlon_vars(horz) -> dict:
+    out = {}
+    for name, elem in (
+        ("Cell", horz.cells),
+        ("Edge", horz.edges),
+        ("Vertex", horz.duals),
+    ):
+        dim = f"n{name}s" if name != "Vertex" else "nVertices"
+        if horz.on_sphere:
+            lat, lon = latlon_from_xyz(elem.x, elem.y, elem.z)
+        else:
+            lat = lon = np.zeros(np.asarray(elem.x).shape)
+        out[f"lat{name}"] = ((dim,), lat.astype(np.float64))
+        out[f"lon{name}"] = ((dim,), lon.astype(np.float64))
+    return out
 
 
 def write_output(
@@ -59,6 +77,9 @@ def write_output(
         "yEdge": (("nEdges",), np_(e.y).astype(f64)),
         "xVertex": (("nVertices",), np_(d.x).astype(f64)),
         "yVertex": (("nVertices",), np_(d.y).astype(f64)),
+        # lat/lon derived from Cartesian coordinates (zeros on planar
+        # meshes, matching MPAS planar-file convention)
+        **_latlon_vars(mesh.horz),
         "dcEdge": (("nEdges",), np_(e.dc_edge).astype(f64)),
         "areaCell": (("nCells",), np_(c.area_cell).astype(f64)),
         "angleEdge": (("nEdges",), np_(e.angle_edge).astype(f64)),

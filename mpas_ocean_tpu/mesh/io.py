@@ -243,10 +243,28 @@ def save_mpas_mesh(
         "Time": 1,
     }
     f64 = np.float64
+    from .sphere import latlon_from_xyz
+
+    def latlon(elem, dim):
+        if horz.on_sphere:
+            lat, lon = latlon_from_xyz(elem.x, elem.y, elem.z)
+        else:
+            lat = lon = np.zeros(np.asarray(elem.x).shape)
+        return lat.astype(f64), lon.astype(f64), dim
+
+    latc, lonc, _ = latlon(c, "nCells")
+    late, lone, _ = latlon(e, "nEdges")
+    latv, lonv, _ = latlon(d, "nVertices")
     variables = {
         "xCell": (("nCells",), np_(c.x).astype(f64)),
         "yCell": (("nCells",), np_(c.y).astype(f64)),
         "zCell": (("nCells",), np_(c.z).astype(f64)),
+        "latCell": (("nCells",), latc),
+        "lonCell": (("nCells",), lonc),
+        "latEdge": (("nEdges",), late),
+        "lonEdge": (("nEdges",), lone),
+        "latVertex": (("nVertices",), latv),
+        "lonVertex": (("nVertices",), lonv),
         "fCell": (("nCells",), np_(c.f).astype(f64)),
         "areaCell": (("nCells",), np_(c.area_cell).astype(f64)),
         "nEdgesOnCell": (("nCells",), np_(c.n_edges_on_cell).astype(np.int32)),

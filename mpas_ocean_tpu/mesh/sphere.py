@@ -21,10 +21,27 @@ from .horz_mesh import DualCells, Edges, HorzMesh, PrimaryCells
 from .voronoi import _group_by_first
 from .weights import trisk_weights
 
-__all__ = ["icosphere_points", "spherical_mesh", "EARTH_RADIUS", "EARTH_OMEGA"]
+__all__ = [
+    "icosphere_points",
+    "spherical_mesh",
+    "latlon_from_xyz",
+    "EARTH_RADIUS",
+    "EARTH_OMEGA",
+]
 
 EARTH_RADIUS = 6.371e6  # m
 EARTH_OMEGA = 7.292e-5  # 1/s
+
+
+def latlon_from_xyz(x, y, z):
+    """(lat, lon) in radians from Cartesian coordinates (MPAS convention:
+    lon in [0, 2*pi); the reference's legacy mesh carries latCell/lonCell
+    from file, src/infra/Mesh.jl:24-40 — here they are derived)."""
+    x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    r = np.sqrt(x * x + y * y + z * z)
+    lat = np.arcsin(np.divide(z, r, out=np.zeros_like(r), where=r > 0))
+    lon = np.mod(np.arctan2(y, x), 2.0 * np.pi)
+    return lat, lon
 
 
 def icosphere_points(n: int) -> np.ndarray:
