@@ -193,12 +193,40 @@ def _scal(mesh: StructMesh, dt, dtype):
     ).reshape(1, 4)
 
 
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def vmem_estimate(ny2: int, nx: int, k: int, itemsize: int = 4) -> int:
+    """Rough VMEM need of the fused kernel: 8 state planes + ~24 worth of
+    live temporaries (the 64x64x100 config compiles to a ~32-plane stack),
+    each lane-padded to a multiple of 128 levels."""
+    k_pad = -(-k // 128) * 128
+    plane = ny2 * nx * k_pad * itemsize
+    return 32 * plane
+
+
+def fits_in_vmem(mesh: StructMesh, k: int, itemsize: int = 4) -> bool:
+    return vmem_estimate(mesh.ny2, mesh.nx, k, itemsize) <= _VMEM_BUDGET
+
+
 def pallas_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None
 ) -> StructState:
-    """Run n_steps of the structured model in ONE fused on-chip kernel."""
+    """Run n_steps of the structured model in ONE fused on-chip kernel.
+
+    The whole prognostic state must fit in VMEM (~64x64 cells x 100 levels
+    per core); for larger meshes use model.structured_run_loop (HBM-
+    streaming rolls) or the BSR matrix path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    k_ = state.layer_thickness.shape[-1]
+    if not interpret and not fits_in_vmem(mesh, k_, state.layer_thickness.dtype.itemsize):
+        raise ValueError(
+            f"mesh too large for the fused-VMEM rollout "
+            f"(~{vmem_estimate(mesh.ny2, mesh.nx, k_) >> 20} MB needed, "
+            f"{_VMEM_BUDGET >> 20} MB budget); use structured_run_loop or "
+            "the MatrixModel path"
+        )
     ny2, nx = mesh.ny2, mesh.nx
     k = state.layer_thickness.shape[-1]
     dtype = state.layer_thickness.dtype
