@@ -90,12 +90,49 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False):
     return setup, prog
 
 
+def ocn_run_with_ad(config_fp, dtype=np.float64, use_config_dt: bool = False):
+    """Run the configured simulation AND its adjoint: differentiate the
+    on-device objective sum(ssh_final^2) back to the initial prognostic
+    state, then write state + adjoint shadows to the output stream.
+
+    (reference: test/enzyme/test_Enzyme_end2end.jl:32-102 `ocn_run_with_ad`
+    — Enzyme.autodiff over ocn_run_loop with hand-zeroed shadow structs and
+    a custom rule for the device->host copy, ext/MPASEnzymeExt.jl:13-36.
+    Here the entire machinery is jax.value_and_grad of the scan rollout.)
+    """
+    from .run_loop import ocn_run_loop_objective
+
+    setup, prog = ocn_init(config_fp, dtype=dtype)
+    if use_config_dt:
+        clock = setup.time_manager
+    else:
+        clock, _, _ = ocn_init_alarms(setup)
+    dt = clock.time_step.total_seconds()
+    n_steps, _ = plan_steps(clock)
+    mesh = setup.mesh
+
+    objective, d_prog = jax.value_and_grad(
+        lambda p: ocn_run_loop_objective(p, mesh, dtype(dt), n_steps, setup.integrator)
+    )(prog)
+    final = ocn_run_loop(prog, mesh, dtype(dt), n_steps, setup.integrator)
+
+    output_cfg = ConfigGet(setup.config.streams, "output")
+    out_fp = ConfigGet(output_cfg, "filename_template")
+    write_output(out_fp, mesh, final, dt, dt * n_steps, d_prog=d_prog)
+    print(f"objective sum(ssh^2) = {float(objective):.9e}; adjoint written")
+    return setup, final, d_prog, float(objective)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    with_ad = "--ad" in argv
+    argv = [a for a in argv if a != "--ad"]
     if len(argv) != 1 or not os.path.isfile(argv[0]):
-        print("usage: python -m mpas_ocean_tpu.forward.driver <config.yml>")
+        print(
+            "usage: python -m mpas_ocean_tpu.forward.driver [--ad] <config.yml>"
+        )
         return 1
-    ocn_run(argv[0])
+    (ocn_run_with_ad if with_ad else ocn_run)(argv[0])
     return 0
 
 

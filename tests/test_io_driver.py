@@ -109,3 +109,26 @@ def test_restart(igw_case, tmp_path):
         np.asarray(prog_full.normal_velocity),
         atol=1e-12,
     )
+
+
+def test_driver_ad_run(igw_case):
+    """--ad driver: full rollout + adjoint of sum(ssh^2), shadows persisted
+    (reference: test_Enzyme_end2end.jl writes d_Prog via write_netcdf)."""
+    from mpas_ocean_tpu.forward.driver import ocn_run_with_ad
+
+    d, cfg = igw_case
+    setup, final, d_prog, obj = ocn_run_with_ad(cfg, use_config_dt=True)
+    assert obj == pytest.approx(float(np.sum(np.asarray(final.ssh) ** 2)), rel=1e-12)
+
+    out = read_netcdf(os.path.join(d, "output.nc"))
+    for name, ref in (
+        ("d_ssh", d_prog.ssh),
+        ("d_layerThickness", d_prog.layer_thickness),
+        ("d_normalVelocity", d_prog.normal_velocity),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out[name][0]).reshape(np.asarray(ref).shape),
+            np.asarray(ref),
+            atol=1e-12,
+        )
+    assert np.abs(np.asarray(d_prog.layer_thickness)).max() > 0
