@@ -125,3 +125,17 @@ def test_partition_with_more_parts_than_rows(igw_mesh):
         np.testing.assert_allclose(
             np.asarray(out.ssh), np.asarray(ref.ssh), atol=1e-12
         )
+
+
+def test_partition_stats(igw_mesh):
+    """Static communication profile: sane balance, small halo, few rounds."""
+    from mpas_ocean_tpu.parallel import build_partition, format_stats, partition_stats
+
+    p = build_partition(igw_mesh, 8)
+    s = partition_stats(p)
+    assert s["n_parts"] == 8
+    assert s["cells_owned"]["imbalance"] < 1.2
+    assert 0 < s["halo_cell_fraction"] < 1.0
+    assert 1 <= len(s["exchange_rounds"]) <= 7
+    assert s["exchange_bytes_per_device_per_step"] > 0
+    assert "ppermute rounds" in format_stats(s)

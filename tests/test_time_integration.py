@@ -119,3 +119,48 @@ def test_multilayer_consistency(mesh16_3l):
     h = np.asarray(fin.layer_thickness)
     np.testing.assert_allclose(h[:, 0], h[:, 1], rtol=1e-12)
     np.testing.assert_allclose(h[:, 0], h[:, 2], rtol=1e-12)
+
+
+def test_igw_spatial_convergence():
+    """Refining the mesh 2x must shrink the IGW ssh error by ~4x (TRiSK is
+    second-order on uniform hex meshes) — the quantitative accuracy tier
+    the reference only spot-checks with fixed golden norms."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.forward.run_loop import ocn_run_loop
+    from mpas_ocean_tpu.forward.time_integration import RungeKutta4
+    from mpas_ocean_tpu.mesh import planar_hex_mesh
+    from mpas_ocean_tpu.mesh.mesh import Mesh
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.models.shallow_water import PrognosticVars
+    from mpas_ocean_tpu.verification.inertial_gravity_wave import (
+        InertialGravityWave,
+    )
+
+    t_end = 2000.0
+    errors = {}
+    for nx in (16, 32):
+        dc = 10000.0e3 / nx
+        horz = planar_hex_mesh(nx, nx, dc, f0=1e-4)
+        igw = InertialGravityWave(lx=nx * dc / 1e3, f0=1e-4)
+        vert = make_vertical_mesh(
+            horz,
+            n_vert_levels=1,
+            resting_thickness=np.full((horz.n_cells, 1), igw.bottom_depth),
+        )
+        mesh = Mesh(horz=horz, vert=vert).to_device()
+        ssh, h, u = igw.initial_state(horz)
+        prog = PrognosticVars(
+            ssh=jnp.asarray(ssh),
+            layer_thickness=jnp.asarray(h),
+            normal_velocity=jnp.asarray(u),
+        )
+        n = 20 * (nx // 16)  # halve dt with dx: temporal error shrinks too
+        fin = ocn_run_loop(prog, mesh, t_end / n, n, RungeKutta4)
+        exact = igw.exact_ssh(
+            np.asarray(horz.cells.x), np.asarray(horz.cells.y), t_end
+        )
+        errors[nx] = float(np.sqrt(np.mean((np.asarray(fin.ssh) - exact) ** 2)))
+
+    order = np.log2(errors[16] / errors[32])
+    assert order > 1.5, (errors, order)
