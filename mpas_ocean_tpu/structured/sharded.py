@@ -1,0 +1,241 @@
+"""Row-sharded structured hex model: the fast path scaled over a device mesh.
+
+Splits the (2, ny2, nx, K) parity-plane lattice into P contiguous row
+slabs, one per device, each padded with ONE halo row per side (the full
+TRiSK step — interpolation, flux divergence, ssh gradient, the 60-term
+Coriolis reconstruction — reaches at most one row up/down; the nx axis
+stays whole and periodic on-device). Each step computes the slab interior
+with gather-free slice/roll stencils and refreshes the halo rows with two
+`lax.ppermute` rotations per field — nearest-neighbor ICI traffic only,
+the structured counterpart of parallel/ppermute.py.
+
+This is the deployment path for meshes too large for one chip's VMEM or
+HBM: per-device compute is identical math to model.structured_step (tests
+assert equality to the global rollout at f64 roundoff).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import GRAVITY
+from .conv_model import _INCOMING, _NEIGHBOR
+from .hex_layout import E, NE, NW
+from .model import StructMesh, StructState
+
+try:  # JAX >= 0.6
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["ShardedStructuredModel"]
+
+
+def _sh(x, dm: int, di: int, rows: int):
+    """Interior-row shift on a halo-padded plane: out[m, i] = x[1+m+dm, i+di]
+    for m in [0, rows); di wraps periodically on the (whole) nx axis."""
+    y = x[1 + dm : 1 + dm + rows]
+    if di:
+        y = jnp.roll(y, -di, axis=1)
+    return y
+
+
+def _interior(x, rows: int):
+    return x[1 : 1 + rows]
+
+
+def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows):
+    """One forward-Euler step on a halo-padded slab; returns interior-only
+    planes. Mirrors pallas_model._step_planes with halo reads instead of
+    periodic wraps (same coefficients, same order)."""
+    # thickness flux evaluated on padded rows [0, rows+1): the divergence
+    # needs flux at the interior rows AND one row below (_INCOMING dm=-1
+    # taps); the flux itself reads h up to one row above, so the single
+    # halo row on each side covers the chained two-operator reach.
+    fluxp = {}
+    for fam in (E, NE, NW):
+        for p in (0, 1):
+            pin, dm, di = _NEIGHBOR[(fam, p)]
+            # padded-slab shift: out[m] = x[m+dm] for m in [0, rows+1)
+            hn = h[pin][dm : dm + rows + 1]
+            if di:
+                hn = jnp.roll(hn, -di, axis=1)
+            fluxp[(fam, p)] = u[fam * 2 + p][:rows + 1] * (
+                0.5 * (hn + h[p][:rows + 1])
+            )
+
+    h_new, ssh_new = [], []
+    for p in (0, 1):
+        # outgoing at own row m (padded index 1+m -> fluxp index 1+m)
+        total = (
+            fluxp[(E, p)][1 : 1 + rows]
+            + fluxp[(NE, p)][1 : 1 + rows]
+            + fluxp[(NW, p)][1 : 1 + rows]
+        )
+        for ch, dm, di in _INCOMING[p]:
+            fam_in, p_in = divmod(ch, 2)
+            y = fluxp[(fam_in, p_in)][1 + dm : 1 + dm + rows]
+            if di:
+                y = jnp.roll(y, -di, axis=1)
+            total = total - y
+        hp = _interior(h[p], rows) - (dt * s_div) * total
+        h_new.append(hp)
+        ssh_new.append(jnp.sum(hp, axis=-1, keepdims=True) - _interior(rts[p], rows))
+
+    grad2 = []
+    for fam in (E, NE, NW):
+        for p in (0, 1):
+            pin, dm, di = _NEIGHBOR[(fam, p)]
+            grad2.append((_sh(ssh[pin], dm, di, rows) - _interior(ssh[p], rows)) * inv_dc)
+
+    uf = [u[c] * f_edge[c] for c in range(6)]
+    acc = [None] * 6
+    for f_out, p_out, f_in, p_in, dm, di, w in terms:
+        contrib = w * _sh(uf[f_in * 2 + p_in], dm, di, rows)
+        c = f_out * 2 + p_out
+        acc[c] = contrib if acc[c] is None else acc[c] + contrib
+
+    u_new = [
+        _interior(u[c], rows) + dt * acc[c] + (-GRAVITY * dt) * grad2[c]
+        for c in range(6)
+    ]
+    return tuple(ssh_new), tuple(h_new), tuple(u_new)
+
+
+def _with_halo(interior, axis_name: str, n_parts: int):
+    """Rebuild padded slabs from stacked interior planes (planes, R, nx, ...):
+    halo row 0 comes from the previous device's last interior row, halo row
+    R+1 from the next device's first — one ppermute per direction per field."""
+    down = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+    up = [(i, (i - 1) % n_parts) for i in range(n_parts)]
+    top = jax.lax.ppermute(interior[:, -1:], axis_name, down)  # -> my row 0
+    bot = jax.lax.ppermute(interior[:, :1], axis_name, up)  # -> my row R+1
+    return jnp.concatenate([top, interior, bot], axis=1)
+
+
+class ShardedStructuredModel:
+    """Drive the structured fast path over a 1-D device mesh (row slabs)."""
+
+    AXIS = "rows"
+
+    def __init__(self, struct_mesh: StructMesh, devices=None):
+        devices = list(devices if devices is not None else jax.devices())
+        self.n_parts = len(devices)
+        self.smesh = struct_mesh
+        ny2 = struct_mesh.ny2
+        if ny2 % self.n_parts:
+            raise ValueError(
+                f"ny2={ny2} rows not divisible by {self.n_parts} devices"
+            )
+        self.rows = ny2 // self.n_parts
+        self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
+        self._sharding = NamedSharding(self.device_mesh, P(self.AXIS))
+
+        # static per-slab mesh fields, halo-padded and stacked on a leading
+        # parts axis: f_edge (P, 6, R+2, nx, 1), rts (P, 2, R+2, nx, 1)
+        f = np.asarray(struct_mesh.f_edge).reshape(6, ny2, struct_mesh.nx, 1)
+        rts = np.asarray(struct_mesh.resting_thickness_sum)[..., None]
+        self._f_local = jax.device_put(
+            jnp.asarray(self._slab(f)), self._sharding
+        )
+        self._rts_local = jax.device_put(
+            jnp.asarray(self._slab(rts)), self._sharding
+        )
+
+    def _slab(self, x):
+        """(planes..., ny2, nx, ...) -> (P, planes..., R+2, nx, ...) with
+        periodic halo rows (host-side numpy)."""
+        ny2 = self.smesh.ny2
+        m_axis = x.ndim - 3  # (..., ny2, nx, trailing)
+        out = []
+        for q in range(self.n_parts):
+            rows = [(q * self.rows - 1) % ny2] + list(
+                range(q * self.rows, (q + 1) * self.rows)
+            ) + [((q + 1) * self.rows) % ny2]
+            out.append(np.take(x, rows, axis=m_axis))
+        return np.stack(out)
+
+    def scatter(self, state: StructState):
+        """Global structured state -> stacked halo-padded slabs on devices."""
+        k = state.layer_thickness.shape[-1]
+        nx = self.smesh.nx
+        ssh = np.asarray(state.ssh)[..., None]  # (2, ny2, nx, 1)
+        h = np.asarray(state.layer_thickness)
+        u = np.asarray(state.normal_velocity).reshape(6, self.smesh.ny2, nx, k)
+        pack = {
+            "ssh": jnp.asarray(self._slab(ssh)),
+            "h": jnp.asarray(self._slab(h)),
+            "u": jnp.asarray(self._slab(u)),
+        }
+        return jax.device_put(pack, {k_: self._sharding for k_ in pack})
+
+    def gather(self, local) -> StructState:
+        """Stacked slabs -> global structured state (interior rows only)."""
+        ny2, nx = self.smesh.ny2, self.smesh.nx
+
+        def unslab(x):  # (P, planes, R+2, nx, ...) -> (planes, ny2, nx, ...)
+            x = np.asarray(x)[:, :, 1:-1]
+            return np.concatenate([x[q] for q in range(self.n_parts)], axis=1)
+
+        ssh = unslab(local["ssh"])[..., 0]
+        h = unslab(local["h"])
+        u = unslab(local["u"])
+        k = h.shape[-1]
+        return StructState(
+            ssh=jnp.asarray(ssh),
+            layer_thickness=jnp.asarray(h),
+            normal_velocity=jnp.asarray(u.reshape(3, 2, ny2, nx, k)),
+        )
+
+    def run(self, local, dt, n_steps: int):
+        return self._run_jit(
+            local, self._f_local, self._rts_local, float(dt), n_steps
+        )
+
+    @partial(jax.jit, static_argnames=("self", "dt", "n_steps"))
+    def _run_jit(self, local, f_local, rts_local, dt, n_steps):
+        axis, n_parts, rows = self.AXIS, self.n_parts, self.rows
+        terms = self.smesh.coriolis_terms
+        dtype = local["h"].dtype
+        inv_dc = (1.0 / self.smesh.dc).astype(dtype)
+        s_div = (self.smesh.dv / self.smesh.area_cell).astype(dtype)
+        dt = jnp.asarray(dt, dtype)
+
+        def device_fn(local, f_loc, rts_loc):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            local, f_loc, rts_loc = sq(local), sq(f_loc), sq(rts_loc)
+            f_edge = tuple(f_loc[c] for c in range(6))
+            rts = tuple(rts_loc[p] for p in range(2))
+
+            def body(carry, _):
+                ssh = tuple(carry["ssh"][p] for p in range(2))
+                h = tuple(carry["h"][p] for p in range(2))
+                u = tuple(carry["u"][c] for c in range(6))
+                ssh_i, h_i, u_i = _step_slab(
+                    ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows
+                )
+                new = {
+                    "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
+                    "h": _with_halo(jnp.stack(h_i), axis, n_parts),
+                    "u": _with_halo(jnp.stack(u_i), axis, n_parts),
+                }
+                return new, None
+
+            out, _ = jax.lax.scan(body, local, length=n_steps)
+            return jax.tree.map(lambda a: a[None], out)
+
+        specs = jax.tree.map(lambda _: P(self.AXIS), local)
+        fspec = jax.tree.map(lambda _: P(self.AXIS), f_local)
+        rspec = jax.tree.map(lambda _: P(self.AXIS), rts_local)
+        return shard_map(
+            device_fn,
+            mesh=self.device_mesh,
+            in_specs=(specs, fspec, rspec),
+            out_specs=specs,
+        )(local, f_local, rts_local)
