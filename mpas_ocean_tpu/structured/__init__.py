@@ -1,6 +1,6 @@
 from .hex_layout import HexLayout
 from .model import StructuredModel
-from .pallas_model import pallas_run_loop, pallas_step
+from .pallas_model import pallas_run_loop, pallas_step, pallas_tiled_run_loop
 from .sharded import ShardedStructuredModel
 
 __all__ = [
@@ -9,4 +9,5 @@ __all__ = [
     "ShardedStructuredModel",
     "pallas_run_loop",
     "pallas_step",
+    "pallas_tiled_run_loop",
 ]

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,7 +37,7 @@ from .conv_model import _INCOMING, _NEIGHBOR
 from .hex_layout import E, NE, NW
 from .model import StructMesh, StructState, structured_step
 
-__all__ = ["pallas_run_loop", "pallas_step"]
+__all__ = ["pallas_run_loop", "pallas_step", "pallas_tiled_run_loop"]
 
 
 def _shift(x, dm: int, di: int):
@@ -240,6 +241,202 @@ def pallas_run_loop(
     ssh_f, h_f, u_f = _pallas_rollout(
         ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype),
         terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
+    )
+    return StructState(
+        ssh=ssh_f[..., 0],
+        layer_thickness=h_f,
+        normal_velocity=u_f.reshape(3, 2, ny2, nx, k),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tiled single-step kernel: for meshes too large for the all-in-VMEM rollout.
+# Grid over row tiles; each tile reads its (Rt, nx, K) block plus one halo
+# row per side, delivered as tiny per-tile side inputs extracted with
+# strided slices — read amplification (Rt+2)/Rt instead of the 3x a
+# neighboring-blocks scheme would cost. One pallas_call per step inside the
+# jitted scan: HBM traffic ~2 state passes per step (the roll formulation
+# materializes ~8).
+# ---------------------------------------------------------------------------
+
+
+def _tiled_step_kernel(
+    ssh_ref, h_ref, u_ref, f_ref,
+    ssh_t, h_t, u_t, f_t, ssh_b, h_b, u_b, f_b, rts_ref,
+    ssh_out, h_out, u_out, *, terms, rows, consts,
+):
+    from .sharded import _step_slab
+
+    # scalars are compile-time constants: an SMEM scalar input would need a
+    # rank-2 index map under the tile grid, which Mosaic fails to legalize
+    # ("func.return (i64, i64)"). Bind them to the field dtype so scalar
+    # arithmetic rounds identically to the roll/slab paths (python-float
+    # scalars would otherwise carry f64 precision through one extra product).
+    dtype = h_ref.dtype
+    dt = jnp.asarray(consts[0], dtype)
+    inv_dc = jnp.asarray(consts[1], dtype)
+    s_div = jnp.asarray(consts[2], dtype)
+
+    def pad(center, top, bot, c):
+        return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
+
+    ssh = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
+    h = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
+    u = tuple(pad(u_ref, u_t, u_b, c) for c in range(6))
+    f_edge = tuple(pad(f_ref, f_t, f_b, c) for c in range(6))
+    rts = tuple(rts_ref[p] for p in range(2))
+
+    # rts is interior-only; _step_slab slices it with _interior, so feed a
+    # dummy-padded version
+    rts_padded = tuple(
+        jnp.concatenate([r[:1], r, r[:1]], axis=0) for r in rts
+    )
+    ssh_n, h_n, u_n = _step_slab(
+        ssh, h, u, f_edge, rts_padded, dt, inv_dc, s_div, terms, rows
+    )
+    for p in range(2):
+        ssh_out[p] = ssh_n[p]
+        h_out[p] = h_n[p]
+    for c in range(6):
+        u_out[c] = u_n[c]
+
+
+def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int) -> int:
+    """Largest divisor of ny2 whose tile fits the VMEM budget.
+
+    Cost model: ~80 plane-tiles of (rt, nx, k_pad) — 18 input + 10 output
+    block planes double-buffered by the pipeline, plus ~24 planes of step
+    temporaries. Trailing-singleton fields pad to a full 128-lane tile, so
+    they count at the same k_pad as the 3-D fields."""
+    k_pad = -(-k // 128) * 128
+    for t in range(1, ny2 + 1):
+        if ny2 % t:
+            continue
+        rt = ny2 // t
+        if 80 * rt * nx * k_pad * itemsize <= int(0.9 * _VMEM_BUDGET):
+            return rt
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("terms", "row_tile", "n_steps", "interpret", "consts"),
+)
+def _pallas_tiled_rollout(
+    ssh, h, u, f_edge, rts, *, terms, row_tile, n_steps, interpret, consts
+):
+    ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
+    rt = row_tile
+    n_tiles = ny2 // rt
+    kernel = functools.partial(
+        _tiled_step_kernel, terms=terms, rows=rt, consts=consts
+    )
+
+    def halos(x):
+        """(planes, ny2, nx, tr) -> top/bottom halo rows per tile,
+        (planes, n_tiles, nx, tr) each, via strided slices."""
+        top = jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)[:, ::rt]
+        bot = jnp.concatenate([x[:, rt:], x[:, :rt]], axis=1)[:, ::rt]
+        return top, bot
+
+    f_t, f_b = halos(f_edge)
+
+    # index-map zeros derived from t (t * 0): literal 0s trace as i64 while
+    # the grid index is i32, and Mosaic refuses mixed-type index-map results
+    def center_spec(planes, r, tr):
+        return pl.BlockSpec(
+            (planes, r, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def halo_spec(planes, tr):
+        return pl.BlockSpec(
+            (planes, 1, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    step_call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
+            jax.ShapeDtypeStruct(h.shape, h.dtype),
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+        ),
+        in_specs=[
+            center_spec(2, rt, 1),   # ssh
+            center_spec(2, rt, k),   # h
+            center_spec(6, rt, k),   # u
+            center_spec(6, rt, 1),   # f
+            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k), halo_spec(6, 1),
+            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k), halo_spec(6, 1),
+            center_spec(2, rt, 1),   # rts
+        ],
+        out_specs=(
+            center_spec(2, rt, 1),
+            center_spec(2, rt, k),
+            center_spec(6, rt, k),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET
+        ),
+        interpret=interpret,
+    )
+
+    def body(carry, _):
+        ssh_c, h_c, u_c = carry
+        ssh_t, ssh_b = halos(ssh_c)
+        h_t, h_b = halos(h_c)
+        u_t, u_b = halos(u_c)
+        out = step_call(
+            ssh_c, h_c, u_c, f_edge,
+            ssh_t, h_t, u_t, f_t, ssh_b, h_b, u_b, f_b, rts,
+        )
+        return out, None
+
+    (ssh_f, h_f, u_f), _ = jax.lax.scan(body, (ssh, h, u), length=n_steps)
+    return ssh_f, h_f, u_f
+
+
+def pallas_tiled_run_loop(
+    state: StructState, mesh: StructMesh, dt, n_steps: int,
+    *, row_tile: int | None = None, interpret=None,
+) -> StructState:
+    """Fused-step rollout for meshes of ANY size: one Pallas call per step,
+    gridded over row tiles with per-tile halo rows."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ny2, nx = mesh.ny2, mesh.nx
+    k = state.layer_thickness.shape[-1]
+    dtype = state.layer_thickness.dtype
+    if row_tile is None:
+        row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize)
+    if ny2 % row_tile:
+        raise ValueError(f"row_tile {row_tile} must divide ny2={ny2}")
+    ssh = state.ssh[..., None]
+    h = state.layer_thickness
+    u = state.normal_velocity.reshape(6, ny2, nx, k)
+    f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
+    rts = mesh.resting_thickness_sum[..., None].astype(dtype)
+    # round the constants in the field dtype (so e.g. 1/dc is the f32
+    # quotient, not the f32 cast of the f64 quotient)
+    npdt = np.dtype(dtype)
+    consts = (
+        float(np.asarray(dt).astype(npdt)),
+        float(
+            (np.ones((), npdt) / np.asarray(mesh.dc).astype(npdt)).astype(npdt)
+        ),
+        float(
+            (
+                np.asarray(mesh.dv).astype(npdt)
+                / np.asarray(mesh.area_cell).astype(npdt)
+            ).astype(npdt)
+        ),
+    )
+    ssh_f, h_f, u_f = _pallas_tiled_rollout(
+        ssh, h, u, f_edge, rts,
+        terms=mesh.coriolis_terms, row_tile=int(row_tile),
+        n_steps=n_steps, interpret=bool(interpret), consts=consts,
     )
     return StructState(
         ssh=ssh_f[..., 0],

@@ -37,13 +37,19 @@ except AttributeError:  # pragma: no cover
 __all__ = ["ShardedStructuredModel"]
 
 
+def _roll_nx(y, di: int):
+    """Periodic nx-shift out[.., i, ..] = y[.., i+di, ..] as static
+    slice+concat (works identically under XLA and inside Pallas kernels,
+    where jnp.roll is unavailable)."""
+    if di:
+        y = jnp.concatenate([y[:, di:], y[:, :di]], axis=1)
+    return y
+
+
 def _sh(x, dm: int, di: int, rows: int):
     """Interior-row shift on a halo-padded plane: out[m, i] = x[1+m+dm, i+di]
     for m in [0, rows); di wraps periodically on the (whole) nx axis."""
-    y = x[1 + dm : 1 + dm + rows]
-    if di:
-        y = jnp.roll(y, -di, axis=1)
-    return y
+    return _roll_nx(x[1 + dm : 1 + dm + rows], di)
 
 
 def _interior(x, rows: int):
@@ -63,9 +69,7 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows):
         for p in (0, 1):
             pin, dm, di = _NEIGHBOR[(fam, p)]
             # padded-slab shift: out[m] = x[m+dm] for m in [0, rows+1)
-            hn = h[pin][dm : dm + rows + 1]
-            if di:
-                hn = jnp.roll(hn, -di, axis=1)
+            hn = _roll_nx(h[pin][dm : dm + rows + 1], di)
             fluxp[(fam, p)] = u[fam * 2 + p][:rows + 1] * (
                 0.5 * (hn + h[p][:rows + 1])
             )
@@ -80,10 +84,9 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows):
         )
         for ch, dm, di in _INCOMING[p]:
             fam_in, p_in = divmod(ch, 2)
-            y = fluxp[(fam_in, p_in)][1 + dm : 1 + dm + rows]
-            if di:
-                y = jnp.roll(y, -di, axis=1)
-            total = total - y
+            total = total - _roll_nx(
+                fluxp[(fam_in, p_in)][1 + dm : 1 + dm + rows], di
+            )
         hp = _interior(h[p], rows) - (dt * s_div) * total
         h_new.append(hp)
         ssh_new.append(jnp.sum(hp, axis=-1, keepdims=True) - _interior(rts[p], rows))

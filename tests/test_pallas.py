@@ -76,3 +76,32 @@ def test_pallas_step_grad_matches_roll_grad(setup):
     g_r = jax.grad(obj_roll)(st)
     for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+@pytest.mark.parametrize("row_tile", [1, 2, 4])
+def test_pallas_tiled_matches_roll_model(setup, row_tile):
+    """Tiled single-step kernel (any-size path) == roll model, for several
+    tile heights including the degenerate 1-row tile."""
+    from mpas_ocean_tpu.structured import pallas_tiled_run_loop
+
+    sm, st = setup
+    n = 4
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 10.0, n, row_tile=row_tile, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.layer_thickness),
+        np.asarray(ref.layer_thickness),
+        rtol=0,
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
