@@ -1,6 +1,11 @@
 from .hex_layout import HexLayout
 from .model import StructuredModel
-from .pallas_model import pallas_run_loop, pallas_step, pallas_tiled_run_loop
+from .pallas_model import (
+    pallas_run_loop,
+    pallas_step,
+    pallas_tiled_run_loop,
+    structured_auto_run_loop,
+)
 from .sharded import ShardedStructuredModel
 
 __all__ = [
@@ -10,4 +15,5 @@ __all__ = [
     "pallas_run_loop",
     "pallas_step",
     "pallas_tiled_run_loop",
+    "structured_auto_run_loop",
 ]

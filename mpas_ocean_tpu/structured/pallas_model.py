@@ -37,7 +37,12 @@ from .conv_model import _INCOMING, _NEIGHBOR
 from .hex_layout import E, NE, NW
 from .model import StructMesh, StructState, structured_step
 
-__all__ = ["pallas_run_loop", "pallas_step", "pallas_tiled_run_loop"]
+__all__ = [
+    "pallas_run_loop",
+    "pallas_step",
+    "pallas_tiled_run_loop",
+    "structured_auto_run_loop",
+]
 
 
 def _shift(x, dm: int, di: int):
@@ -443,6 +448,23 @@ def pallas_tiled_run_loop(
         layer_thickness=h_f,
         normal_velocity=u_f.reshape(3, 2, ny2, nx, k),
     )
+
+
+def structured_auto_run_loop(
+    state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None
+) -> StructState:
+    """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
+    the state fits, tiled per-step kernel otherwise; roll model on CPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        from .model import structured_run_loop
+
+        return structured_run_loop(state, mesh, dt, n_steps)
+    k = state.layer_thickness.shape[-1]
+    if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize):
+        return pallas_run_loop(state, mesh, dt, n_steps, interpret=False)
+    return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False)
 
 
 @jax.custom_vjp
