@@ -40,15 +40,38 @@ class MatrixModel:
     resting_thickness_sum: jax.Array  # (nCells,)
 
     @classmethod
-    def from_mesh(cls, mesh, bs: int = 128, dtype=np.float32) -> "MatrixModel":
+    def from_mesh(cls, mesh, bs: int = 128, dtype=np.float32,
+                  del2_coeff: float = 0.0) -> "MatrixModel":
+        """``del2_coeff`` > 0 folds the del2 momentum-mixing operator into
+        the Coriolis matrix (ops/bsr.del2_matrix_coo) — the mixing is then
+        free at run time. (Unlike the gather path, the folded del2 is also
+        gated by the edge level mask; identical whenever velocity is zero on
+        inactive levels, which the dynamics guarantee.)"""
         mats = trisk_matrices(mesh, bs=bs, dtype=dtype)
+        corf = mats["corf"]
+        if del2_coeff:
+            from ..ops.bsr import build_bsr, del2_matrix_coo
+
+            ne = mesh.horz.edges.n_edges
+            e = mesh.horz.edges
+            eoe = np.asarray(e.edges_on_edge)
+            w = np.asarray(e.weights_on_edge, dtype=np.float64)
+            f = np.asarray(e.f, dtype=np.float64)
+            r = np.repeat(np.arange(ne), eoe.shape[1])
+            d2r, d2c, d2v = del2_matrix_coo(mesh)
+            corf = build_bsr(
+                np.concatenate([r, d2r]),
+                np.concatenate([eoe.ravel(), d2c]),
+                np.concatenate([(w * f[eoe]).ravel(), del2_coeff * d2v]),
+                ne, ne, bs, dtype,
+            )
         elm = jnp.asarray(mesh.vert.edge_level_mask, dtype)
         emask = jnp.asarray(mesh.horz.edges.edge_mask, dtype)
         return cls(
             grad=mats["grad"],
             c2e=mats["c2e"],
             div=mats["div"],
-            corf=mats["corf"],
+            corf=corf,
             edge_mask_lv=elm * emask[:, None],
             cell_level_mask=jnp.asarray(mesh.vert.cell_level_mask, dtype),
             resting_thickness_sum=jnp.asarray(
@@ -57,31 +80,59 @@ class MatrixModel:
         )
 
 
-def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt) -> PrognosticVars:
-    """One forward-Euler step, all stencils as MXU matmuls."""
+def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel):
     h, u = prog.layer_thickness, prog.normal_velocity
-
-    h_edge = bsr_matvec(mm.c2e, h)
-    flux = u * h_edge
+    flux = u * bsr_matvec(mm.c2e, h)
     tend_h = -bsr_matvec(mm.div, flux) * mm.cell_level_mask
-
     grad_ssh = bsr_matvec(mm.grad, prog.ssh)  # (nEdges,)
     tend_u = (
         -GRAVITY * grad_ssh[:, None] + bsr_matvec(mm.corf, u)
     ) * mm.edge_mask_lv
-
-    h_new = h + dt * tend_h
-    u_new = u + dt * tend_u
-    ssh = (h_new * mm.cell_level_mask).sum(axis=1) - mm.resting_thickness_sum
-    return PrognosticVars(ssh=ssh, layer_thickness=h_new, normal_velocity=u_new)
+    return tend_u, tend_h
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
+def _ssh_of(h, mm):
+    return (h * mm.cell_level_mask).sum(axis=1) - mm.resting_thickness_sum
+
+
+def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt) -> PrognosticVars:
+    """One forward-Euler step, all stencils as MXU matmuls."""
+    tend_u, tend_h = _matrix_tendencies(prog, mm)
+    h_new = prog.layer_thickness + dt * tend_h
+    u_new = prog.normal_velocity + dt * tend_u
+    return PrognosticVars(
+        ssh=_ssh_of(h_new, mm), layer_thickness=h_new, normal_velocity=u_new
+    )
+
+
+def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt) -> PrognosticVars:
+    """Classical RK4 on the MXU path (mirrors
+    forward/time_integration.rk4_step, ssh rederived at every stage)."""
+    u0, h0 = prog.normal_velocity, prog.layer_thickness
+
+    def stage(du, dh, a):
+        h = h0 + a * dh
+        return PrognosticVars(
+            ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u0 + a * du
+        )
+
+    k1u, k1h = _matrix_tendencies(prog, mm)
+    k2u, k2h = _matrix_tendencies(stage(k1u, k1h, dt / 2.0), mm)
+    k3u, k3h = _matrix_tendencies(stage(k2u, k2h, dt / 2.0), mm)
+    k4u, k4h = _matrix_tendencies(stage(k3u, k3h, dt), mm)
+    u = u0 + (dt / 6.0) * (k1u + 2.0 * k2u + 2.0 * k3u + k4u)
+    h = h0 + (dt / 6.0) * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
+    return PrognosticVars(ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "rk4"))
 def matrix_run_loop(
-    prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int
+    prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int, rk4: bool = False
 ) -> PrognosticVars:
+    step = matrix_rk4_step if rk4 else matrix_step
+
     def body(p, _):
-        return matrix_step(p, mm, dt), None
+        return step(p, mm, dt), None
 
     out, _ = jax.lax.scan(body, prog, length=n_steps)
     return out

@@ -236,3 +236,68 @@ def trisk_matrices(mesh, bs: int = 128, dtype=np.float32) -> dict:
     curl = build_bsr(v_ids, eov.ravel(), c_vals, nv, ne, bs, dtype)
 
     return {"grad": grad, "c2e": c2e, "div": div, "corf": corf, "curl": curl}
+
+
+def del2_matrix_coo(mesh):
+    """COO triplets of the del2 momentum operator, composed symbolically:
+
+        del2 = Gdiv @ DIV + Gvort @ CURL   (nEdges x nEdges)
+
+    where Gdiv takes cell divergence differences across the edge and Gvort
+    takes vertex vorticity differences along it — exactly the repaired
+    formulation in models/shallow_water.del2_tendency (the reference ships
+    it dead and broken, normalVelocity/horizontal_momentum_mixing.jl:74-79).
+    Because it is linear in u it can be FOLDED INTO the Coriolis matrix, so
+    del2 mixing is free at run time on the matrix path.
+    """
+    from scipy import sparse
+
+    horz = mesh.horz if hasattr(mesh, "horz") else mesh
+    cells, edges, duals = horz.cells, horz.edges, horz.duals
+    nc, ne, nv = cells.n_cells, edges.n_edges, duals.n_vertices
+    dc = np.asarray(edges.dc_edge, dtype=np.float64)
+    dv = np.asarray(edges.dv_edge, dtype=np.float64)
+    coe = np.asarray(edges.cells_on_edge)
+    voe = np.asarray(edges.vertices_on_edge)
+    e_ids = np.arange(ne)
+
+    # DIV (nc x ne) and CURL (nv x ne), same values as trisk_matrices
+    eoc = np.asarray(cells.edges_on_cell)
+    sign = np.asarray(cells.edge_sign_on_cell, dtype=np.float64)
+    area = np.asarray(cells.area_cell, dtype=np.float64)
+    DIV = sparse.coo_matrix(
+        (
+            (-(sign * dv[eoc]) / area[:, None]).ravel(),
+            (np.repeat(np.arange(nc), eoc.shape[1]), eoc.ravel()),
+        ),
+        shape=(nc, ne),
+    ).tocsr()
+    eov = np.asarray(duals.edges_on_vertex)
+    vsign = np.asarray(duals.edge_sign_on_vertex, dtype=np.float64)
+    atri = np.asarray(duals.area_triangle, dtype=np.float64)
+    CURL = sparse.coo_matrix(
+        (
+            (vsign * dc[eov] / atri[:, None]).ravel(),
+            (np.repeat(np.arange(nv), eov.shape[1]), eov.ravel()),
+        ),
+        shape=(nv, ne),
+    ).tocsr()
+
+    # Gdiv (ne x nc): (div[c2] - div[c1]) / dc ; Gvort (ne x nv)
+    Gdiv = sparse.coo_matrix(
+        (
+            np.concatenate([1.0 / dc, -1.0 / dc]),
+            (np.concatenate([e_ids, e_ids]), np.concatenate([coe[:, 1], coe[:, 0]])),
+        ),
+        shape=(ne, nc),
+    ).tocsr()
+    Gvort = sparse.coo_matrix(
+        (
+            np.concatenate([1.0 / dv, -1.0 / dv]),
+            (np.concatenate([e_ids, e_ids]), np.concatenate([voe[:, 1], voe[:, 0]])),
+        ),
+        shape=(ne, nv),
+    ).tocsr()
+
+    D2 = (Gdiv @ DIV - Gvort @ CURL).tocoo()
+    return D2.row, D2.col, D2.data

@@ -134,3 +134,40 @@ def test_matrix_rollout_on_sphere_matches_gather():
         np.asarray(ref.normal_velocity),
         atol=1e-13,
     )
+
+
+def test_matrix_del2_fold_matches_gather_del2(setup):
+    """del2 folded into the Coriolis matrix == the gather path's repaired
+    del2 tendency chain (f64)."""
+    from mpas_ocean_tpu.forward.time_integration import forward_euler_step
+
+    mesh, prog = setup
+    nu = 50.0
+    mm = MatrixModel.from_mesh(mesh, dtype=np.float64, del2_coeff=nu)
+    out = matrix_run_loop(prog, mm, 10.0, 5)
+    ref = prog
+    for _ in range(5):
+        ref = forward_euler_step(ref, mesh, 10.0, del2_coeff=nu)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh), atol=1e-11)
+
+
+def test_matrix_rk4_matches_gather_rk4(setup):
+    from mpas_ocean_tpu.forward.time_integration import rk4_step
+
+    mesh, prog = setup
+    mm = MatrixModel.from_mesh(mesh, dtype=np.float64)
+    out = matrix_run_loop(prog, mm, 10.0, 3, rk4=True)
+    ref = prog
+    for _ in range(3):
+        ref = rk4_step(ref, mesh, 10.0)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh), atol=1e-11)
