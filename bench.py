@@ -139,6 +139,40 @@ def measure_pallas(device, sm, prog, dt, steps, reps) -> float:
     return _time_fn(run, reps)
 
 
+def build_kelvin(dtype=np.float32):
+    """The reference's literal perf configuration: coastal Kelvin wave
+    channel, 64x64, 100 levels (reference: README.MD:45-50)."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.mesh import planar_hex_mesh
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.mesh.mesh import Mesh
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.models.shallow_water import PrognosticVars
+    from mpas_ocean_tpu.verification.kelvin_wave import KelvinWave
+
+    dc = 10000.0e3 / NX
+    horz = planar_hex_mesh(NX, NX, dc, f0=1e-4, dtype=dtype)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan,
+        n_vert_levels=LEVELS,
+        resting_thickness=np.full((chan.n_cells, LEVELS), 1000.0 / LEVELS, dtype=dtype),
+        dtype=dtype,
+    )
+    mesh = Mesh(horz=chan, vert=vert)
+    kw = KelvinWave(lx=NX * dc / 1e3, f0=1e-4)
+    ssh, h, u = kw.initial_state(chan, LEVELS)
+    prog = PrognosticVars(
+        ssh=jnp.asarray(ssh.astype(dtype)),
+        layer_thickness=jnp.asarray(h.astype(dtype)),
+        normal_velocity=jnp.asarray(u.astype(dtype)),
+    )
+    return mesh, prog, dtype(30.0)
+
+
 def main():
     from mpas_ocean_tpu.structured import StructuredModel
 
@@ -149,6 +183,13 @@ def main():
     accel = jax.devices()[0]
     t_unstruct = measure(accel, mesh, prog, dt, max(10, STEPS // 20), 1)
     t_matrix = measure_matrix(accel, mesh, prog, dt, max(10, STEPS // 4), 1)
+
+    # the reference's literal perf config (coastal Kelvin wave channel) on
+    # the general-mesh matrix path
+    kmesh, kprog, kdt = build_kelvin()
+    k_steps = max(10, STEPS // 4)
+    t_kelvin = measure_matrix(accel, kmesh, kprog, kdt, k_steps, 1)
+    kelvin_gp = kmesh.n_cells * LEVELS
     t_roll = measure_structured(accel, sm, prog, dt, STEPS, REPS)
     if accel.platform == "tpu":
         try:
@@ -193,6 +234,9 @@ def main():
                     "matrix_path_gridpoints_per_sec": n_gridpoints
                     * max(10, STEPS // 4)
                     / t_matrix,
+                    "kelvin_channel_gridpoints_per_sec": kelvin_gp
+                    * k_steps
+                    / t_kelvin,
                     "cpu_gridpoints_per_sec": cpu_value,
                     "baseline_note": (
                         "vs_baseline = speedup over the same XLA model on host "
