@@ -197,7 +197,8 @@ def main():
             path = "pallas-fused"
         except Exception:
             t_accel, path = t_roll, "structured-roll"
-        t_accel = min(t_accel, t_roll)
+        if t_roll < t_accel:
+            t_accel, path = t_roll, "structured-roll"
     else:
         t_accel, path = t_roll, "structured-roll"
     value = n_gridpoints * STEPS / t_accel

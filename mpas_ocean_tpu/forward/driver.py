@@ -100,7 +100,7 @@ def ocn_run_with_ad(config_fp, dtype=np.float64, use_config_dt: bool = False):
     a custom rule for the device->host copy, ext/MPASEnzymeExt.jl:13-36.
     Here the entire machinery is jax.value_and_grad of the scan rollout.)
     """
-    from .run_loop import ocn_run_loop_objective
+    import jax.numpy as jnp
 
     setup, prog = ocn_init(config_fp, dtype=dtype)
     if use_config_dt:
@@ -111,10 +111,16 @@ def ocn_run_with_ad(config_fp, dtype=np.float64, use_config_dt: bool = False):
     n_steps, _ = plan_steps(clock)
     mesh = setup.mesh
 
-    objective, d_prog = jax.value_and_grad(
-        lambda p: ocn_run_loop_objective(p, mesh, dtype(dt), n_steps, setup.integrator)
+    def obj_and_final(p):
+        final = ocn_run_loop(
+            p, mesh, dtype(dt), n_steps, setup.integrator, checkpoint=True
+        )
+        return jnp.sum(final.ssh * final.ssh), final
+
+    # has_aux: one rollout yields objective, final state AND the adjoint
+    (objective, final), d_prog = jax.value_and_grad(
+        obj_and_final, has_aux=True
     )(prog)
-    final = ocn_run_loop(prog, mesh, dtype(dt), n_steps, setup.integrator)
 
     output_cfg = ConfigGet(setup.config.streams, "output")
     out_fp = ConfigGet(output_cfg, "filename_template")

@@ -44,9 +44,9 @@ class MatrixModel:
                   del2_coeff: float = 0.0) -> "MatrixModel":
         """``del2_coeff`` > 0 folds the del2 momentum-mixing operator into
         the Coriolis matrix (ops/bsr.del2_matrix_coo) — the mixing is then
-        free at run time. (Unlike the gather path, the folded del2 is also
-        gated by the edge level mask; identical whenever velocity is zero on
-        inactive levels, which the dynamics guarantee.)"""
+        free at run time. (Like the gather path, the folded del2 is gated by
+        the edge level mask, so both paths keep inactive-level velocity at
+        exactly zero on variable-bathymetry meshes.)"""
         mats = trisk_matrices(mesh, bs=bs, dtype=dtype)
         corf = mats["corf"]
         if del2_coeff:

@@ -140,7 +140,12 @@ def compute_normal_velocity_tendency(
     tend = tend + tangential_reconstruction(uf, mesh) * mesh.vert.edge_level_mask
 
     if del2_coeff:
-        tend = tend + del2_tendency(prog.normal_velocity, mesh, del2_coeff)
+        # masked by the edge level mask: no mixing acceleration below
+        # bathymetry (keeps inactive-level velocity exactly zero on
+        # variable-depth meshes, matching the matrix path's folded del2)
+        tend = tend + del2_tendency(
+            prog.normal_velocity, mesh, del2_coeff
+        ) * mesh.vert.edge_level_mask
 
     # closed-boundary edges never accelerate
     return tend * edges.edge_mask[:, None]

@@ -241,7 +241,7 @@ def trisk_matrices(mesh, bs: int = 128, dtype=np.float32) -> dict:
 def del2_matrix_coo(mesh):
     """COO triplets of the del2 momentum operator, composed symbolically:
 
-        del2 = Gdiv @ DIV + Gvort @ CURL   (nEdges x nEdges)
+        del2 = Gdiv @ DIV - Gvort @ CURL   (nEdges x nEdges)
 
     where Gdiv takes cell divergence differences across the edge and Gvort
     takes vertex vorticity differences along it — exactly the repaired

@@ -156,6 +156,50 @@ def test_matrix_del2_fold_matches_gather_del2(setup):
     np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh), atol=1e-11)
 
 
+def test_del2_variable_bathymetry_paths_agree():
+    """On a variable-bathymetry mesh (max_level_cell < K for some cells) the
+    gather del2 must be level-masked: inactive edge-levels stay at exactly
+    zero velocity and the gather and folded-matrix paths agree to roundoff."""
+    from mpas_ocean_tpu.forward.time_integration import forward_euler_step
+
+    horz = planar_hex_mesh(NX, NY, 1000.0, f0=1e-4)
+    rng = np.random.default_rng(7)
+    max_lc = rng.integers(1, K + 1, size=horz.n_cells).astype(np.int32)
+    vert = make_vertical_mesh(
+        horz,
+        n_vert_levels=K,
+        resting_thickness=np.full((horz.n_cells, K), 10.0),
+        max_level_cell=max_lc,
+    )
+    mesh = Mesh(horz=horz, vert=vert).to_device()
+    elm = np.asarray(vert.edge_level_mask)
+    clm = np.asarray(vert.cell_level_mask)
+
+    h = (np.full((horz.n_cells, K), 10.0)
+         + 0.01 * rng.normal(size=(horz.n_cells, K))) * clm
+    u = 0.01 * rng.normal(size=(horz.n_edges, K)) * elm
+    prog = PrognosticVars(
+        ssh=jnp.asarray((h * clm).sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+
+    nu = 50.0
+    ref = prog
+    for _ in range(5):
+        ref = forward_euler_step(ref, mesh, 10.0, del2_coeff=nu)
+    # inactive edge-levels never accelerate
+    u_fin = np.asarray(ref.normal_velocity)
+    np.testing.assert_allclose(u_fin[elm == 0], 0.0, atol=0.0)
+
+    mm = MatrixModel.from_mesh(mesh, dtype=np.float64, del2_coeff=nu)
+    out = matrix_run_loop(prog, mm, 10.0, 5)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity), u_fin, atol=1e-13
+    )
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh), atol=1e-11)
+
+
 def test_matrix_rk4_matches_gather_rk4(setup):
     from mpas_ocean_tpu.forward.time_integration import rk4_step
 
