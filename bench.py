@@ -141,7 +141,9 @@ def measure_pallas(device, sm, prog, dt, steps, reps) -> float:
 
 def build_kelvin(dtype=np.float32):
     """The reference's literal perf configuration: coastal Kelvin wave
-    channel, 64x64, 100 levels (reference: README.MD:45-50)."""
+    channel, 64x64, 100 levels (reference: README.MD:45-50). Returns the
+    culled mesh, state, dt AND the masked-lattice StructuredModel so the
+    channel runs on the fused Pallas fast path."""
     import jax.numpy as jnp
 
     from mpas_ocean_tpu.mesh import planar_hex_mesh
@@ -149,6 +151,7 @@ def build_kelvin(dtype=np.float32):
     from mpas_ocean_tpu.mesh.mesh import Mesh
     from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
     from mpas_ocean_tpu.models.shallow_water import PrognosticVars
+    from mpas_ocean_tpu.structured import StructuredModel
     from mpas_ocean_tpu.verification.kelvin_wave import KelvinWave
 
     dc = 10000.0e3 / NX
@@ -170,7 +173,23 @@ def build_kelvin(dtype=np.float32):
         layer_thickness=jnp.asarray(h.astype(dtype)),
         normal_velocity=jnp.asarray(u.astype(dtype)),
     )
-    return mesh, prog, dtype(30.0)
+    ksm = StructuredModel(mesh, NX, NX, parent_horz=horz, keep_cells=keep)
+    return mesh, prog, dtype(30.0), ksm
+
+
+def measure_structured_auto(device, sm, prog, dt, steps, reps) -> float:
+    """Fastest applicable structured rollout (fused VMEM / tiled Pallas on
+    TPU, roll model elsewhere) — works for masked channel lattices too."""
+    from mpas_ocean_tpu.structured.pallas_model import structured_auto_run_loop
+
+    st = jax.device_put(sm.to_struct(prog), device)
+    smesh = jax.device_put(sm.struct_mesh, device)
+
+    def run():
+        out = structured_auto_run_loop(st, smesh, dt, steps)
+        return float(out.ssh.sum())
+
+    return _time_fn(run, reps)
 
 
 def main():
@@ -184,12 +203,13 @@ def main():
     t_unstruct = measure(accel, mesh, prog, dt, max(10, STEPS // 20), 1)
     t_matrix = measure_matrix(accel, mesh, prog, dt, max(10, STEPS // 4), 1)
 
-    # the reference's literal perf config (coastal Kelvin wave channel) on
-    # the general-mesh matrix path
-    kmesh, kprog, kdt = build_kelvin()
+    # the reference's literal perf config (coastal Kelvin wave channel):
+    # masked-lattice fused path (fast) + general-mesh matrix path (fallback)
+    kmesh, kprog, kdt, ksm = build_kelvin()
     k_steps = max(10, STEPS // 4)
-    t_kelvin = measure_matrix(accel, kmesh, kprog, kdt, k_steps, 1)
-    kelvin_gp = kmesh.n_cells * LEVELS
+    t_kelvin_mat = measure_matrix(accel, kmesh, kprog, kdt, k_steps, 1)
+    t_kelvin = measure_structured_auto(accel, ksm, kprog, kdt, STEPS, REPS)
+    kelvin_gp = kmesh.n_cells * LEVELS  # live (non-culled) gridpoints only
     t_roll = measure_structured(accel, sm, prog, dt, STEPS, REPS)
     if accel.platform == "tpu":
         try:
@@ -236,8 +256,11 @@ def main():
                     * max(10, STEPS // 4)
                     / t_matrix,
                     "kelvin_channel_gridpoints_per_sec": kelvin_gp
-                    * k_steps
+                    * STEPS
                     / t_kelvin,
+                    "kelvin_matrix_path_gridpoints_per_sec": kelvin_gp
+                    * k_steps
+                    / t_kelvin_mat,
                     "cpu_gridpoints_per_sec": cpu_value,
                     "baseline_note": (
                         "vs_baseline = speedup over the same XLA model on host "

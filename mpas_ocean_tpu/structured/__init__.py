@@ -1,6 +1,7 @@
 from .hex_layout import HexLayout
 from .model import StructuredModel
 from .pallas_model import (
+    pallas_rollout_diff,
     pallas_run_loop,
     pallas_step,
     pallas_tiled_run_loop,
@@ -12,6 +13,7 @@ __all__ = [
     "HexLayout",
     "StructuredModel",
     "ShardedStructuredModel",
+    "pallas_rollout_diff",
     "pallas_run_loop",
     "pallas_step",
     "pallas_tiled_run_loop",

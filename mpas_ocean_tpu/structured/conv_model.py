@@ -150,6 +150,8 @@ def conv_step(state: StructState, mesh: StructMesh, kernels, dt) -> StructState:
     tend_u = -GRAVITY * grad_ssh[..., None] + cor
     h = state.layer_thickness - dt * div_flux
     u = state.normal_velocity + dt * tend_u
+    if mesh.edge_mask is not None:
+        u = u * mesh.edge_mask[..., None]
     ssh = h.sum(-1) - mesh.resting_thickness_sum
     return StructState(ssh=ssh, layer_thickness=h, normal_velocity=u)
 

@@ -46,6 +46,13 @@ class StructMesh:
     area_cell: jax.Array  # scalar (uniform)
     f_edge: jax.Array  # (3, 2, ny2, nx)
     resting_thickness_sum: jax.Array  # (2, ny2, nx)
+    # Optional wall mask: 1 on free (interior) edges, 0 on wall edges and
+    # edges of culled cells. None = fully periodic lattice. With the mask,
+    # culled coastal channels (the reference's Kelvin-wave perf config,
+    # reference: README.MD:45-50) run on every structured fast path: masked
+    # edges keep u = 0 exactly, so their fluxes and Coriolis taps vanish and
+    # the live-cell dynamics match the culled unstructured mesh to roundoff.
+    edge_mask: jax.Array | None = None  # (3, 2, ny2, nx)
 
 
 def _shift(x: jnp.ndarray, dm: int, di: int) -> jnp.ndarray:
@@ -134,6 +141,8 @@ def structured_step(state: StructState, mesh: StructMesh, dt) -> StructState:
 
     h = state.layer_thickness + dt * tend_h
     u = state.normal_velocity + dt * tend_u
+    if mesh.edge_mask is not None:
+        u = u * mesh.edge_mask[..., None]
     ssh = h.sum(-1) - mesh.resting_thickness_sum
     return StructState(ssh=ssh, layer_thickness=h, normal_velocity=u)
 
@@ -148,20 +157,62 @@ def structured_run_loop(state: StructState, mesh: StructMesh, dt, n_steps: int):
 
 
 class StructuredModel:
-    """Fast path for uniform periodic hex meshes.
+    """Fast path for uniform hex lattices — fully periodic, or coastal
+    channels carved out of a periodic parent by cell culling.
 
     Build from an unstructured Mesh; converts state in/out of the lattice
     layout (host-side, once) and runs the rolled dynamics on device.
+
+    Channel form: pass the periodic ``parent_horz`` the culled mesh was
+    carved from (mesh.cull.cull_cells) plus the ``keep_cells`` mask. The
+    lattice then covers the full parent; culled cells/edges are dead slots
+    whose velocity the step pins to exactly zero via StructMesh.edge_mask,
+    so walls behave identically to the culled gather path (the reference
+    has no boundary support at all — VertMesh.jl:50-57 requires periodic).
     """
 
-    def __init__(self, mesh, nx: int, ny: int):
+    def __init__(self, mesh, nx: int, ny: int, *,
+                 parent_horz=None, keep_cells=None):
+        if (parent_horz is None) != (keep_cells is None):
+            raise ValueError("parent_horz and keep_cells go together")
         horz, vert = mesh.horz, mesh.vert
-        self.layout = HexLayout(horz, nx, ny)
+        lattice_horz = horz if parent_horz is None else parent_horz
+        self.layout = HexLayout(lattice_horz, nx, ny)
         self.mesh_unstructured = mesh
         lay = self.layout
-        dtype = np.asarray(horz.cells.area_cell).dtype
+        dtype = np.asarray(lattice_horz.cells.area_cell).dtype
 
-        rts = lay.cells_to_struct(np.asarray(vert.resting_thickness_sum))
+        edge_mask = None
+        if parent_horz is None:
+            self.cell_gids = None
+            self.edge_gids = None
+            self._n_parent_cells = horz.n_cells
+            self._n_parent_edges = horz.n_edges
+            rts_parent = np.asarray(vert.resting_thickness_sum)
+        else:
+            keep = np.asarray(keep_cells, dtype=bool)
+            if int(keep.sum()) != horz.n_cells:
+                raise ValueError("keep_cells does not match the culled mesh")
+            self.cell_gids = np.flatnonzero(keep)
+            coe = np.asarray(parent_horz.edges.cells_on_edge)
+            keep_edge = keep[coe].any(axis=1)
+            if int(keep_edge.sum()) != horz.n_edges:
+                raise ValueError("culled mesh was not built from keep_cells")
+            self.edge_gids = np.flatnonzero(keep_edge)
+            self._n_parent_cells = parent_horz.n_cells
+            self._n_parent_edges = parent_horz.n_edges
+            # sanity: culled cell i sits at parent cell cell_gids[i]
+            assert np.allclose(
+                np.asarray(horz.cells.x), np.asarray(parent_horz.cells.x)[self.cell_gids]
+            )
+            # free (two live cells) edges keep their dynamics; wall edges
+            # (one live cell) and dead edges are pinned to u = 0
+            interior = keep[coe].all(axis=1).astype(dtype)
+            edge_mask = jnp.asarray(lay.edges_to_struct(interior))
+            rts_parent = np.zeros(parent_horz.n_cells, dtype=dtype)
+            rts_parent[self.cell_gids] = np.asarray(vert.resting_thickness_sum)
+
+        rts = lay.cells_to_struct(rts_parent)
         terms = tuple(
             (t.f_out, t.p_out, t.f_in, t.p_in, t.dm, t.di, t.w)
             for t in lay.coriolis_terms
@@ -172,41 +223,71 @@ class StructuredModel:
             n_vert_levels=vert.n_vert_levels,
             coriolis_terms=terms,
             dc=jnp.asarray(dtype.type(lay.dc)),
-            dv=jnp.asarray(dtype.type(np.asarray(horz.edges.dv_edge)[0])),
-            area_cell=jnp.asarray(dtype.type(np.asarray(horz.cells.area_cell)[0])),
-            f_edge=jnp.asarray(lay.edges_to_struct(np.asarray(horz.edges.f))),
+            dv=jnp.asarray(dtype.type(np.asarray(lattice_horz.edges.dv_edge)[0])),
+            area_cell=jnp.asarray(
+                dtype.type(np.asarray(lattice_horz.cells.area_cell)[0])
+            ),
+            f_edge=jnp.asarray(lay.edges_to_struct(np.asarray(lattice_horz.edges.f))),
             resting_thickness_sum=jnp.asarray(rts),
+            edge_mask=edge_mask,
         )
         # uniformity requirements for the scalar metric shortcut
         assert np.allclose(
-            np.asarray(horz.edges.dv_edge), np.asarray(horz.edges.dv_edge)[0]
+            np.asarray(lattice_horz.edges.dv_edge),
+            np.asarray(lattice_horz.edges.dv_edge)[0],
         )
         assert np.allclose(
-            np.asarray(horz.cells.area_cell), np.asarray(horz.cells.area_cell)[0]
+            np.asarray(lattice_horz.cells.area_cell),
+            np.asarray(lattice_horz.cells.area_cell)[0],
         )
+
+    # -- culled <-> parent embedding (identity when fully periodic) ------
+    def _cells_to_parent(self, field: np.ndarray) -> np.ndarray:
+        if self.cell_gids is None:
+            return field
+        out = np.zeros((self._n_parent_cells,) + field.shape[1:], field.dtype)
+        out[self.cell_gids] = field
+        return out
+
+    def _edges_to_parent(self, field: np.ndarray) -> np.ndarray:
+        if self.edge_gids is None:
+            return field
+        out = np.zeros((self._n_parent_edges,) + field.shape[1:], field.dtype)
+        out[self.edge_gids] = field
+        return out
 
     def to_struct(self, prog: PrognosticVars) -> StructState:
         lay = self.layout
+        u = lay.edges_to_struct(
+            self._edges_to_parent(np.asarray(prog.normal_velocity)), sign=True
+        )
+        if self.struct_mesh.edge_mask is not None:
+            # the wall condition (u = 0 on masked edges) is a contract of the
+            # culled mesh; enforce it exactly on entry
+            u = u * np.asarray(self.struct_mesh.edge_mask)[..., None]
         return StructState(
-            ssh=jnp.asarray(lay.cells_to_struct(np.asarray(prog.ssh))),
+            ssh=jnp.asarray(
+                lay.cells_to_struct(self._cells_to_parent(np.asarray(prog.ssh)))
+            ),
             layer_thickness=jnp.asarray(
-                lay.cells_to_struct(np.asarray(prog.layer_thickness))
+                lay.cells_to_struct(
+                    self._cells_to_parent(np.asarray(prog.layer_thickness))
+                )
             ),
-            normal_velocity=jnp.asarray(
-                lay.edges_to_struct(np.asarray(prog.normal_velocity), sign=True)
-            ),
+            normal_velocity=jnp.asarray(u),
         )
 
     def from_struct(self, state: StructState) -> PrognosticVars:
         lay = self.layout
+        ssh = lay.cells_from_struct(np.asarray(state.ssh))
+        h = lay.cells_from_struct(np.asarray(state.layer_thickness))
+        u = lay.edges_from_struct(np.asarray(state.normal_velocity), sign=True)
+        if self.cell_gids is not None:
+            ssh, h, u = ssh[self.cell_gids], h[self.cell_gids], u[self.edge_gids]
         return PrognosticVars(
-            ssh=jnp.asarray(lay.cells_from_struct(np.asarray(state.ssh))),
-            layer_thickness=jnp.asarray(
-                lay.cells_from_struct(np.asarray(state.layer_thickness))
-            ),
-            normal_velocity=jnp.asarray(
-                lay.edges_from_struct(np.asarray(state.normal_velocity), sign=True)
-            ),
+            ssh=jnp.asarray(ssh),
+            layer_thickness=jnp.asarray(h),
+            normal_velocity=jnp.asarray(u),
         )
 
     def run(self, state: StructState, dt, n_steps: int) -> StructState:

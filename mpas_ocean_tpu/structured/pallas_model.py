@@ -38,6 +38,7 @@ from .hex_layout import E, NE, NW
 from .model import StructMesh, StructState, structured_step
 
 __all__ = [
+    "pallas_rollout_diff",
     "pallas_run_loop",
     "pallas_step",
     "pallas_tiled_run_loop",
@@ -58,7 +59,7 @@ def _shift(x, dm: int, di: int):
     return x
 
 
-def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms):
+def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None):
     """One forward-Euler step on parity-plane lists.
 
     ssh[p]: (ny2, nx, 1); h[p]: (ny2, nx, K); u[fam*2+p]: (ny2, nx, K);
@@ -109,18 +110,27 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms):
     u_new = [
         u[c] + dt * acc[c] + (-GRAVITY * dt) * grad2[c] for c in range(6)
     ]
+    if masks is not None:
+        # wall/dead edges stay at exactly zero velocity (channel configs)
+        u_new = [u_new[c] * masks[c] for c in range(6)]
     return tuple(ssh_new), tuple(h_new), tuple(u_new)
 
 
 def _rollout_kernel(
-    scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
-    ssh_out, h_out, u_out, *, terms, n_steps,
+    scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref, *rest,
+    terms, n_steps, masked,
 ):
     """In-place rollout: inputs are ALIASED to outputs, the state lives in
     the (VMEM) out refs and each iteration reads and rewrites them. The
     loop carries nothing — a fori_loop that carries the state as values
     measures ~28 us/step of pure carry-copy overhead on the headline
     config, dwarfing the physics."""
+    if masked:
+        mask_ref, ssh_out, h_out, u_out = rest
+        masks = tuple(mask_ref[c] for c in range(6))
+    else:
+        ssh_out, h_out, u_out = rest
+        masks = None
     dt = scal_ref[0, 0]
     inv_dc = scal_ref[0, 1]
     s_div = scal_ref[0, 2]
@@ -133,7 +143,7 @@ def _rollout_kernel(
         h = tuple(h_out[p] for p in range(2))
         u = tuple(u_out[c] for c in range(6))
         ssh_n, h_n, u_n = _step_planes(
-            ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms
+            ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks
         )
         for p in range(2):
             ssh_out[p] = ssh_n[p]
@@ -148,10 +158,17 @@ def _rollout_kernel(
 @functools.partial(
     jax.jit, static_argnames=("n_steps", "interpret", "terms")
 )
-def _pallas_rollout(ssh, h, u, f_edge, rts, scal, *, terms, n_steps, interpret):
-    kernel = functools.partial(_rollout_kernel, terms=terms, n_steps=n_steps)
+def _pallas_rollout(
+    ssh, h, u, f_edge, rts, scal, mask=None, *, terms, n_steps, interpret
+):
+    masked = mask is not None
+    kernel = functools.partial(
+        _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked
+    )
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     flops_step = (len(terms) + 30) * 2 * (6 * ny2 * nx * k)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = (scal, ssh, h, u, f_edge, rts) + ((mask,) if masked else ())
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -159,19 +176,9 @@ def _pallas_rollout(ssh, h, u, f_edge, rts, scal, *, terms, n_steps, interpret):
             jax.ShapeDtypeStruct(h.shape, h.dtype),
             jax.ShapeDtypeStruct(u.shape, u.dtype),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vmem] * (len(operands) - 1),
+        out_specs=(vmem, vmem, vmem),
         cost_estimate=pl.CostEstimate(
             flops=flops_step * n_steps,
             bytes_accessed=(ssh.size + h.size + u.size) * 2 * ssh.dtype.itemsize,
@@ -184,7 +191,7 @@ def _pallas_rollout(ssh, h, u, f_edge, rts, scal, *, terms, n_steps, interpret):
         ),
         input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
-    )(scal, ssh, h, u, f_edge, rts)
+    )(*operands)
 
 
 def _scal(mesh: StructMesh, dt, dtype):
@@ -243,8 +250,13 @@ def pallas_run_loop(
     u = state.normal_velocity.reshape(6, ny2, nx, k)
     f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
     rts = mesh.resting_thickness_sum[..., None].astype(dtype)
+    mask = (
+        None
+        if mesh.edge_mask is None
+        else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+    )
     ssh_f, h_f, u_f = _pallas_rollout(
-        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype),
+        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask,
         terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
     )
     return StructState(
@@ -267,10 +279,20 @@ def pallas_run_loop(
 
 def _tiled_step_kernel(
     ssh_ref, h_ref, u_ref, f_ref,
-    ssh_t, h_t, u_t, f_t, ssh_b, h_b, u_b, f_b, rts_ref,
-    ssh_out, h_out, u_out, *, terms, rows, consts,
+    ssh_t, h_t, u_t, f_t, ssh_b, h_b, u_b, f_b, rts_ref, *rest,
+    terms, rows, consts, masked,
 ):
     from .sharded import _step_slab
+
+    def pad(center, top, bot, c):
+        return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
+
+    if masked:
+        m_ref, m_t, m_b, ssh_out, h_out, u_out = rest
+        masks = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
+    else:
+        ssh_out, h_out, u_out = rest
+        masks = None
 
     # scalars are compile-time constants: an SMEM scalar input would need a
     # rank-2 index map under the tile grid, which Mosaic fails to legalize
@@ -281,9 +303,6 @@ def _tiled_step_kernel(
     dt = jnp.asarray(consts[0], dtype)
     inv_dc = jnp.asarray(consts[1], dtype)
     s_div = jnp.asarray(consts[2], dtype)
-
-    def pad(center, top, bot, c):
-        return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
 
     ssh = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
     h = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
@@ -297,7 +316,7 @@ def _tiled_step_kernel(
         jnp.concatenate([r[:1], r, r[:1]], axis=0) for r in rts
     )
     ssh_n, h_n, u_n = _step_slab(
-        ssh, h, u, f_edge, rts_padded, dt, inv_dc, s_div, terms, rows
+        ssh, h, u, f_edge, rts_padded, dt, inv_dc, s_div, terms, rows, masks
     )
     for p in range(2):
         ssh_out[p] = ssh_n[p]
@@ -328,13 +347,15 @@ def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int) -> int:
     static_argnames=("terms", "row_tile", "n_steps", "interpret", "consts"),
 )
 def _pallas_tiled_rollout(
-    ssh, h, u, f_edge, rts, *, terms, row_tile, n_steps, interpret, consts
+    ssh, h, u, f_edge, rts, mask=None, *,
+    terms, row_tile, n_steps, interpret, consts,
 ):
+    masked = mask is not None
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
     n_tiles = ny2 // rt
     kernel = functools.partial(
-        _tiled_step_kernel, terms=terms, rows=rt, consts=consts
+        _tiled_step_kernel, terms=terms, rows=rt, consts=consts, masked=masked
     )
 
     def halos(x):
@@ -345,6 +366,8 @@ def _pallas_tiled_rollout(
         return top, bot
 
     f_t, f_b = halos(f_edge)
+    if masked:
+        m_t, m_b = halos(mask)
 
     # index-map zeros derived from t (t * 0): literal 0s trace as i64 while
     # the grid index is i32, and Mosaic refuses mixed-type index-map results
@@ -376,7 +399,9 @@ def _pallas_tiled_rollout(
             halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k), halo_spec(6, 1),
             halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k), halo_spec(6, 1),
             center_spec(2, rt, 1),   # rts
-        ],
+        ]
+        + ([center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+           if masked else []),
         out_specs=(
             center_spec(2, rt, 1),
             center_spec(2, rt, k),
@@ -393,10 +418,11 @@ def _pallas_tiled_rollout(
         ssh_t, ssh_b = halos(ssh_c)
         h_t, h_b = halos(h_c)
         u_t, u_b = halos(u_c)
-        out = step_call(
+        args = (
             ssh_c, h_c, u_c, f_edge,
             ssh_t, h_t, u_t, f_t, ssh_b, h_b, u_b, f_b, rts,
-        )
+        ) + ((mask, m_t, m_b) if masked else ())
+        out = step_call(*args)
         return out, None
 
     (ssh_f, h_f, u_f), _ = jax.lax.scan(body, (ssh, h, u), length=n_steps)
@@ -423,6 +449,11 @@ def pallas_tiled_run_loop(
     u = state.normal_velocity.reshape(6, ny2, nx, k)
     f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
     rts = mesh.resting_thickness_sum[..., None].astype(dtype)
+    mask = (
+        None
+        if mesh.edge_mask is None
+        else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+    )
     # round the constants in the field dtype (so e.g. 1/dc is the f32
     # quotient, not the f32 cast of the f64 quotient)
     npdt = np.dtype(dtype)
@@ -439,7 +470,7 @@ def pallas_tiled_run_loop(
         ),
     )
     ssh_f, h_f, u_f = _pallas_tiled_rollout(
-        ssh, h, u, f_edge, rts,
+        ssh, h, u, f_edge, rts, mask,
         terms=mesh.coriolis_terms, row_tile=int(row_tile),
         n_steps=n_steps, interpret=bool(interpret), consts=consts,
     )
@@ -465,6 +496,59 @@ def structured_auto_run_loop(
     if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize):
         return pallas_run_loop(state, mesh, dt, n_steps, interpret=False)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False)
+
+
+def _checkpointed_roll_rollout(
+    state: StructState, mesh: StructMesh, dt, n_steps: int
+) -> StructState:
+    """Roll-model rollout with two-level (sqrt) checkpointing: reverse-mode
+    memory is O(sqrt(n) * state) instead of O(n * intermediates). Used as
+    the backward path of the fused rollouts below."""
+    import math
+
+    b = max(1, math.isqrt(n_steps))
+    a, rem = divmod(n_steps, b)
+
+    step = jax.checkpoint(lambda s, _: (structured_step(s, mesh, dt), None))
+
+    def chunk(s, _):
+        s, _ = jax.lax.scan(step, s, length=b)
+        return s, None
+
+    if a:
+        state, _ = jax.lax.scan(jax.checkpoint(chunk), state, length=a)
+    if rem:
+        state, _ = jax.lax.scan(step, state, length=rem)
+    return state
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_rollout_diff(
+    state: StructState, mesh: StructMesh, dt, n_steps: int
+) -> StructState:
+    """n-step structured rollout, FAST forward and differentiable: the
+    primal runs the fused/tiled Pallas kernel (VMEM-resident loop), the VJP
+    reverse-integrates the equal-math roll model under sqrt checkpointing —
+    the whole-loop reverse the reference validates with Enzyme
+    (reference: test/enzyme/test_Enzyme_end2end.jl:78-92) at the fused
+    path's forward speed."""
+    return structured_auto_run_loop(state, mesh, dt, n_steps)
+
+
+def _rollout_fwd(state, mesh, dt, n_steps):
+    return pallas_rollout_diff(state, mesh, dt, n_steps), (state, mesh, dt)
+
+
+def _rollout_bwd(n_steps, res, g):
+    state, mesh, dt = res
+    _, vjp = jax.vjp(
+        lambda s, t: _checkpointed_roll_rollout(s, mesh, t, n_steps), state, dt
+    )
+    d_state, d_dt = vjp(g)
+    return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt
+
+
+pallas_rollout_diff.defvjp(_rollout_fwd, _rollout_bwd)
 
 
 @jax.custom_vjp

@@ -56,10 +56,12 @@ def _interior(x, rows: int):
     return x[1 : 1 + rows]
 
 
-def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows):
+def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
+               masks=None):
     """One forward-Euler step on a halo-padded slab; returns interior-only
     planes. Mirrors pallas_model._step_planes with halo reads instead of
-    periodic wraps (same coefficients, same order)."""
+    periodic wraps (same coefficients, same order). ``masks`` (halo-padded
+    like f_edge, or None) pins wall/dead-edge velocity to zero."""
     # thickness flux evaluated on padded rows [0, rows+1): the divergence
     # needs flux at the interior rows AND one row below (_INCOMING dm=-1
     # taps); the flux itself reads h up to one row above, so the single
@@ -108,6 +110,8 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows):
         _interior(u[c], rows) + dt * acc[c] + (-GRAVITY * dt) * grad2[c]
         for c in range(6)
     ]
+    if masks is not None:
+        u_new = [u_new[c] * _interior(masks[c], rows) for c in range(6)]
     return tuple(ssh_new), tuple(h_new), tuple(u_new)
 
 
@@ -150,6 +154,15 @@ class ShardedStructuredModel:
         self._rts_local = jax.device_put(
             jnp.asarray(self._slab(rts)), self._sharding
         )
+        if struct_mesh.edge_mask is None:
+            self._mask_local = None
+        else:
+            m = np.asarray(struct_mesh.edge_mask).reshape(
+                6, ny2, struct_mesh.nx, 1
+            )
+            self._mask_local = jax.device_put(
+                jnp.asarray(self._slab(m)), self._sharding
+            )
 
     def _slab(self, x):
         """(planes..., ny2, nx, ...) -> (P, planes..., R+2, nx, ...) with
@@ -198,30 +211,38 @@ class ShardedStructuredModel:
 
     def run(self, local, dt, n_steps: int):
         return self._run_jit(
-            local, self._f_local, self._rts_local, float(dt), n_steps
+            local, self._f_local, self._rts_local, self._mask_local,
+            float(dt), n_steps,
         )
 
     @partial(jax.jit, static_argnames=("self", "dt", "n_steps"))
-    def _run_jit(self, local, f_local, rts_local, dt, n_steps):
+    def _run_jit(self, local, f_local, rts_local, mask_local, dt, n_steps):
         axis, n_parts, rows = self.AXIS, self.n_parts, self.rows
         terms = self.smesh.coriolis_terms
         dtype = local["h"].dtype
         inv_dc = (1.0 / self.smesh.dc).astype(dtype)
         s_div = (self.smesh.dv / self.smesh.area_cell).astype(dtype)
         dt = jnp.asarray(dt, dtype)
+        masked = mask_local is not None
 
-        def device_fn(local, f_loc, rts_loc):
+        def device_fn(local, f_loc, rts_loc, mask_loc):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, f_loc, rts_loc = sq(local), sq(f_loc), sq(rts_loc)
             f_edge = tuple(f_loc[c] for c in range(6))
             rts = tuple(rts_loc[p] for p in range(2))
+            if masked:
+                mask_loc = sq(mask_loc)
+                masks = tuple(mask_loc[c] for c in range(6))
+            else:
+                masks = None
 
             def body(carry, _):
                 ssh = tuple(carry["ssh"][p] for p in range(2))
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
                 ssh_i, h_i, u_i = _step_slab(
-                    ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows
+                    ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
+                    masks,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
@@ -236,9 +257,10 @@ class ShardedStructuredModel:
         specs = jax.tree.map(lambda _: P(self.AXIS), local)
         fspec = jax.tree.map(lambda _: P(self.AXIS), f_local)
         rspec = jax.tree.map(lambda _: P(self.AXIS), rts_local)
+        mspec = jax.tree.map(lambda _: P(self.AXIS), mask_local)
         return shard_map(
             device_fn,
             mesh=self.device_mesh,
-            in_specs=(specs, fspec, rspec),
+            in_specs=(specs, fspec, rspec, mspec),
             out_specs=specs,
-        )(local, f_local, rts_local)
+        )(local, f_local, rts_local, mask_local)
