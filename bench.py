@@ -192,6 +192,81 @@ def measure_structured_auto(device, sm, prog, dt, steps, reps) -> float:
     return _time_fn(run, reps)
 
 
+def measure_vpu_peak(reps: int = 3) -> float:
+    """Empirical VPU f32 speed-of-light on THIS chip: a VMEM-resident chain
+    of dependent-free FMAs (two ops per element per iteration), the same
+    shape of work the fused rollout kernel does. Returns FLOP/s."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Streaming FMA: read two planes, write one, per 2 flops — the same
+    # VMEM-traffic-per-flop regime the rollout kernel's roll/multiply-add
+    # stencils run in, so this is the relevant sustained ceiling (a deeper
+    # in-register chain measures ALU latency instead and comes out LOWER).
+    # T large enough that the ~25 ms tunnel dispatch latency is <5%.
+    S, T = (8, 1024, 128), 300000
+
+    def kernel(x_ref, o_ref):
+        def body(_, token):
+            o_ref[:] = o_ref[:] * 1.0000001 + x_ref[:]
+            return token
+
+        jax.lax.fori_loop(0, T, body, 0)
+
+    @jax.jit
+    def run_kernel(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(S, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            input_output_aliases={0: 0},
+        )(x)
+
+    x = jnp.ones(S, jnp.float32)
+
+    def run():
+        return float(run_kernel(x).sum())
+
+    t = _time_fn(run, reps)
+    return 2.0 * np.prod(S) * T / t
+
+
+def measure_hbm_bw(reps: int = 3) -> float:
+    """Empirical HBM bandwidth: T sequential read+write passes over a
+    256 MB array under one jit (amortizes the ~25 ms dispatch latency; the
+    array is far larger than VMEM so every pass streams HBM)."""
+    import jax.numpy as jnp
+
+    n = 64 * 1024 * 1024  # f32 elements, 256 MB
+    T = 128
+    x = jnp.arange(n, dtype=jnp.float32)
+    sweep = jax.jit(
+        lambda a: jax.lax.fori_loop(0, T, lambda i, b: b + 1.0, a)
+    )
+
+    def run():
+        return float(sweep(x)[-1])
+
+    t = _time_fn(run, reps)
+    return 2.0 * n * 4 * T / t
+
+
+def step_flops(sm, k: int) -> int:
+    """FLOPs of one structured step (matches the per-term accounting in
+    structured/pallas_model.step_flop_count)."""
+    from mpas_ocean_tpu.structured.pallas_model import step_flop_count
+
+    smesh = sm.struct_mesh
+    return step_flop_count(
+        smesh.ny2, smesh.nx, k, len(smesh.coriolis_terms),
+        masked=smesh.edge_mask is not None,
+    )
+
+
 def main():
     from mpas_ocean_tpu.structured import StructuredModel
 
@@ -222,6 +297,34 @@ def main():
     else:
         t_accel, path = t_roll, "structured-roll"
     value = n_gridpoints * STEPS / t_accel
+
+    # roofline: achieved FLOP/s and HBM GB/s against this chip's MEASURED
+    # peaks (an FMA-chain VMEM kernel and a streaming add — empirical speed
+    # of light, not datasheet guesses). Round-1 VERDICT item 6.
+    if accel.platform == "tpu":
+        vpu_peak = measure_vpu_peak()
+        hbm_peak = measure_hbm_bw()
+    else:
+        vpu_peak = hbm_peak = float("nan")
+    fl_step = step_flops(sm, LEVELS)
+    fused_tflops = fl_step / t_accel * STEPS / 1e12
+    roll_tflops = fl_step / t_roll * STEPS / 1e12
+    # roll path streams the state through HBM ~8x per step (measured via
+    # XLA buffer reuse; the fused path touches HBM twice per ROLLOUT)
+    state_bytes = (
+        sum(np.prod(x.shape) for x in jax.tree.leaves(sm.to_struct(prog)))
+        * np.dtype(np.float32).itemsize
+    )
+
+    # static halo-overlap profile of an 8-part decomposition of this mesh
+    # (single real chip here; the sharded tests execute the same code on 8
+    # virtual devices)
+    from mpas_ocean_tpu.parallel import build_partition
+    from mpas_ocean_tpu.parallel.stats import partition_stats
+
+    pstats = partition_stats(
+        build_partition(mesh, 8), itemsize=4, n_vert_levels=LEVELS
+    )
 
     try:
         cpus = jax.devices("cpu")
@@ -262,6 +365,34 @@ def main():
                     * k_steps
                     / t_kelvin_mat,
                     "cpu_gridpoints_per_sec": cpu_value,
+                    "roofline": {
+                        "vpu_peak_tflops_measured": vpu_peak / 1e12,
+                        "hbm_peak_gbps_measured": hbm_peak / 1e9,
+                        "fused_achieved_tflops": fused_tflops,
+                        "fused_mfu": fused_tflops * 1e12 / vpu_peak,
+                        "roll_achieved_tflops": roll_tflops,
+                        "roll_hbm_gbps_est": 8.0
+                        * state_bytes
+                        / (t_roll / STEPS)
+                        / 1e9,
+                        "roll_hbm_frac_est": 8.0
+                        * state_bytes
+                        / (t_roll / STEPS)
+                        / hbm_peak,
+                        "flops_per_step": fl_step,
+                    },
+                    "sharded_overlap": {
+                        "overlappable_compute_frac": pstats[
+                            "overlappable_compute_frac"
+                        ],
+                        "mini_redundancy_frac": pstats["mini_redundancy_frac"],
+                        "exchange_bytes_per_device_per_step": pstats[
+                            "exchange_bytes_per_device_per_step"
+                        ],
+                        "cell_levels_per_exchanged_byte": pstats[
+                            "cell_levels_per_exchanged_byte"
+                        ],
+                    },
                     "baseline_note": (
                         "vs_baseline = speedup over the same XLA model on host "
                         "CPU (reference reports ~500x GPU vs 1 Julia CPU proc "

@@ -120,17 +120,29 @@ def build_permute_schedule(part: PartitionedMesh) -> tuple[PermuteRound, ...]:
 
 
 def halo_exchange_ppermute(
-    prog: PrognosticVars, rounds, axis: str, n_parts: int
+    prog: PrognosticVars, rounds, axis: str, n_parts: int,
+    apply_to: PrognosticVars | None = None,
 ) -> PrognosticVars:
     """Refresh halos with one ppermute per ring round (inside shard_map;
-    round leaves carry no leading parts axis)."""
-    ssh, h, u = prog.ssh, prog.layer_thickness, prog.normal_velocity
+    round leaves carry no leading parts axis).
+
+    ``prog`` supplies the PACKED (sent) values — the rounds' send columns
+    index its arrays; received values overwrite the halo slots of
+    ``apply_to`` (default: ``prog``). Splitting pack-source from
+    apply-target lets the overlap path (parallel/overlap.py) issue the
+    collectives against the early boundary-mini result while the full step
+    computes."""
+    ssh_s, h_s, u_s = prog.ssh, prog.layer_thickness, prog.normal_velocity
+    tgt = prog if apply_to is None else apply_to
+    ssh, h, u = tgt.ssh, tgt.layer_thickness, tgt.normal_velocity
     for r in rounds:
         perm = [(i, (i + r.shift) % n_parts) for i in range(n_parts)]
-        cpack = jnp.concatenate([h[r.cell_send], ssh[r.cell_send][:, None]], 1)
+        cpack = jnp.concatenate(
+            [h_s[r.cell_send], ssh_s[r.cell_send][:, None]], 1
+        )
         crecv = jax.lax.ppermute(cpack, axis, perm)
         h = h.at[r.cell_recv].set(crecv[:, :-1])
         ssh = ssh.at[r.cell_recv].set(crecv[:, -1])
-        erecv = jax.lax.ppermute(u[r.edge_send], axis, perm)
+        erecv = jax.lax.ppermute(u_s[r.edge_send], axis, perm)
         u = u.at[r.edge_recv].set(erecv)
     return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u)

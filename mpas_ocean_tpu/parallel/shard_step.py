@@ -51,9 +51,14 @@ class ExchangeSpec:
     edge_halo_slots: jax.Array  # (P, He)
 
 
-def _halo_exchange(prog: PrognosticVars, ex: ExchangeSpec, axis: str) -> PrognosticVars:
+def _halo_exchange(
+    prog: PrognosticVars, ex: ExchangeSpec, axis: str,
+    apply_to: PrognosticVars | None = None,
+) -> PrognosticVars:
     """Refresh halo values of all prognostic fields (inside shard_map;
-    per-device views carry no leading parts axis)."""
+    per-device views carry no leading parts axis). ``prog`` supplies the
+    packed values (send columns index its arrays); received values
+    overwrite the halo slots of ``apply_to`` (default ``prog``)."""
     # pack owned boundary values: cells carry h (K) + ssh (1) together
     cell_pack = jnp.concatenate(
         [
@@ -67,10 +72,11 @@ def _halo_exchange(prog: PrognosticVars, ex: ExchangeSpec, axis: str) -> Prognos
     all_cells = jax.lax.all_gather(cell_pack, axis, tiled=True)  # (P*Sc, K+1)
     all_edges = jax.lax.all_gather(edge_pack, axis, tiled=True)  # (P*Se, K)
 
+    tgt = prog if apply_to is None else apply_to
     cell_in = all_cells[ex.cell_recv_flat]  # (Hc, K+1)
-    h = prog.layer_thickness.at[ex.cell_halo_slots].set(cell_in[:, :-1])
-    ssh = prog.ssh.at[ex.cell_halo_slots].set(cell_in[:, -1])
-    u = prog.normal_velocity.at[ex.edge_halo_slots].set(all_edges[ex.edge_recv_flat])
+    h = tgt.layer_thickness.at[ex.cell_halo_slots].set(cell_in[:, :-1])
+    ssh = tgt.ssh.at[ex.cell_halo_slots].set(cell_in[:, -1])
+    u = tgt.normal_velocity.at[ex.edge_halo_slots].set(all_edges[ex.edge_recv_flat])
     return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u)
 
 
@@ -123,10 +129,16 @@ class ShardedModel:
     AXIS = "space"
 
     def __init__(self, mesh, devices=None, part: PartitionedMesh | None = None,
-                 exchange: str = "ppermute"):
+                 exchange: str = "ppermute", overlap: bool = True):
         """``exchange``: 'ppermute' (default — neighbor-only ring rotations
         over ICI, SURVEY section 8 plan) or 'allgather' (every part's
-        boundary pack broadcast to all devices)."""
+        boundary pack broadcast to all devices).
+
+        ``overlap``: step the boundary mini mesh first, issue the halo
+        collectives against its result, and compute the full local step
+        while they fly (parallel/overlap.py; forward-Euler runs only — RK4's
+        stage dependencies keep its per-stage exchanges on the critical
+        path)."""
         devices = list(devices if devices is not None else jax.devices())
         self.n_parts = len(devices)
         self.global_mesh = mesh
@@ -136,6 +148,7 @@ class ShardedModel:
         if exchange not in ("ppermute", "allgather"):
             raise ValueError(f"unknown exchange {exchange!r}")
         self.exchange = exchange
+        self.overlap = bool(overlap)
         self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
         self._sharded = NamedSharding(self.device_mesh, P(self.AXIS))
         self._spec_parts = P(self.AXIS)
@@ -157,6 +170,36 @@ class ShardedModel:
             self.rounds = jax.device_put(rounds, self._leaf_sharding(rounds))
         else:
             self.rounds = None
+
+        self.mini = None
+        if self.overlap:
+            from .overlap import build_boundary_mini
+
+            mini, c_look, e_look = build_boundary_mini(part)
+            self.mini = jax.device_put(mini, self._leaf_sharding(mini))
+
+            def remap(look, a):
+                pos = np.take_along_axis(
+                    look, np.asarray(a, dtype=np.int64), axis=1
+                )
+                return jnp.asarray(pos.astype(np.int32))
+
+            # exchange schedules whose SEND columns index the mini axes
+            if exchange == "ppermute":
+                rm = tuple(
+                    r.replace(
+                        cell_send=remap(c_look, r.cell_send),
+                        edge_send=remap(e_look, r.edge_send),
+                    )
+                    for r in rounds
+                )
+                self._ex_mini = jax.device_put(rm, self._leaf_sharding(rm))
+            else:
+                exm = ex.replace(
+                    cell_send=remap(c_look, part.cell_send),
+                    edge_send=remap(e_look, part.edge_send),
+                )
+                self._ex_mini = jax.device_put(exm, self._leaf_sharding(exm))
 
     # -- layout helpers -------------------------------------------------
     def _leaf_sharding(self, tree):
@@ -204,11 +247,16 @@ class ShardedModel:
         )
 
     def _exchange_fn(self):
-        """(prog, ex) -> prog with fresh halos, per the configured backend."""
+        """(pack, ex, apply_to=None) -> state with fresh halos, per the
+        configured backend."""
         if self.exchange == "ppermute":
             axis, n_parts = self.AXIS, self.n_parts
-            return lambda prog, ex: halo_exchange_ppermute(prog, ex, axis, n_parts)
-        return lambda prog, ex: _halo_exchange(prog, ex, self.AXIS)
+            return lambda prog, ex, apply_to=None: halo_exchange_ppermute(
+                prog, ex, axis, n_parts, apply_to
+            )
+        return lambda prog, ex, apply_to=None: _halo_exchange(
+            prog, ex, self.AXIS, apply_to
+        )
 
     @property
     def _ex_arg(self):
@@ -217,28 +265,44 @@ class ShardedModel:
     # -- compute --------------------------------------------------------
     def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler):
         """n_steps sharded timesteps under one jit (scan inside shard_map)."""
+        use_overlap = self.overlap and method is ForwardEuler
+        mini_args = (self.mini, self._ex_mini) if use_overlap else None
         return self._run_jit(
-            local, self.local_mesh, self._ex_arg, float(dt), n_steps, method
+            local, self.local_mesh, self._ex_arg, mini_args,
+            float(dt), n_steps, method,
         )
 
     @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method"))
-    def _run_jit(self, local, lmesh, ex, dt, n_steps, method):
+    def _run_jit(self, local, lmesh, ex, mini_args, dt, n_steps, method):
+        from .overlap import mini_forward_euler_step
+
         exchange = self._exchange_fn()
         if method not in (ForwardEuler, RungeKutta4):
             raise ValueError(f"unknown sharded time stepper {method!r}")
+        use_overlap = mini_args is not None
 
-        def device_fn(local, lmesh, ex):
+        def device_fn(local, lmesh, ex, mini_args):
             # leaves arrive as (1, ...) blocks of the parts axis
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, lmesh, ex = sq(local), sq(lmesh), sq(ex)
+            if use_overlap:
+                mini, ex_mini = sq(mini_args)
 
             def body(prog, _):
                 if method is RungeKutta4:
                     prog = sharded_rk4_step(
                         prog, lmesh, dt, lambda p: exchange(p, ex)
                     )
-                else:
-                    prog = ocn_timestep(prog, lmesh, dt, method)
+                    return exchange(prog, ex), None
+                if use_overlap:
+                    # boundary mini first -> collectives fly over full step
+                    ssh_b, h_b, u_b = mini_forward_euler_step(prog, mini, dt)
+                    pack = PrognosticVars(
+                        ssh=ssh_b, layer_thickness=h_b, normal_velocity=u_b
+                    )
+                    full = ocn_timestep(prog, lmesh, dt, method)
+                    return exchange(pack, ex_mini, apply_to=full), None
+                prog = ocn_timestep(prog, lmesh, dt, method)
                 return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(body, local, length=n_steps)
@@ -251,9 +315,10 @@ class ShardedModel:
                 self._in_specs(local),
                 self._in_specs(lmesh),
                 self._in_specs(ex),
+                self._in_specs(mini_args),
             ),
             out_specs=self._in_specs(local),
-        )(local, lmesh, ex)
+        )(local, lmesh, ex, mini_args)
 
     def objective(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler):
         """Differentiable sharded rollout + global sum(ssh^2) over owned

@@ -49,6 +49,19 @@ def partition_stats(part: PartitionedMesh, itemsize: int = 4,
         )
 
     interior_work = owned_c * K  # cell-levels each device integrates
+
+    # overlap accounting (parallel/overlap.py): the collectives depend only
+    # on the boundary mini step, so everything else — the full local step —
+    # is scheduled while they fly. overlappable_compute_frac = share of the
+    # per-step element-updates that are independent of the exchange;
+    # mini_redundancy_frac = extra work the early boundary pass re-does.
+    from .overlap import build_boundary_mini
+
+    mini, _, _ = build_boundary_mini(part)
+    mini_cells = mini.cell_from_local.shape[1]
+    mini_edges = mini.edge_from_local.shape[1]
+    local_elems = int((part.n_local_cells + part.n_local_edges).max())
+    mini_elems = mini_cells + mini_edges
     return {
         "n_parts": part.n_parts,
         "cells_owned": {
@@ -69,6 +82,11 @@ def partition_stats(part: PartitionedMesh, itemsize: int = 4,
             interior_work.max()
             / max(1, sum(r["bytes_per_device"] for r in per_round))
         ),
+        "overlappable_compute_frac": float(
+            local_elems / (local_elems + mini_elems)
+        ),
+        "mini_redundancy_frac": float(mini_elems / local_elems),
+        "boundary_mini_elems_per_device": int(mini_elems),
     }
 
 
@@ -82,6 +100,9 @@ def format_stats(stats: dict) -> str:
         f"exchange: {len(stats['exchange_rounds'])} ppermute rounds, "
         f"{stats['exchange_bytes_per_device_per_step']} B/device/step, "
         f"{stats['cell_levels_per_exchanged_byte']:.2f} cell-levels/B",
+        f"overlap: {100 * stats['overlappable_compute_frac']:.1f}% of "
+        f"per-step element updates run while the exchange flies "
+        f"(+{100 * stats['mini_redundancy_frac']:.1f}% boundary-mini redundancy)",
     ]
     for r in stats["exchange_rounds"]:
         lines.append(

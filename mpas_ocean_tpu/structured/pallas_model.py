@@ -166,7 +166,7 @@ def _pallas_rollout(
         _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked
     )
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
-    flops_step = (len(terms) + 30) * 2 * (6 * ny2 * nx * k)
+    flops_step = step_flop_count(ny2, nx, k, len(terms), masked)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = (scal, ssh, h, u, f_edge, rts) + ((mask,) if masked else ())
     return pl.pallas_call(
@@ -192,6 +192,20 @@ def _pallas_rollout(
         input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
     )(*operands)
+
+
+def step_flop_count(
+    ny2: int, nx: int, k: int, n_terms: int, masked: bool = False
+) -> int:
+    """Accurate FLOP count of one structured step (each Coriolis term is a
+    single-plane FMA — an earlier estimate multiplied the term count by all
+    6 edge planes, a 6x overcount). Per (m, i, k) lattice site:
+      uf product 6; Coriolis FMAs 2*n_terms; flux 6*(add + 0.5-mul + u-mul);
+      divergence accumulation 2*5; h update 2*2; ssh reduction+shift 2*2;
+      u update 6*(2 FMAs) [+ 6 mask multiplies]. 2-D plane work (ssh
+      gradient) is O(1/k) and ignored."""
+    per_site = 6 + 2 * n_terms + 18 + 10 + 4 + 4 + 24 + (6 if masked else 0)
+    return per_site * ny2 * nx * k
 
 
 def _scal(mesh: StructMesh, dt, dtype):

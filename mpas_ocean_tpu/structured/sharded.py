@@ -127,14 +127,25 @@ def _with_halo(interior, axis_name: str, n_parts: int):
 
 
 class ShardedStructuredModel:
-    """Drive the structured fast path over a 1-D device mesh (row slabs)."""
+    """Drive the structured fast path over a 1-D device mesh (row slabs).
+
+    The step is split so halo traffic overlaps interior compute (the
+    BASELINE north-star "halo-exchange overlap" metric; SURVEY section 8
+    plan): the two boundary rows of each slab are stepped FIRST, their
+    ppermutes are issued, and the remaining R-2 interior rows are stepped
+    while the collectives are in flight — XLA's latency-hiding scheduler
+    turns the ppermutes into collective-permute-start/done pairs around the
+    independent interior work. Row values are identical either way (each
+    row's update reads only its 1-ring, so the split is exact).
+    """
 
     AXIS = "rows"
 
-    def __init__(self, struct_mesh: StructMesh, devices=None):
+    def __init__(self, struct_mesh: StructMesh, devices=None, overlap: bool = True):
         devices = list(devices if devices is not None else jax.devices())
         self.n_parts = len(devices)
         self.smesh = struct_mesh
+        self.overlap = bool(overlap)
         ny2 = struct_mesh.ny2
         if ny2 % self.n_parts:
             raise ValueError(
@@ -209,6 +220,22 @@ class ShardedStructuredModel:
             normal_velocity=jnp.asarray(u.reshape(3, 2, ny2, nx, k)),
         )
 
+    def overlap_stats(self, n_vert_levels: int, itemsize: int = 4) -> dict:
+        """Static communication/overlap profile of one sharded step (the
+        BASELINE 'halo-exchange overlap %' metric, reported structurally:
+        the fraction of the step's row-updates that are scheduled while the
+        ppermutes are in flight)."""
+        r, nx = self.rows, self.smesh.nx
+        k = n_vert_levels
+        elems_one_way = (2 * 1 + 2 * k + 6 * k) * nx  # ssh + h + u planes
+        active = self.overlap and r >= 3
+        return {
+            "rows_per_device": r,
+            "interior_rows_overlapped": (r - 2) if active else 0,
+            "overlappable_compute_frac": (r - 2) / r if active else 0.0,
+            "halo_bytes_per_step_per_device": 2 * elems_one_way * itemsize,
+        }
+
     def run(self, local, dt, n_steps: int):
         return self._run_jit(
             local, self._f_local, self._rts_local, self._mask_local,
@@ -218,6 +245,7 @@ class ShardedStructuredModel:
     @partial(jax.jit, static_argnames=("self", "dt", "n_steps"))
     def _run_jit(self, local, f_local, rts_local, mask_local, dt, n_steps):
         axis, n_parts, rows = self.AXIS, self.n_parts, self.rows
+        overlap = self.overlap
         terms = self.smesh.coriolis_terms
         dtype = local["h"].dtype
         inv_dc = (1.0 / self.smesh.dc).astype(dtype)
@@ -236,7 +264,7 @@ class ShardedStructuredModel:
             else:
                 masks = None
 
-            def body(carry, _):
+            def body_serial(carry, _):
                 ssh = tuple(carry["ssh"][p] for p in range(2))
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
@@ -251,6 +279,55 @@ class ShardedStructuredModel:
                 }
                 return new, None
 
+            def body_overlap(carry, _):
+                """Boundary strips first -> issue ppermutes -> interior
+                while the collectives fly. Row values identical to
+                body_serial (1-ring locality)."""
+                ssh = tuple(carry["ssh"][p] for p in range(2))
+                h = tuple(carry["h"][p] for p in range(2))
+                u = tuple(carry["u"][c] for c in range(6))
+
+                def run_rows(lo, n):
+                    """Step padded rows [lo, lo+n+2) -> n new interior rows."""
+                    sub = lambda t: tuple(x[lo : lo + n + 2] for x in t)
+                    msub = sub(masks) if masks is not None else None
+                    return _step_slab(
+                        sub(ssh), sub(h), sub(u), sub(f_edge), sub(rts),
+                        dt, inv_dc, s_div, terms, n, msub,
+                    )
+
+                top = run_rows(0, 1)           # new local row 0
+                bot = run_rows(rows - 1, 1)    # new local row R-1
+                down = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+                up = [(i, (i - 1) % n_parts) for i in range(n_parts)]
+                # my new row R-1 -> next device's padded row 0; my new row 0
+                # -> previous device's padded row R+1 (same wiring as
+                # _with_halo, issued before the interior is computed)
+                recv_top = [
+                    jax.lax.ppermute(jnp.stack(planes), axis, down)
+                    for planes in bot
+                ]
+                recv_bot = [
+                    jax.lax.ppermute(jnp.stack(planes), axis, up)
+                    for planes in top
+                ]
+                mid = run_rows(1, rows - 2)    # new local rows 1..R-2
+
+                def asm(i, t, m, b):
+                    return jnp.concatenate(
+                        [recv_top[i], jnp.stack(t), jnp.stack(m),
+                         jnp.stack(b), recv_bot[i]],
+                        axis=1,
+                    )
+
+                new = {
+                    "ssh": asm(0, top[0], mid[0], bot[0]),
+                    "h": asm(1, top[1], mid[1], bot[1]),
+                    "u": asm(2, top[2], mid[2], bot[2]),
+                }
+                return new, None
+
+            body = body_overlap if (overlap and rows >= 3) else body_serial
             out, _ = jax.lax.scan(body, local, length=n_steps)
             return jax.tree.map(lambda a: a[None], out)
 

@@ -177,3 +177,16 @@ def test_sharded_rejects_unknown_stepper(igw_mesh, igw_prog):
     local = sm.scatter(igw_prog)
     with pytest.raises(ValueError, match="unknown sharded time stepper"):
         sm.run(local, 10.0, 2, method=float)
+
+
+@pytest.mark.parametrize("exchange", ["ppermute", "allgather"])
+def test_overlap_matches_serial_exchange(igw_mesh, igw_prog, exchange):
+    """The overlapped step (boundary-mini first, collectives over the full
+    step) is bit-equivalent to the serial compute-then-exchange step."""
+    dt, n = 976.0, 6
+    a = ShardedModel(igw_mesh, exchange=exchange, overlap=True)
+    b = ShardedModel(igw_mesh, exchange=exchange, overlap=False)
+    out_a = a.gather(a.run(a.scatter(igw_prog), dt, n))
+    out_b = b.gather(b.run(b.scatter(igw_prog), dt, n))
+    for x, y in zip(jax.tree.leaves(out_a), jax.tree.leaves(out_b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
