@@ -380,6 +380,12 @@ def main():
                         / (t_roll / STEPS)
                         / hbm_peak,
                         "flops_per_step": fl_step,
+                        "note": (
+                            "peaks are MEASURED sustained rates on this "
+                            "chip (streaming-FMA VMEM kernel; 128-pass HBM "
+                            "sweep), not datasheet numbers; roll_hbm_* uses "
+                            "a rough 8-state-passes/step traffic model"
+                        ),
                     },
                     "sharded_overlap": {
                         "overlappable_compute_frac": pstats[

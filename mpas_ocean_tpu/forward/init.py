@@ -155,4 +155,14 @@ def plan_steps(clock: Clock) -> tuple[int, int]:
             iv_s = iv.total_seconds()
             if iv_s > 0 and abs(iv_s / dt_s - round(iv_s / dt_s)) < 1e-9:
                 output_every = int(round(iv_s / dt_s))
+        elif iv is not None:
+            # calendar periods (months/years, dateutil.relativedelta) have
+            # no fixed second count, so a static per-N-steps output plan
+            # cannot represent them — reject loudly instead of silently
+            # degrading to end-only output
+            raise ValueError(
+                "output_interval uses a calendar period "
+                f"({iv!r}); plan_steps only supports fixed-length "
+                "intervals that dt divides evenly — use days or smaller"
+            )
     return n_steps, output_every

@@ -78,8 +78,15 @@ def horz_mesh_from_ncdata(ds: NCData, dtype=np.float64) -> HorzMesh:
         0.0,
     ).astype(dtype)
     vert_ids = np.arange(n_vertices, dtype=np.int32)[:, None]
+    # padded edgesOnVertex slots (0 in the 1-based file — boundary vertices
+    # of culled meshes) must carry sign 0.0, not a spurious +-1: the curl at
+    # those vertices would otherwise pick up edge 0's velocity
+    eov_valid = var("edgesOnVertex") > 0
     edge_sign_on_vertex = np.where(
-        vertices_on_edge[edges_on_vertex, 0] == vert_ids, -1.0, 1.0
+        eov_valid
+        & (vertices_on_edge[edges_on_vertex, 0] == vert_ids),
+        -1.0,
+        np.where(eov_valid, 1.0, 0.0),
     ).astype(dtype)
 
     kite_v = var(
@@ -317,7 +324,10 @@ def save_mpas_mesh(
         ),
         "edgesOnVertex": (
             ("nVertices", "vertexDegree"),
-            one_based(d.edges_on_vertex),
+            # dead slots (sign 0.0 — boundary vertices of culled meshes)
+            # must round-trip as 0-pads, or a reread mesh regains phantom
+            # curl contributions from edge 1
+            one_based(d.edges_on_vertex, np.abs(np_(d.edge_sign_on_vertex))),
         ),
         "kiteAreasOnVertex": (
             ("nVertices", "vertexDegree"),
