@@ -129,7 +129,8 @@ class ShardedModel:
     AXIS = "space"
 
     def __init__(self, mesh, devices=None, part: PartitionedMesh | None = None,
-                 exchange: str = "ppermute", overlap: bool = True):
+                 exchange: str = "ppermute", overlap: bool = True,
+                 device_mesh: DeviceMesh | None = None):
         """``exchange``: 'ppermute' (default — neighbor-only ring rotations
         over ICI, SURVEY section 8 plan) or 'allgather' (every part's
         boundary pack broadcast to all devices).
@@ -138,9 +139,21 @@ class ShardedModel:
         collectives against its result, and compute the full local step
         while they fly (parallel/overlap.py; forward-Euler runs only — RK4's
         stage dependencies keep its per-stage exchanges on the critical
-        path)."""
-        devices = list(devices if devices is not None else jax.devices())
-        self.n_parts = len(devices)
+        path).
+
+        ``device_mesh``: optional prebuilt mesh — 1-D, or the 2-D
+        ('dcn', 'ici') hybrid from parallel.distributed.hybrid_device_mesh;
+        parts shard over the FLATTENED axes so the spatially-coherent
+        partition order keeps most exchange traffic on ICI."""
+        if device_mesh is not None:
+            self.device_mesh = device_mesh
+            self.axes = tuple(device_mesh.axis_names)
+            self.n_parts = int(np.prod(list(device_mesh.shape.values())))
+        else:
+            devices = list(devices if devices is not None else jax.devices())
+            self.n_parts = len(devices)
+            self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
+            self.axes = (self.AXIS,)
         self.global_mesh = mesh
         if part is None:
             part = build_partition(mesh, self.n_parts)
@@ -149,13 +162,10 @@ class ShardedModel:
             raise ValueError(f"unknown exchange {exchange!r}")
         self.exchange = exchange
         self.overlap = bool(overlap)
-        self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
-        self._sharded = NamedSharding(self.device_mesh, P(self.AXIS))
-        self._spec_parts = P(self.AXIS)
+        self._sharded = NamedSharding(self.device_mesh, P(self.axes))
+        self._spec_parts = P(self.axes)
 
-        self.local_mesh = jax.device_put(
-            part.local_mesh, self._leaf_sharding(part.local_mesh)
-        )
+        self.local_mesh = self._put_tree(part.local_mesh)
         ex = ExchangeSpec(
             cell_send=jnp.asarray(part.cell_send),
             cell_recv_flat=jnp.asarray(part.cell_recv_flat),
@@ -164,10 +174,10 @@ class ShardedModel:
             edge_recv_flat=jnp.asarray(part.edge_recv_flat),
             edge_halo_slots=jnp.asarray(part.edge_halo_slots),
         )
-        self.ex = jax.device_put(ex, self._leaf_sharding(ex))
+        self.ex = self._put_tree(ex)
         if exchange == "ppermute":
             rounds = build_permute_schedule(part)
-            self.rounds = jax.device_put(rounds, self._leaf_sharding(rounds))
+            self.rounds = self._put_tree(rounds)
         else:
             self.rounds = None
 
@@ -176,7 +186,7 @@ class ShardedModel:
             from .overlap import build_boundary_mini
 
             mini, c_look, e_look = build_boundary_mini(part)
-            self.mini = jax.device_put(mini, self._leaf_sharding(mini))
+            self.mini = self._put_tree(mini)
 
             def remap(look, a):
                 pos = np.take_along_axis(
@@ -193,17 +203,32 @@ class ShardedModel:
                     )
                     for r in rounds
                 )
-                self._ex_mini = jax.device_put(rm, self._leaf_sharding(rm))
+                self._ex_mini = self._put_tree(rm)
             else:
                 exm = ex.replace(
                     cell_send=remap(c_look, part.cell_send),
                     edge_send=remap(e_look, part.edge_send),
                 )
-                self._ex_mini = jax.device_put(exm, self._leaf_sharding(exm))
+                self._ex_mini = self._put_tree(exm)
 
     # -- layout helpers -------------------------------------------------
     def _leaf_sharding(self, tree):
         return jax.tree.map(lambda _: self._sharded, tree)
+
+    def _put_tree(self, tree):
+        """Place a host-global pytree onto the device mesh; in
+        multi-process runs each process feeds only its own shards
+        (make_array_from_callback)."""
+        if self._sharded.is_fully_addressable:
+            return jax.device_put(tree, self._leaf_sharding(tree))
+
+        def put(a):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, self._sharded, lambda idx, a=a: a[idx]
+            )
+
+        return jax.tree.map(put, tree)
 
     def _in_specs(self, tree):
         return jax.tree.map(lambda _: self._spec_parts, tree)
@@ -222,7 +247,7 @@ class ShardedModel:
             layer_thickness=jnp.asarray(h),
             normal_velocity=jnp.asarray(u),
         )
-        return jax.device_put(local, self._leaf_sharding(local))
+        return self._put_tree(local)
 
     def gather(self, local: PrognosticVars) -> PrognosticVars:
         """Reassemble the global state from owned slots (host-side)."""
@@ -250,12 +275,12 @@ class ShardedModel:
         """(pack, ex, apply_to=None) -> state with fresh halos, per the
         configured backend."""
         if self.exchange == "ppermute":
-            axis, n_parts = self.AXIS, self.n_parts
+            axis, n_parts = self.axes, self.n_parts
             return lambda prog, ex, apply_to=None: halo_exchange_ppermute(
                 prog, ex, axis, n_parts, apply_to
             )
         return lambda prog, ex, apply_to=None: _halo_exchange(
-            prog, ex, self.AXIS, apply_to
+            prog, ex, self.axes, apply_to
         )
 
     @property
@@ -329,7 +354,7 @@ class ShardedModel:
         owned_mask = (
             np.arange(p.cell_gids.shape[1])[None, :] < p.n_owned_cells[:, None]
         ).astype(local.ssh.dtype)
-        owned_mask = jax.device_put(jnp.asarray(owned_mask), self._sharded)
+        owned_mask = self._put_tree(jnp.asarray(owned_mask))
 
         exchange = self._exchange_fn()
 
@@ -348,7 +373,7 @@ class ShardedModel:
 
             out, _ = jax.lax.scan(jax.checkpoint(body), local, length=n_steps)
             s = jnp.sum(out.ssh * out.ssh * mask)
-            return jax.lax.psum(s, self.AXIS)
+            return jax.lax.psum(s, self.axes)
 
         ex_arg = self._ex_arg
         fn = shard_map(

@@ -141,9 +141,22 @@ class ShardedStructuredModel:
 
     AXIS = "rows"
 
-    def __init__(self, struct_mesh: StructMesh, devices=None, overlap: bool = True):
-        devices = list(devices if devices is not None else jax.devices())
-        self.n_parts = len(devices)
+    def __init__(self, struct_mesh: StructMesh, devices=None,
+                 overlap: bool = True, device_mesh: DeviceMesh | None = None):
+        """``device_mesh``: optional prebuilt mesh — 1-D, or the 2-D
+        ('dcn', 'ici') hybrid mesh from parallel.distributed.
+        hybrid_device_mesh for multi-host runs: row slabs shard over the
+        FLATTENED axes, so ring ppermutes ride ICI except at the P_dcn
+        slice boundaries."""
+        if device_mesh is not None:
+            self.device_mesh = device_mesh
+            self.axes = tuple(device_mesh.axis_names)
+            self.n_parts = int(np.prod(list(device_mesh.shape.values())))
+        else:
+            devices = list(devices if devices is not None else jax.devices())
+            self.n_parts = len(devices)
+            self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
+            self.axes = (self.AXIS,)
         self.smesh = struct_mesh
         self.overlap = bool(overlap)
         ny2 = struct_mesh.ny2
@@ -152,28 +165,32 @@ class ShardedStructuredModel:
                 f"ny2={ny2} rows not divisible by {self.n_parts} devices"
             )
         self.rows = ny2 // self.n_parts
-        self.device_mesh = DeviceMesh(np.array(devices), (self.AXIS,))
-        self._sharding = NamedSharding(self.device_mesh, P(self.AXIS))
+        self._sharding = NamedSharding(self.device_mesh, P(self.axes))
 
         # static per-slab mesh fields, halo-padded and stacked on a leading
         # parts axis: f_edge (P, 6, R+2, nx, 1), rts (P, 2, R+2, nx, 1)
         f = np.asarray(struct_mesh.f_edge).reshape(6, ny2, struct_mesh.nx, 1)
         rts = np.asarray(struct_mesh.resting_thickness_sum)[..., None]
-        self._f_local = jax.device_put(
-            jnp.asarray(self._slab(f)), self._sharding
-        )
-        self._rts_local = jax.device_put(
-            jnp.asarray(self._slab(rts)), self._sharding
-        )
+        self._f_local = self._put(self._slab(f))
+        self._rts_local = self._put(self._slab(rts))
         if struct_mesh.edge_mask is None:
             self._mask_local = None
         else:
             m = np.asarray(struct_mesh.edge_mask).reshape(
                 6, ny2, struct_mesh.nx, 1
             )
-            self._mask_local = jax.device_put(
-                jnp.asarray(self._slab(m)), self._sharding
-            )
+            self._mask_local = self._put(self._slab(m))
+
+    def _put(self, host_array):
+        """Place a host-global array onto the device mesh — via device_put
+        when every device is addressable, via make_array_from_callback in
+        multi-process runs (each process feeds only its own shards)."""
+        arr = np.asarray(host_array)
+        if self._sharding.is_fully_addressable:
+            return jax.device_put(jnp.asarray(arr), self._sharding)
+        return jax.make_array_from_callback(
+            arr.shape, self._sharding, lambda idx: arr[idx]
+        )
 
     def _slab(self, x):
         """(planes..., ny2, nx, ...) -> (P, planes..., R+2, nx, ...) with
@@ -195,12 +212,11 @@ class ShardedStructuredModel:
         ssh = np.asarray(state.ssh)[..., None]  # (2, ny2, nx, 1)
         h = np.asarray(state.layer_thickness)
         u = np.asarray(state.normal_velocity).reshape(6, self.smesh.ny2, nx, k)
-        pack = {
-            "ssh": jnp.asarray(self._slab(ssh)),
-            "h": jnp.asarray(self._slab(h)),
-            "u": jnp.asarray(self._slab(u)),
+        return {
+            "ssh": self._put(self._slab(ssh)),
+            "h": self._put(self._slab(h)),
+            "u": self._put(self._slab(u)),
         }
-        return jax.device_put(pack, {k_: self._sharding for k_ in pack})
 
     def gather(self, local) -> StructState:
         """Stacked slabs -> global structured state (interior rows only)."""
@@ -236,6 +252,25 @@ class ShardedStructuredModel:
             "halo_bytes_per_step_per_device": 2 * elems_one_way * itemsize,
         }
 
+    def checksum(self, local):
+        """Global sum of all interior state values (psum over the mesh
+        axes) — a replicated scalar every process can read, usable where
+        `gather` cannot run (multi-process meshes whose devices are not all
+        addressable)."""
+        axes = self.axes
+
+        def fn(loc):
+            s = sum(
+                jnp.sum(jax.tree.map(lambda a: a[0], loc[k])[:, 1:-1])
+                for k in ("ssh", "h", "u")
+            )
+            return jax.lax.psum(s, axes)
+
+        specs = jax.tree.map(lambda _: P(self.axes), local)
+        return shard_map(
+            fn, mesh=self.device_mesh, in_specs=(specs,), out_specs=P()
+        )(local)
+
     def run(self, local, dt, n_steps: int):
         return self._run_jit(
             local, self._f_local, self._rts_local, self._mask_local,
@@ -244,7 +279,7 @@ class ShardedStructuredModel:
 
     @partial(jax.jit, static_argnames=("self", "dt", "n_steps"))
     def _run_jit(self, local, f_local, rts_local, mask_local, dt, n_steps):
-        axis, n_parts, rows = self.AXIS, self.n_parts, self.rows
+        axis, n_parts, rows = self.axes, self.n_parts, self.rows
         overlap = self.overlap
         terms = self.smesh.coriolis_terms
         dtype = local["h"].dtype
@@ -331,10 +366,10 @@ class ShardedStructuredModel:
             out, _ = jax.lax.scan(body, local, length=n_steps)
             return jax.tree.map(lambda a: a[None], out)
 
-        specs = jax.tree.map(lambda _: P(self.AXIS), local)
-        fspec = jax.tree.map(lambda _: P(self.AXIS), f_local)
-        rspec = jax.tree.map(lambda _: P(self.AXIS), rts_local)
-        mspec = jax.tree.map(lambda _: P(self.AXIS), mask_local)
+        specs = jax.tree.map(lambda _: P(self.axes), local)
+        fspec = jax.tree.map(lambda _: P(self.axes), f_local)
+        rspec = jax.tree.map(lambda _: P(self.axes), rts_local)
+        mspec = jax.tree.map(lambda _: P(self.axes), mask_local)
         return shard_map(
             device_fn,
             mesh=self.device_mesh,
