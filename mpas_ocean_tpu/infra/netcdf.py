@@ -40,7 +40,16 @@ def _read_netcdf3(path: str) -> NCData:
         for name, var in f.variables.items():
             data = np.array(var[:])  # copy out of the closed file
             if data.dtype.kind == "S":
-                continue  # char arrays (e.g. xtime strings) not needed
+                # char arrays (MPAS xtime timestamps): join the trailing
+                # StrLen axis into python strings per leading record
+                flat = data.reshape(-1, data.shape[-1]) if data.ndim > 1 else data[None]
+                strings = np.array(
+                    [b"".join(row).decode().strip("\x00 ") for row in flat]
+                )
+                variables[name] = (
+                    strings.reshape(data.shape[:-1]) if data.ndim > 1 else strings[0]
+                )
+                continue
             variables[name] = data
         attrs = {
             k: (v.decode() if isinstance(v, bytes) else v)

@@ -187,6 +187,14 @@ def vertical_mesh_from_ncdata(
             rt = rt[0]
     else:
         rt = np.ones((n_cells, n_vert_levels))
+    bottom_depth = (
+        np.asarray(ds["bottomDepth"]) if "bottomDepth" in ds else None
+    )
+    vcmw = (
+        np.asarray(ds["vertCoordMovementWeights"])
+        if "vertCoordMovementWeights" in ds
+        else None
+    )
     return make_vertical_mesh(
         horz,
         n_vert_levels=n_vert_levels,
@@ -194,6 +202,8 @@ def vertical_mesh_from_ncdata(
         min_level_cell=min_level,
         max_level_cell=max_level,
         dtype=dtype,
+        bottom_depth=bottom_depth,
+        vert_coord_movement_weights=vcmw,
     )
 
 
@@ -350,6 +360,14 @@ def save_mpas_mesh(
                 "restingThickness": (
                     ("Time", "nCells", "nVertLevels"),
                     np_(vert.resting_thickness).astype(f64)[None],
+                ),
+                "bottomDepth": (
+                    ("nCells",),
+                    np_(vert.bottom_depth).astype(f64),
+                ),
+                "vertCoordMovementWeights": (
+                    ("nVertLevels",),
+                    np_(vert.vert_coord_movement_weights).astype(f64),
                 ),
             }
         )

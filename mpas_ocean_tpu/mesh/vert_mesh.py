@@ -41,10 +41,30 @@ class VerticalMesh:
     # total resting water-column thickness, (nCells,)
     resting_thickness_sum: jax.Array
 
-    # dense {0,1} activity masks, float dtype of resting_thickness
+    # dense {0,1} activity masks, float dtype of resting_thickness.
+    # These are the legacy inventory's cellMask/edgeMask/vertexMask
+    # (reference: src/infra/Mesh.jl:120-127) in 0/1 dense form.
     cell_level_mask: jax.Array  # (nCells, nVertLevels)
     edge_level_mask: jax.Array  # (nEdges, nVertLevels): k < max_level_edge_top
     vertex_level_mask: jax.Array  # (nVertices, nVertLevels)
+
+    # resting ocean depth at cell centers [m] (reference: src/infra/
+    # Mesh.jl:43 bottomDepth); equals the resting column sum for the
+    # flat-bottom configs this framework generates, read from file otherwise
+    bottom_depth: jax.Array  # (nCells,)
+    # layer weights for distributing SSH perturbations in z-star-style
+    # moving vertical coordinates (reference: src/infra/Mesh.jl:49
+    # vertCoordMovementWeights; MPAS default: uniform 1.0)
+    vert_coord_movement_weights: jax.Array  # (nVertLevels,)
+
+    # legacy-name aliases (reference: Mesh.jl:120-127)
+    @property
+    def cell_mask(self) -> jax.Array:
+        return self.cell_level_mask
+
+    @property
+    def vertex_mask(self) -> jax.Array:
+        return self.vertex_level_mask
 
 
 def _masks(min_lev, max_lev, n_levels, dtype):
@@ -59,6 +79,8 @@ def make_vertical_mesh(
     min_level_cell=None,
     max_level_cell=None,
     dtype=np.float64,
+    bottom_depth=None,
+    vert_coord_movement_weights=None,
 ) -> VerticalMesh:
     """Construct a vertical mesh over ``horz``.
 
@@ -95,6 +117,13 @@ def make_vertical_mesh(
     min_le = np.maximum(min_lc[coe[:, 0]], min_lc[coe[:, 1]])
     min_lv = np.max(min_lc[cov], axis=1)
 
+    if bottom_depth is None:
+        # flat-rest configs: depth at rest = active resting column sum
+        cmask = _masks(min_lc, max_lc, n_vert_levels, dtype)
+        bottom_depth = (resting_thickness * cmask).sum(axis=1)
+    if vert_coord_movement_weights is None:
+        vert_coord_movement_weights = np.ones(n_vert_levels, dtype=dtype)
+
     return VerticalMesh(
         n_vert_levels=n_vert_levels,
         min_level_cell=min_lc.astype(np.int32),
@@ -108,4 +137,8 @@ def make_vertical_mesh(
         cell_level_mask=_masks(min_lc, max_lc, n_vert_levels, dtype),
         edge_level_mask=_masks(min_le, max_level_edge_top, n_vert_levels, dtype),
         vertex_level_mask=_masks(min_lv, max_level_vertex_top, n_vert_levels, dtype),
+        bottom_depth=np.asarray(bottom_depth, dtype=dtype),
+        vert_coord_movement_weights=np.asarray(
+            vert_coord_movement_weights, dtype=dtype
+        ),
     )

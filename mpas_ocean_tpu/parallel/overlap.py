@@ -216,6 +216,10 @@ def build_boundary_mini(part):
         cell_level_mask=gather_rows(lm.vert.cell_level_mask, cell_from_local),
         edge_level_mask=gather_rows(lm.vert.edge_level_mask, edge_from_local),
         vertex_level_mask=np.zeros((P, 1, K), fdt),
+        bottom_depth=gather_rows(lm.vert.bottom_depth, cell_from_local),
+        vert_coord_movement_weights=np.asarray(
+            lm.vert.vert_coord_movement_weights
+        ).copy(),
     )
     import jax.numpy as jnp
 

@@ -335,6 +335,10 @@ def build_partition(
         cell_level_mask=gather_f(vert.cell_level_mask, cell_gids),
         edge_level_mask=gather_f(vert.edge_level_mask, edge_gids),
         vertex_level_mask=gather_f(vert.vertex_level_mask, vertex_gids),
+        bottom_depth=gather_f(vert.bottom_depth, cell_gids),
+        vert_coord_movement_weights=np.broadcast_to(
+            np.asarray(vert.vert_coord_movement_weights), (n_parts, K)
+        ).copy(),
     )
 
     return PartitionedMesh(

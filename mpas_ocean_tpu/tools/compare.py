@@ -26,16 +26,52 @@ def rmse(a, b):
     return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
 
 
-def compare_output(path, case: str = "igw", lx: float = 10000.0, f0: float = 1e-4):
-    """Returns a dict of RMSEs of ssh and normalVelocity vs the analytic
-    solution at the output's time."""
+def _load_output(path, mesh_path=None):
+    """Load (t, ssh, u, coords) from a model output file in EITHER output
+    convention the reference's analysis script reads (compare.py:169-205):
+
+      * this framework / MOKA style — a `time` variable in seconds, a `dt`
+        global attribute, mesh coordinates written inline;
+      * MPAS-Fortran style — an `xtime` char-array of timestamps
+        ('YYYY-MM-DD_hh:mm:ss'), a capital-T `Time` record axis, and
+        coordinates in a separate mesh file (pass ``mesh_path``).
+    """
+    from datetime import datetime
+
     ds = read_netcdf(path)
-    t = float(ds["time"][0])
-    x_c, y_c = ds["xCell"], ds["yCell"]
-    x_e, y_e, ang = ds["xEdge"], ds["yEdge"], ds["angleEdge"]
-    ssh = ds["ssh"][0] if ds["ssh"].ndim == 2 else ds["ssh"]
+    if "time" in ds:
+        t = float(np.atleast_1d(ds["time"])[-1])
+        pick = -1 if np.ndim(ds["ssh"]) == 2 else None
+    elif "xtime" in ds:
+        stamps = np.atleast_1d(ds["xtime"])
+        times = [
+            datetime.strptime(str(s).strip(), "%Y-%m-%d_%H:%M:%S")
+            for s in stamps
+        ]
+        t = (times[-1] - times[0]).total_seconds()
+        pick = -1
+    else:
+        raise ValueError(f"{path}: neither 'time' nor 'xtime' present")
+
+    ssh = ds["ssh"][pick] if pick is not None else ds["ssh"]
     u = ds["normalVelocity"]
-    u = u[0] if u.ndim == 3 else u
+    u = u[pick] if (pick is not None and u.ndim == 3) else u
+
+    coords = ds
+    if mesh_path is not None or "xCell" not in ds:
+        coords = read_netcdf(mesh_path if mesh_path is not None else path)
+    return t, np.asarray(ssh), np.asarray(u), coords
+
+
+def compare_output(path, case: str = "igw", lx: float = 10000.0, f0: float = 1e-4,
+                   mesh_path=None):
+    """Returns a dict of RMSEs of ssh and normalVelocity vs the analytic
+    solution at the output's time. Reads both this framework's and the
+    MPAS-Fortran output conventions (``mesh_path`` supplies coordinates for
+    the latter)."""
+    t, ssh, u, coords = _load_output(path, mesh_path)
+    x_c, y_c = coords["xCell"], coords["yCell"]
+    x_e, y_e, ang = coords["xEdge"], coords["yEdge"], coords["angleEdge"]
 
     if case == "igw":
         sol = InertialGravityWave(lx=lx, f0=f0)
@@ -88,9 +124,16 @@ def main(argv=None):
     p.add_argument("--lx", type=float, default=10000.0, help="domain length [km]")
     p.add_argument("--f0", type=float, default=1e-4)
     p.add_argument("--plot", default=None, help="write comparison panels to PNG")
+    p.add_argument(
+        "--mesh", default=None,
+        help="mesh file for coordinates (MPAS-Fortran outputs keep them "
+        "in a separate file)",
+    )
     args = p.parse_args(argv)
 
-    result, fields = compare_output(args.output, args.case, args.lx, args.f0)
+    result, fields = compare_output(
+        args.output, args.case, args.lx, args.f0, mesh_path=args.mesh
+    )
     if args.plot:
         result["plot"] = plot_comparison(fields, args.plot)
     print(json.dumps(result, indent=2))

@@ -241,3 +241,77 @@ def test_plan_steps_rejects_calendar_output_interval():
     )
     with pytest.raises(ValueError, match="calendar period"):
         plan_steps(clock)
+
+
+def test_compare_reads_mpas_fortran_convention(tmp_path):
+    """compare_output must read MPAS-Fortran-style outputs (xtime char
+    timestamps, Time record axis, coordinates in a separate mesh file) —
+    the second convention the reference's analysis script handles
+    (reference: src/compare.py:169-205)."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.infra.netcdf import write_netcdf
+    from mpas_ocean_tpu.mesh import planar_hex_mesh
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.tools.compare import compare_output
+    from mpas_ocean_tpu.verification.inertial_gravity_wave import (
+        InertialGravityWave,
+    )
+
+    nx = 16
+    dc = 10000.0e3 / nx
+    horz = planar_hex_mesh(nx, nx, dc, f0=1e-4)
+    vert = make_vertical_mesh(
+        horz, 1, resting_thickness=np.full((horz.n_cells, 1), 1000.0)
+    )
+    mesh_fp = tmp_path / "mesh.nc"
+    save_mpas_mesh(mesh_fp, horz)
+
+    # exact solution at t=2400s as the "model output"
+    igw = InertialGravityWave(lx=nx * dc / 1e3)
+    t = 2400.0
+    ssh = igw.exact_ssh(np.asarray(horz.cells.x), np.asarray(horz.cells.y), t)
+    u = igw.exact_normal_velocity(
+        np.asarray(horz.edges.x),
+        np.asarray(horz.edges.y),
+        np.asarray(horz.edges.angle_edge),
+        t,
+    )
+
+    def stamp(seconds):
+        from datetime import datetime, timedelta
+
+        s = datetime(2000, 1, 1) + timedelta(seconds=seconds)
+        return s.strftime("%Y-%m-%d_%H:%M:%S").ljust(64)
+
+    xtime = np.stack(
+        [
+            np.frombuffer(stamp(0.0).encode(), dtype="S1"),
+            np.frombuffer(stamp(t).encode(), dtype="S1"),
+        ]
+    )
+    out_fp = tmp_path / "fortran_output.nc"
+    write_netcdf(
+        out_fp,
+        dims={
+            "Time": 2, "nCells": horz.n_cells, "nEdges": horz.n_edges,
+            "nVertLevels": 1, "StrLen": 64,
+        },
+        variables={
+            "xtime": (("Time", "StrLen"), xtime),
+            "ssh": (("Time", "nCells"), np.stack([0 * ssh, ssh])),
+            "normalVelocity": (
+                ("Time", "nEdges", "nVertLevels"),
+                np.stack([0 * u, u])[..., None],
+            ),
+        },
+        attrs={"config_dt": "0000_00:10:00"},
+    )
+
+    result, _ = compare_output(
+        out_fp, "igw", lx=nx * dc / 1e3, mesh_path=mesh_fp
+    )
+    assert result["time"] == t
+    # the "model output" IS the exact solution: RMSE ~ 0
+    assert result["rmse_ssh"] < 1e-12
+    assert result["rmse_normalVelocity"] < 1e-12
