@@ -25,11 +25,16 @@ from .init import ModelSetup, ocn_init, ocn_init_alarms, plan_steps
 from .run_loop import ocn_run_loop, ocn_run_loop_with_outputs
 
 
-def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False):
+def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
+            monitor: str | None = None):
     """Run the configured simulation; returns (setup, final prognostic state).
 
     ``use_config_dt=False`` keeps reference behavior (dt recomputed from mesh
     spacing, SURVEY quirk 7.4); pass True to honor config_dt.
+
+    ``monitor``: path of a JSON-lines file to receive in-run physics
+    metrics (volume, kinetic energy, max |u|, ssh RMS — sampled on device,
+    infra/monitor.py); health warnings are printed at the end.
     """
     print(f"Initializing with config: {config_fp}")
     setup, prog = ocn_init(config_fp, dtype=dtype)
@@ -51,7 +56,23 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False):
     mesh = setup.mesh
     t0 = _time.perf_counter()
     outputs = None
-    if output_every and n_steps % output_every == 0 and n_steps > output_every:
+    series = None
+    if monitor is not None:
+        from ..infra.monitor import check_health, write_jsonl
+        from .run_loop import ocn_run_loop_with_monitor
+
+        every = output_every or max(1, n_steps // 10)
+        while n_steps % every:
+            every -= 1
+        prog, series = ocn_run_loop_with_monitor(
+            prog, mesh, dtype(dt), n_steps, every, setup.integrator
+        )
+        jax.block_until_ready(prog)
+        write_jsonl(monitor, series, dt, every)
+        for w in check_health(jax.tree.map(np.asarray, series)):
+            print(f"MONITOR WARNING: {w}")
+        print(f"monitor series written: {monitor}")
+    elif output_every and n_steps % output_every == 0 and n_steps > output_every:
         n_outputs = n_steps // output_every
         prog, outputs = ocn_run_loop_with_outputs(
             prog, mesh, dtype(dt), n_steps, n_outputs, setup.integrator
@@ -133,12 +154,21 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     with_ad = "--ad" in argv
     argv = [a for a in argv if a != "--ad"]
+    monitor = None
+    if "--monitor" in argv:
+        i = argv.index("--monitor")
+        monitor = argv[i + 1]
+        del argv[i : i + 2]
     if len(argv) != 1 or not os.path.isfile(argv[0]):
         print(
-            "usage: python -m mpas_ocean_tpu.forward.driver [--ad] <config.yml>"
+            "usage: python -m mpas_ocean_tpu.forward.driver "
+            "[--ad] [--monitor metrics.jsonl] <config.yml>"
         )
         return 1
-    (ocn_run_with_ad if with_ad else ocn_run)(argv[0])
+    if with_ad:
+        ocn_run_with_ad(argv[0])
+    else:
+        ocn_run(argv[0], monitor=monitor)
     return 0
 
 

@@ -80,3 +80,46 @@ def ocn_run_loop_with_outputs(
 
     final, outputs = jax.lax.scan(outer, prog, length=n_outputs)
     return final, outputs
+
+
+@partial(jax.jit, static_argnames=("n_steps", "every", "method"))
+def ocn_run_loop_with_monitor(
+    prog: PrognosticVars,
+    mesh,
+    dt,
+    n_steps: int,
+    every: int,
+    method=ForwardEuler,
+):
+    """Rollout that also samples physics health metrics every ``every``
+    steps, ON DEVICE inside the scan (total volume, total kinetic energy,
+    max |u|, ssh RMS) — the in-run observability tier the reference lacks
+    entirely (SURVEY section 5: 'metrics/logging: stdlib Logging + final
+    NetCDF only'). Returns (final_state, dict of (n_samples,) arrays).
+
+    Conservation drift and blow-up are visible from the series without
+    writing a single output file; infra/monitor.py renders/logs it.
+    """
+    assert n_steps % every == 0
+    from ..models.shallow_water import kinetic_energy_on_cell
+
+    area = mesh.cells.area_cell
+
+    def outer(p, _):
+        def body(q, _):
+            return ocn_timestep(q, mesh, dt, method), None
+
+        p, _ = jax.lax.scan(body, p, length=every)
+        h_act = p.layer_thickness * mesh.vert.cell_level_mask
+        ke_col = kinetic_energy_on_cell(p.normal_velocity, mesh)  # (nC, K)
+        stats = {
+            "volume": jnp.sum(h_act.sum(axis=1) * area),
+            # KE weighted by layer thickness and cell area (J / rho0)
+            "kinetic_energy": jnp.sum((ke_col * h_act).sum(axis=1) * area),
+            "max_abs_u": jnp.max(jnp.abs(p.normal_velocity)),
+            "ssh_rms": jnp.sqrt(jnp.mean(p.ssh * p.ssh)),
+        }
+        return p, stats
+
+    final, series = jax.lax.scan(outer, prog, length=n_steps // every)
+    return final, series

@@ -315,3 +315,27 @@ def test_compare_reads_mpas_fortran_convention(tmp_path):
     # the "model output" IS the exact solution: RMSE ~ 0
     assert result["rmse_ssh"] < 1e-12
     assert result["rmse_normalVelocity"] < 1e-12
+
+
+def test_monitor_series_and_health(tmp_path):
+    """In-run monitor: device-sampled metric series, JSONL log, health
+    checks (volume conservation on a periodic mesh)."""
+    import json
+
+    from mpas_ocean_tpu.forward.driver import ocn_run
+    from mpas_ocean_tpu.tools import make_igw_case
+
+    cfg = make_igw_case(
+        tmp_path, nx=16, resolution_km=200.0, duration_seconds=4000,
+        output_interval_seconds=2000,
+    )
+    mon = tmp_path / "metrics.jsonl"
+    ocn_run(cfg, monitor=str(mon))
+    records = [json.loads(l) for l in open(mon)]
+    assert len(records) >= 2
+    for key in ("volume", "kinetic_energy", "max_abs_u", "ssh_rms", "time"):
+        assert key in records[0]
+    # volume conserved on the periodic IGW box
+    v = [r["volume"] for r in records]
+    assert abs(v[-1] - v[0]) < 1e-9 * abs(v[0])
+    assert all(np.isfinite(list(r.values())).all() for r in records)
