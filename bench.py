@@ -267,6 +267,80 @@ def step_flops(sm, k: int) -> int:
     )
 
 
+def measure_adjoint(device, sm, prog, dt, steps, reps: int = 1) -> float:
+    """Whole-rollout adjoint timing: grad of sum(ssh_final^2) through the
+    differentiable fused rollout (pallas_rollout_diff — Pallas primal,
+    sqrt-checkpointed roll-model reverse). The reference times nothing, but
+    this is its Enzyme end-to-end reverse (test_Enzyme_end2end.jl) as a
+    production path."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.structured import pallas_rollout_diff
+
+    st = jax.device_put(sm.to_struct(prog), device)
+    smesh = jax.device_put(sm.struct_mesh, device)
+
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda s: jnp.sum(pallas_rollout_diff(s, smesh, dt, steps).ssh ** 2)
+        )
+    )
+
+    def run():
+        g = grad_fn(st)
+        return float(g.ssh.sum())
+
+    return _time_fn(run, reps)
+
+
+def measure_tiled_large(device, reps: int = 1):
+    """Production-scale config (256x256 cells x 100 levels, ~2.6 GB of
+    state+temps traffic per step) on the tiled Pallas path — the HBM-
+    streaming regime deployment meshes run in (the fused-VMEM path only
+    covers meshes whose whole state fits on-chip). Returns (gp/s, s/step)."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.mesh import planar_hex_mesh
+    from mpas_ocean_tpu.mesh.mesh import Mesh
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.models.shallow_water import PrognosticVars
+    from mpas_ocean_tpu.structured import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import pallas_tiled_run_loop
+    from mpas_ocean_tpu.verification.inertial_gravity_wave import (
+        InertialGravityWave,
+    )
+
+    nx, k, steps = 256, LEVELS, max(10, STEPS // 8)
+    dtype = np.float32
+    dc = 10000.0e3 / nx
+    horz = planar_hex_mesh(nx, nx, dc, f0=1e-4, dtype=dtype)
+    igw = InertialGravityWave(lx=nx * dc / 1e3)
+    vert = make_vertical_mesh(
+        horz, n_vert_levels=k,
+        resting_thickness=np.full((horz.n_cells, k), igw.bottom_depth / k, dtype=dtype),
+        dtype=dtype,
+    )
+    mesh = Mesh(horz=horz, vert=vert)
+    ssh, h, u = igw.initial_state(horz, k)
+    prog = PrognosticVars(
+        ssh=jnp.asarray(ssh.astype(dtype)),
+        layer_thickness=jnp.asarray(h.astype(dtype)),
+        normal_velocity=jnp.asarray(u.astype(dtype)),
+    )
+    sm = StructuredModel(mesh, nx, nx)
+    st = jax.device_put(sm.to_struct(prog), device)
+    smesh = jax.device_put(sm.struct_mesh, device)
+
+    def run():
+        out = pallas_tiled_run_loop(
+            st, smesh, dtype(30.0), steps, interpret=False, q=2
+        )
+        return float(out.ssh.sum())
+
+    t = _time_fn(run, reps)
+    return mesh.n_cells * k * steps / t, t / steps
+
+
 def main():
     from mpas_ocean_tpu.structured import StructuredModel
 
@@ -315,6 +389,14 @@ def main():
         sum(np.prod(x.shape) for x in jax.tree.leaves(sm.to_struct(prog)))
         * np.dtype(np.float32).itemsize
     )
+
+    if accel.platform == "tpu":
+        large_gps, large_spstep = measure_tiled_large(accel)
+        adj_steps = max(8, STEPS // 16)
+        t_adj = measure_adjoint(accel, sm, prog, dt, adj_steps)
+        adj_spstep = t_adj / adj_steps
+    else:
+        large_gps = large_spstep = adj_spstep = float("nan")
 
     # static halo-overlap profile of an 8-part decomposition of this mesh
     # (single real chip here; the sharded tests execute the same code on 8
@@ -365,6 +447,10 @@ def main():
                     * k_steps
                     / t_kelvin_mat,
                     "cpu_gridpoints_per_sec": cpu_value,
+                    "large_mesh_tiled_gridpoints_per_sec": large_gps,
+                    "large_mesh_tiled_seconds_per_step": large_spstep,
+                    "large_mesh_config": "256x256 hex, 100 levels (HBM-streaming tiled path)",
+                    "adjoint_rollout_seconds_per_step": adj_spstep,
                     "roofline": {
                         "vpu_peak_tflops_measured": vpu_peak / 1e12,
                         "hbm_peak_gbps_measured": hbm_peak / 1e9,

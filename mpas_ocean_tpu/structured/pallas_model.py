@@ -292,10 +292,14 @@ def pallas_run_loop(
 
 
 def _tiled_step_kernel(
-    ssh_ref, h_ref, u_ref, f_ref,
-    ssh_t, h_t, u_t, f_t, ssh_b, h_b, u_b, f_b, rts_ref, *rest,
-    terms, rows, consts, masked,
+    ssh_ref, h_ref, u_ref, f_ref, rts_ref,
+    ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
+    terms, rows, consts, masked, q,
 ):
+    """``q``-step temporal blocking: the tile carries q halo rows per side
+    and advances q timesteps per kernel invocation, shrinking the valid
+    window by one row per side per step — q-fold fewer HBM passes over the
+    state for O(q^2) extra boundary-row compute (q(q-1) of q*rows rows)."""
     from .sharded import _step_slab
 
     def pad(center, top, bot, c):
@@ -303,10 +307,10 @@ def _tiled_step_kernel(
 
     if masked:
         m_ref, m_t, m_b, ssh_out, h_out, u_out = rest
-        masks = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
+        masks_full = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
     else:
         ssh_out, h_out, u_out = rest
-        masks = None
+        masks_full = None
 
     # scalars are compile-time constants: an SMEM scalar input would need a
     # rank-2 index map under the tile grid, which Mosaic fails to legalize
@@ -321,65 +325,90 @@ def _tiled_step_kernel(
     ssh = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
     h = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
     u = tuple(pad(u_ref, u_t, u_b, c) for c in range(6))
-    f_edge = tuple(pad(f_ref, f_t, f_b, c) for c in range(6))
-    rts = tuple(rts_ref[p] for p in range(2))
+    f_full = tuple(pad(f_ref, f_t, f_b, c) for c in range(6))
+    rts_full = tuple(pad(rts_ref, rts_t, rts_b, p) for p in range(2))
 
-    # rts is interior-only; _step_slab slices it with _interior, so feed a
-    # dummy-padded version
-    rts_padded = tuple(
-        jnp.concatenate([r[:1], r, r[:1]], axis=0) for r in rts
-    )
-    ssh_n, h_n, u_n = _step_slab(
-        ssh, h, u, f_edge, rts_padded, dt, inv_dc, s_div, terms, rows, masks
-    )
+    full = rows + 2 * q
+    for j in range(q):
+        rows_j = rows + 2 * (q - 1 - j)
+        win = lambda t: tuple(x[j : full - j] for x in t)
+        ssh, h, u = _step_slab(
+            ssh, h, u, win(f_full), win(rts_full),
+            dt, inv_dc, s_div, terms, rows_j,
+            win(masks_full) if masked else None,
+        )
     for p in range(2):
-        ssh_out[p] = ssh_n[p]
-        h_out[p] = h_n[p]
+        ssh_out[p] = ssh[p]
+        h_out[p] = h[p]
     for c in range(6):
-        u_out[c] = u_n[c]
+        u_out[c] = u[c]
 
 
-def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int) -> int:
+def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1) -> int:
     """Largest divisor of ny2 whose tile fits the VMEM budget.
 
-    Cost model: ~80 plane-tiles of (rt, nx, k_pad) — 18 input + 10 output
-    block planes double-buffered by the pipeline, plus ~24 planes of step
-    temporaries. Trailing-singleton fields pad to a full 128-lane tile, so
-    they count at the same k_pad as the 3-D fields."""
+    Cost model: ~80 plane-tiles of (rt + 2q, nx, k_pad) — 18 input + 10
+    output block planes double-buffered by the pipeline, plus ~24 planes of
+    step temporaries. Trailing-singleton fields pad to a full 128-lane
+    tile, so they count at the same k_pad as the 3-D fields."""
     k_pad = -(-k // 128) * 128
     for t in range(1, ny2 + 1):
         if ny2 % t:
             continue
         rt = ny2 // t
-        if 80 * rt * nx * k_pad * itemsize <= int(0.9 * _VMEM_BUDGET):
+        if 80 * (rt + 2 * q) * nx * k_pad * itemsize <= int(0.9 * _VMEM_BUDGET):
             return rt
     return 1
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("terms", "row_tile", "n_steps", "interpret", "consts"),
+    static_argnames=(
+        "terms", "row_tile", "n_steps", "interpret", "consts", "q"
+    ),
 )
 def _pallas_tiled_rollout(
     ssh, h, u, f_edge, rts, mask=None, *,
-    terms, row_tile, n_steps, interpret, consts,
+    terms, row_tile, n_steps, interpret, consts, q=1,
 ):
     masked = mask is not None
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
     n_tiles = ny2 // rt
     kernel = functools.partial(
-        _tiled_step_kernel, terms=terms, rows=rt, consts=consts, masked=masked
+        _tiled_step_kernel, terms=terms, rows=rt, consts=consts,
+        masked=masked, q=q,
     )
 
     def halos(x):
-        """(planes, ny2, nx, tr) -> top/bottom halo rows per tile,
-        (planes, n_tiles, nx, tr) each, via strided slices."""
-        top = jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)[:, ::rt]
-        bot = jnp.concatenate([x[:, rt:], x[:, :rt]], axis=1)[:, ::rt]
-        return top, bot
+        """(planes, ny2, nx, tr) -> top/bottom q-row halo blocks per tile,
+        (planes, n_tiles*q, nx, tr) each, grouped per tile. Tile t's top
+        halo is rows (t*rt - q .. t*rt - 1) mod ny2, its bottom rows
+        ((t+1)*rt .. (t+1)*rt + q - 1) mod ny2 — extracted with strided
+        slices directly (an earlier version rolled the FULL array first,
+        adding two whole-state HBM passes per field per step)."""
+
+        def rows_at(offsets):
+            cols = []
+            for off in offsets:
+                o = off % rt
+                shift = (off - o) // rt  # tile shift of the strided slice
+                base = x[:, o::rt]  # (planes, n_tiles, nx, tr): row t*rt+o
+                sh = shift % n_tiles
+                if sh:
+                    base = jnp.concatenate(
+                        [base[:, sh:], base[:, :sh]], axis=1
+                    )
+                cols.append(base)
+            stacked = jnp.stack(cols, axis=2)  # (planes, T, q, nx, tr)
+            return stacked.reshape(
+                x.shape[0], n_tiles * len(offsets), *x.shape[2:]
+            )
+
+        return rows_at(range(-q, 0)), rows_at(range(rt, rt + q))
 
     f_t, f_b = halos(f_edge)
+    rts_t, rts_b = halos(rts)
     if masked:
         m_t, m_b = halos(mask)
 
@@ -393,9 +422,16 @@ def _pallas_tiled_rollout(
 
     def halo_spec(planes, tr):
         return pl.BlockSpec(
-            (planes, 1, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            (planes, q, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
             memory_space=pltpu.VMEM,
         )
+
+    def group():
+        # (ssh, h, u, f, rts) halo blocks
+        return [
+            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
+            halo_spec(6, 1), halo_spec(2, 1),
+        ]
 
     step_call = pl.pallas_call(
         kernel,
@@ -410,10 +446,9 @@ def _pallas_tiled_rollout(
             center_spec(2, rt, k),   # h
             center_spec(6, rt, k),   # u
             center_spec(6, rt, 1),   # f
-            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k), halo_spec(6, 1),
-            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k), halo_spec(6, 1),
             center_spec(2, rt, 1),   # rts
         ]
+        + group() + group()          # top halos, bottom halos
         + ([center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
            if masked else []),
         out_specs=(
@@ -424,8 +459,13 @@ def _pallas_tiled_rollout(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET
         ),
+        # each tile reads its own center block and writes its own: in-place
+        # is safe, and donation avoids a whole-state copy per scan step
+        input_output_aliases={0: 0, 1: 1, 2: 2},
         interpret=interpret,
     )
+
+    assert n_steps % q == 0
 
     def body(carry, _):
         ssh_c, h_c, u_c = carry
@@ -433,31 +473,43 @@ def _pallas_tiled_rollout(
         h_t, h_b = halos(h_c)
         u_t, u_b = halos(u_c)
         args = (
-            ssh_c, h_c, u_c, f_edge,
-            ssh_t, h_t, u_t, f_t, ssh_b, h_b, u_b, f_b, rts,
+            ssh_c, h_c, u_c, f_edge, rts,
+            ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
         ) + ((mask, m_t, m_b) if masked else ())
         out = step_call(*args)
         return out, None
 
-    (ssh_f, h_f, u_f), _ = jax.lax.scan(body, (ssh, h, u), length=n_steps)
+    (ssh_f, h_f, u_f), _ = jax.lax.scan(body, (ssh, h, u), length=n_steps // q)
     return ssh_f, h_f, u_f
 
 
 def pallas_tiled_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
-    *, row_tile: int | None = None, interpret=None,
+    *, row_tile: int | None = None, interpret=None, q: int | None = None,
 ) -> StructState:
-    """Fused-step rollout for meshes of ANY size: one Pallas call per step,
-    gridded over row tiles with per-tile halo rows."""
+    """Fused-step rollout for meshes of ANY size: one Pallas call per q
+    timesteps, gridded over row tiles with q-row halos (temporal blocking —
+    q-fold fewer HBM passes over the state for O(q^2) extra boundary-row
+    compute; measured 4.5 -> 7.1 Gp/s at q=2 on a 256x256x100 mesh on v5e;
+    q >= 4 overflows the scoped-VMEM budget at that size)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ny2, nx = mesh.ny2, mesh.nx
     k = state.layer_thickness.shape[-1]
     dtype = state.layer_thickness.dtype
+    if q is None:
+        q = 1
+    q = max(1, min(int(q), n_steps))
+    while n_steps % q:
+        q -= 1
     if row_tile is None:
-        row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize)
+        row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize, q)
     if ny2 % row_tile:
         raise ValueError(f"row_tile {row_tile} must divide ny2={ny2}")
+    if row_tile + 2 * q > ny2:
+        q = max(1, (ny2 - row_tile) // 2)
+        while n_steps % q:
+            q -= 1
     ssh = state.ssh[..., None]
     h = state.layer_thickness
     u = state.normal_velocity.reshape(6, ny2, nx, k)
@@ -486,7 +538,7 @@ def pallas_tiled_run_loop(
     ssh_f, h_f, u_f = _pallas_tiled_rollout(
         ssh, h, u, f_edge, rts, mask,
         terms=mesh.coriolis_terms, row_tile=int(row_tile),
-        n_steps=n_steps, interpret=bool(interpret), consts=consts,
+        n_steps=n_steps, interpret=bool(interpret), consts=consts, q=int(q),
     )
     return StructState(
         ssh=ssh_f[..., 0],
@@ -509,7 +561,7 @@ def structured_auto_run_loop(
     k = state.layer_thickness.shape[-1]
     if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize):
         return pallas_run_loop(state, mesh, dt, n_steps, interpret=False)
-    return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False)
+    return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False, q=2)
 
 
 def _checkpointed_roll_rollout(

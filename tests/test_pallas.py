@@ -178,3 +178,66 @@ def test_pallas_rollout_diff_grad_masked_channel():
     r = jax.grad(obj_roll)(st)
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-13)
+
+
+@pytest.mark.parametrize("q", [2, 3])
+def test_pallas_tiled_temporal_blocking_matches_roll(setup, q):
+    """q-step temporal blocking (q halo rows, q steps per kernel call) must
+    reproduce the roll model exactly."""
+    from mpas_ocean_tpu.structured import pallas_tiled_run_loop
+
+    sm, st = setup
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 10.0, n, row_tile=2, interpret=True, q=q
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_pallas_tiled_temporal_blocking_masked_channel():
+    """Temporal blocking together with the wall mask (Kelvin channel)."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.structured import StructuredModel, pallas_tiled_run_loop
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+
+    nx = ny = 16
+    dc = 1000.0
+    horz = planar_hex_mesh(nx, ny, dc, f0=1e-4)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=2,
+        resting_thickness=np.full((chan.n_cells, 2), 500.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, ny, parent_horz=horz, keep_cells=keep)
+    rng = np.random.default_rng(9)
+    h = np.full((chan.n_cells, 2), 500.0) + 0.1 * rng.normal(size=(chan.n_cells, 2))
+    u = 0.01 * rng.normal(size=(chan.n_edges, 2))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, 6)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 10.0, 6, row_tile=4, interpret=True, q=2
+    )
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh), atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        atol=1e-13,
+    )
