@@ -135,8 +135,9 @@ class ShardedStructuredModel:
     ppermutes are issued, and the remaining R-2 interior rows are stepped
     while the collectives are in flight — XLA's latency-hiding scheduler
     turns the ppermutes into collective-permute-start/done pairs around the
-    independent interior work. Row values are identical either way (each
-    row's update reads only its 1-ring, so the split is exact).
+    independent interior work. Row values are identical either way up to
+    XLA's FMA contraction choices (each row's update reads only its
+    1-ring, so the split itself is exact; tests pin agreement at 1e-12).
     """
 
     AXIS = "rows"

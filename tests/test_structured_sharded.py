@@ -69,3 +69,54 @@ def test_indivisible_rows_raise(setup):
     sm, _ = setup
     with pytest.raises(ValueError, match="divisible"):
         ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:3])
+
+
+def test_sharded_structured_overlap_masked_channel():
+    """Overlapped slab stepping (boundary strips -> ppermutes -> interior)
+    combined with the wall mask: equal to the serial schedule to roundoff
+    (XLA may contract mul+add into FMA differently between the two
+    programs — 1 ulp) and to the global masked rollout (2 devices so
+    rows >= 3 activates overlap)."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+
+    dc = 1000.0
+    horz = planar_hex_mesh(NX, NY, dc, f0=1e-4)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=K, resting_thickness=np.full((chan.n_cells, K), 10.0)
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, NX, NY, parent_horz=horz, keep_cells=keep)
+    rng = np.random.default_rng(6)
+    h = np.full((chan.n_cells, K), 10.0) + 0.01 * rng.normal(size=(chan.n_cells, K))
+    u = 0.01 * rng.normal(size=(chan.n_edges, K))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n)
+    devs = jax.devices()[:2]
+    a = ShardedStructuredModel(sm.struct_mesh, devices=devs, overlap=True)
+    assert a.rows >= 3  # overlap path active
+    b = ShardedStructuredModel(sm.struct_mesh, devices=devs, overlap=False)
+    out_a = a.gather(a.run(a.scatter(st), 10.0, n))
+    out_b = b.gather(b.run(b.scatter(st), 10.0, n))
+    for x, y_ in zip(jax.tree.leaves(out_a), jax.tree.leaves(out_b)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y_), rtol=0, atol=1e-14
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_a.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-12,
+    )
