@@ -190,3 +190,20 @@ def test_overlap_matches_serial_exchange(igw_mesh, igw_prog, exchange):
     out_b = b.gather(b.run(b.scatter(igw_prog), dt, n))
     for x, y in zip(jax.tree.leaves(out_a), jax.tree.leaves(out_b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_scaling_harness_smoke():
+    """Weak-scaling harness executes end-to-end on the virtual device mesh
+    (numbers are not meaningful on CPU; the code path and bookkeeping are)."""
+    from mpas_ocean_tpu.tools.scaling import measure_scaling
+
+    recs = measure_scaling(
+        rows_per_device=4, nx=16, levels=2, steps=4, device_counts=[1, 2]
+    )
+    assert [r["devices"] for r in recs] == [1, 2]
+    assert recs[0]["efficiency"] == 1.0
+    for r in recs:
+        assert np.isfinite(r["gridpoints_per_sec"])
+        assert np.isfinite(r["checksum"])
+    # weak scaling: per-device size constant, global size doubles
+    assert recs[1]["gridpoints"] == 2 * recs[0]["gridpoints"]
