@@ -57,22 +57,39 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
     t0 = _time.perf_counter()
     outputs = None
     series = None
+    want_interval_outputs = bool(
+        output_every and n_steps % output_every == 0 and n_steps > output_every
+    )
     if monitor is not None:
         from ..infra.monitor import check_health, write_jsonl
         from .run_loop import ocn_run_loop_with_monitor
 
         every = output_every or max(1, n_steps // 10)
-        while n_steps % every:
-            every -= 1
-        prog, series = ocn_run_loop_with_monitor(
-            prog, mesh, dtype(dt), n_steps, every, setup.integrator
-        )
+        if n_steps % every:
+            # sampling cadence must divide n_steps: snap to the nearest
+            # divisor and say so (never silently rewrite the cadence)
+            every = min(
+                (d for d in range(1, n_steps + 1) if n_steps % d == 0),
+                key=lambda d: abs(d - every),
+            )
+            print(f"monitor: sampling every {every} steps (nearest divisor)")
+        if want_interval_outputs:
+            # one rollout yields metrics AND the interval output snapshots
+            every = output_every
+            prog, series, outputs = ocn_run_loop_with_monitor(
+                prog, mesh, dtype(dt), n_steps, every,
+                setup.integrator, snapshots=True,
+            )
+        else:
+            prog, series = ocn_run_loop_with_monitor(
+                prog, mesh, dtype(dt), n_steps, every, setup.integrator
+            )
         jax.block_until_ready(prog)
         write_jsonl(monitor, series, dt, every)
         for w in check_health(jax.tree.map(np.asarray, series)):
             print(f"MONITOR WARNING: {w}")
         print(f"monitor series written: {monitor}")
-    elif output_every and n_steps % output_every == 0 and n_steps > output_every:
+    elif want_interval_outputs:
         n_outputs = n_steps // output_every
         prog, outputs = ocn_run_loop_with_outputs(
             prog, mesh, dtype(dt), n_steps, n_outputs, setup.integrator
@@ -157,8 +174,12 @@ def main(argv=None):
     monitor = None
     if "--monitor" in argv:
         i = argv.index("--monitor")
-        monitor = argv[i + 1]
-        del argv[i : i + 2]
+        if i + 1 >= len(argv):
+            print("--monitor requires a file argument")
+            argv = []  # fall through to the usage message
+        else:
+            monitor = argv[i + 1]
+            del argv[i : i + 2]
     if len(argv) != 1 or not os.path.isfile(argv[0]):
         print(
             "usage: python -m mpas_ocean_tpu.forward.driver "

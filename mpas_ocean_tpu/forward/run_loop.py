@@ -82,7 +82,7 @@ def ocn_run_loop_with_outputs(
     return final, outputs
 
 
-@partial(jax.jit, static_argnames=("n_steps", "every", "method"))
+@partial(jax.jit, static_argnames=("n_steps", "every", "method", "snapshots"))
 def ocn_run_loop_with_monitor(
     prog: PrognosticVars,
     mesh,
@@ -90,12 +90,15 @@ def ocn_run_loop_with_monitor(
     n_steps: int,
     every: int,
     method=ForwardEuler,
+    snapshots: bool = False,
 ):
     """Rollout that also samples physics health metrics every ``every``
     steps, ON DEVICE inside the scan (total volume, total kinetic energy,
     max |u|, ssh RMS) — the in-run observability tier the reference lacks
     entirely (SURVEY section 5: 'metrics/logging: stdlib Logging + final
-    NetCDF only'). Returns (final_state, dict of (n_samples,) arrays).
+    NetCDF only'). Returns (final_state, dict of (n_samples,) arrays), plus
+    the stacked state at each sample point when ``snapshots=True`` (so
+    monitoring composes with periodic NetCDF output in one rollout).
 
     Conservation drift and blow-up are visible from the series without
     writing a single output file; infra/monitor.py renders/logs it.
@@ -119,7 +122,10 @@ def ocn_run_loop_with_monitor(
             "max_abs_u": jnp.max(jnp.abs(p.normal_velocity)),
             "ssh_rms": jnp.sqrt(jnp.mean(p.ssh * p.ssh)),
         }
-        return p, stats
+        return p, (stats, p) if snapshots else stats
 
-    final, series = jax.lax.scan(outer, prog, length=n_steps // every)
-    return final, series
+    final, out = jax.lax.scan(outer, prog, length=n_steps // every)
+    if snapshots:
+        series, snaps = out
+        return final, series, snaps
+    return final, out

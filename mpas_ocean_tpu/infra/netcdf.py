@@ -31,6 +31,14 @@ class NCData:
         return self.variables[name]
 
 
+def _join_char_array(data: np.ndarray):
+    """Join a NetCDF char array (MPAS xtime timestamps) over its trailing
+    StrLen axis into python strings per leading record."""
+    flat = data.reshape(-1, data.shape[-1]) if data.ndim > 1 else data[None]
+    strings = np.array([b"".join(row).decode().strip("\x00 ") for row in flat])
+    return strings.reshape(data.shape[:-1]) if data.ndim > 1 else strings[0]
+
+
 def _read_netcdf3(path: str) -> NCData:
     from scipy.io import netcdf_file
 
@@ -40,15 +48,7 @@ def _read_netcdf3(path: str) -> NCData:
         for name, var in f.variables.items():
             data = np.array(var[:])  # copy out of the closed file
             if data.dtype.kind == "S":
-                # char arrays (MPAS xtime timestamps): join the trailing
-                # StrLen axis into python strings per leading record
-                flat = data.reshape(-1, data.shape[-1]) if data.ndim > 1 else data[None]
-                strings = np.array(
-                    [b"".join(row).decode().strip("\x00 ") for row in flat]
-                )
-                variables[name] = (
-                    strings.reshape(data.shape[:-1]) if data.ndim > 1 else strings[0]
-                )
+                variables[name] = _join_char_array(data)
                 continue
             variables[name] = data
         attrs = {
@@ -75,7 +75,10 @@ def _read_netcdf4(path: str) -> NCData:
             if item.attrs.get("CLASS") == b"DIMENSION_SCALE":
                 dims[name] = item.shape[0] if item.shape else int(item[()])
             else:
-                variables[name] = item[...]
+                data = item[...]
+                if getattr(data, "dtype", None) is not None and data.dtype.kind == "S":
+                    data = _join_char_array(np.asarray(data))
+                variables[name] = data
         # recover dims from DIMENSION_LIST attachments when present
         for name, item in f.items():
             if isinstance(item, h5py.Dataset) and "DIMENSION_LIST" in item.attrs:

@@ -88,7 +88,6 @@ def build_boundary_mini(part):
     emask_slot = np.asarray(lm.cells.edge_mask_on_cell) > 0
 
     cell_rows, edge_rows = [], []
-    cpos_rows, epos_rows = [], []
     for p in range(P):
         send_c = np.unique(part.cell_send[p])
         send_c = send_c[send_c != c_dump_l]
@@ -109,8 +108,6 @@ def build_boundary_mini(part):
 
         cell_rows.append(need_c)
         edge_rows.append(need_e)
-        cpos_rows.append((send_c, need_c))
-        epos_rows.append((send_e, need_e))
 
     Cm = max(1, max(len(r) for r in cell_rows)) + 1  # + mini dump slot
     Em = max(1, max(len(r) for r in edge_rows)) + 1

@@ -20,12 +20,16 @@ __all__ = ["partition_stats", "format_stats"]
 
 
 def partition_stats(part: PartitionedMesh, itemsize: int = 4,
-                    n_vert_levels: int | None = None) -> dict:
+                    n_vert_levels: int | None = None,
+                    overlap: bool = True) -> dict:
     """Static communication/balance profile of a partition.
 
     Returns a dict with load-balance factors, halo fractions, and the exact
     per-step ppermute traffic (bytes, per device, using ``itemsize`` bytes
-    per value and ``n_vert_levels`` levels per column).
+    per value and ``n_vert_levels`` levels per column). ``overlap=True``
+    additionally builds the boundary mini mesh (a host-side pass over every
+    part's boundary) to report overlap/redundancy fractions; pass False to
+    skip that cost when only traffic/balance numbers are needed.
     """
     K = n_vert_levels if n_vert_levels is not None else part.local_mesh.n_vert_levels
     owned_c = part.n_owned_cells.astype(np.int64)
@@ -55,13 +59,22 @@ def partition_stats(part: PartitionedMesh, itemsize: int = 4,
     # is scheduled while they fly. overlappable_compute_frac = share of the
     # per-step element-updates that are independent of the exchange;
     # mini_redundancy_frac = extra work the early boundary pass re-does.
-    from .overlap import build_boundary_mini
+    overlap_stats = {}
+    if overlap:
+        from .overlap import build_boundary_mini
 
-    mini, _, _ = build_boundary_mini(part)
-    mini_cells = mini.cell_from_local.shape[1]
-    mini_edges = mini.edge_from_local.shape[1]
-    local_elems = int((part.n_local_cells + part.n_local_edges).max())
-    mini_elems = mini_cells + mini_edges
+        mini, _, _ = build_boundary_mini(part)
+        mini_cells = mini.cell_from_local.shape[1]
+        mini_edges = mini.edge_from_local.shape[1]
+        local_elems = int((part.n_local_cells + part.n_local_edges).max())
+        mini_elems = mini_cells + mini_edges
+        overlap_stats = {
+            "overlappable_compute_frac": float(
+                local_elems / (local_elems + mini_elems)
+            ),
+            "mini_redundancy_frac": float(mini_elems / local_elems),
+            "boundary_mini_elems_per_device": int(mini_elems),
+        }
     return {
         "n_parts": part.n_parts,
         "cells_owned": {
@@ -82,11 +95,7 @@ def partition_stats(part: PartitionedMesh, itemsize: int = 4,
             interior_work.max()
             / max(1, sum(r["bytes_per_device"] for r in per_round))
         ),
-        "overlappable_compute_frac": float(
-            local_elems / (local_elems + mini_elems)
-        ),
-        "mini_redundancy_frac": float(mini_elems / local_elems),
-        "boundary_mini_elems_per_device": int(mini_elems),
+        **overlap_stats,
     }
 
 
@@ -100,10 +109,13 @@ def format_stats(stats: dict) -> str:
         f"exchange: {len(stats['exchange_rounds'])} ppermute rounds, "
         f"{stats['exchange_bytes_per_device_per_step']} B/device/step, "
         f"{stats['cell_levels_per_exchanged_byte']:.2f} cell-levels/B",
-        f"overlap: {100 * stats['overlappable_compute_frac']:.1f}% of "
-        f"per-step element updates run while the exchange flies "
-        f"(+{100 * stats['mini_redundancy_frac']:.1f}% boundary-mini redundancy)",
     ]
+    if "overlappable_compute_frac" in stats:
+        lines.append(
+            f"overlap: {100 * stats['overlappable_compute_frac']:.1f}% of "
+            f"per-step element updates run while the exchange flies "
+            f"(+{100 * stats['mini_redundancy_frac']:.1f}% boundary-mini redundancy)"
+        )
     for r in stats["exchange_rounds"]:
         lines.append(
             f"  round shift={r['shift']}: {r['cells']} cells + "

@@ -58,8 +58,14 @@ def _load_output(path, mesh_path=None):
     u = u[pick] if (pick is not None and u.ndim == 3) else u
 
     coords = ds
-    if mesh_path is not None or "xCell" not in ds:
-        coords = read_netcdf(mesh_path if mesh_path is not None else path)
+    if mesh_path is not None:
+        coords = read_netcdf(mesh_path)
+    elif "xCell" not in ds:
+        raise ValueError(
+            f"{path}: no mesh coordinates (xCell) in the output — "
+            "MPAS-Fortran outputs keep them in a separate mesh file; "
+            "pass --mesh <mesh.nc>"
+        )
     return t, np.asarray(ssh), np.asarray(u), coords
 
 

@@ -87,12 +87,18 @@ def measure_scaling(
 
     records = []
     base = None
+    base_devices = None
+    strong_built = None
     for n in device_counts:
         if mode == "weak":
             ny = 2 * rows_per_device * n  # ny2 rows = rows_per_device * n
+            sm, st, gridpoints = _build(nx, ny, levels, dtype)
         else:
-            ny = 2 * rows_per_device * max(device_counts)
-        sm, st, gridpoints = _build(nx, ny, levels, dtype)
+            # global size fixed: build the mesh once, reuse across counts
+            if strong_built is None:
+                ny = 2 * rows_per_device * max(device_counts)
+                strong_built = _build(nx, ny, levels, dtype)
+            sm, st, gridpoints = strong_built
         ssm = ShardedStructuredModel(sm.struct_mesh, devices=devices[:n])
         local = ssm.scatter(st)
 
@@ -106,7 +112,11 @@ def measure_scaling(
         t = time.perf_counter() - t0
         thr = gridpoints * steps / t
         if base is None:
+            # efficiency is normalized to the SMALLEST measured count (per-
+            # device throughput there); when the sweep starts above 1 device
+            # the record says so instead of implying a 1-chip baseline
             base = thr / n
+            base_devices = n
         rec = {
             "devices": n,
             "mode": mode,
@@ -114,8 +124,10 @@ def measure_scaling(
             "gridpoints": gridpoints,
             "gridpoints_per_sec": thr,
             "seconds_per_step": t / steps,
-            "efficiency": thr / (n * base) if mode == "weak"
-            else (thr / base) / n,
+            # both modes: per-device throughput relative to the baseline
+            # count's per-device throughput
+            "efficiency": thr / (n * base),
+            "efficiency_baseline_devices": base_devices,
             "overlap": ssm.overlap_stats(levels, np.dtype(dtype).itemsize),
             "checksum": chk,
         }

@@ -175,16 +175,18 @@ def _netcdf3_to_hdf5(src, dst):
     from mpas_ocean_tpu.infra.netcdf import read_netcdf as _read
 
     ds = _read(src)
-    # recover each variable's dim names from the scipy reader
+    # copy the RAW variable data (char variables stay S1 arrays — the layout
+    # real NetCDF-4 files have) and dim names from the scipy reader
     from scipy.io import netcdf_file
 
     with netcdf_file(str(src), "r", mmap=False) as f:
         var_dims = {k: v.dimensions for k, v in f.variables.items()}
+        raw = {k: np.array(v[:]) for k, v in f.variables.items()}
     with h5py.File(dst, "w") as h:
         for name, size in ds.dims.items():
             d = h.create_dataset(name, data=np.zeros(size or 1))
             d.make_scale(name)
-        for name, arr in ds.variables.items():
+        for name, arr in raw.items():
             v = h.create_dataset(name, data=arr)
             for ax, dname in enumerate(var_dims[name]):
                 v.dims[ax].attach_scale(h[dname])
@@ -202,7 +204,7 @@ def test_netcdf4_h5py_read_branch(hex16, tmp_path):
     _netcdf3_to_hdf5(p3, p4)
 
     ds4 = read_netcdf(p4)
-    assert ds4.dims.get("nCells") == hex16.n_cells or True  # dims by name below
+    assert ds4.dims.get("nCells") == hex16.n_cells
 
     m3 = read_mpas_mesh(p3)
     m4 = read_mpas_mesh(p4)
@@ -316,6 +318,22 @@ def test_compare_reads_mpas_fortran_convention(tmp_path):
     assert result["rmse_ssh"] < 1e-12
     assert result["rmse_normalVelocity"] < 1e-12
 
+    # same file as NetCDF-4/HDF5: the h5py reader must join the xtime char
+    # array into timestamp strings too (real MPAS-Fortran outputs are HDF5)
+    h5py = pytest.importorskip("h5py")
+    out4_fp = tmp_path / "fortran_output4.nc"
+    _netcdf3_to_hdf5(out_fp, out4_fp)
+    result4, _ = compare_output(
+        out4_fp, "igw", lx=nx * dc / 1e3, mesh_path=mesh_fp
+    )
+    assert result4["time"] == t
+    assert result4["rmse_ssh"] < 1e-12
+
+    # a Fortran-convention output without inline coordinates and without
+    # --mesh must fail with a clear pointer to --mesh, not a bare KeyError
+    with pytest.raises(ValueError, match="--mesh"):
+        compare_output(out_fp, "igw", lx=nx * dc / 1e3)
+
 
 def test_monitor_series_and_health(tmp_path):
     """In-run monitor: device-sampled metric series, JSONL log, health
@@ -333,6 +351,10 @@ def test_monitor_series_and_health(tmp_path):
     ocn_run(cfg, monitor=str(mon))
     records = [json.loads(l) for l in open(mon)]
     assert len(records) >= 2
+    # monitoring must NOT suppress the configured interval outputs: the
+    # 4000s run at 2000s output interval writes one intermediate snapshot
+    assert (tmp_path / "output.0000.nc").exists()
+    assert (tmp_path / "output.nc").exists()
     for key in ("volume", "kinetic_energy", "max_abs_u", "ssh_rms", "time"):
         assert key in records[0]
     # volume conserved on the periodic IGW box
