@@ -269,10 +269,10 @@ def step_flops(sm, k: int) -> int:
 
 def measure_adjoint(device, sm, prog, dt, steps, reps: int = 1) -> float:
     """Whole-rollout adjoint timing: grad of sum(ssh_final^2) through the
-    differentiable fused rollout (pallas_rollout_diff — Pallas primal,
-    sqrt-checkpointed roll-model reverse). The reference times nothing, but
-    this is its Enzyme end-to-end reverse (test_Enzyme_end2end.jl) as a
-    production path."""
+    differentiable fused rollout (pallas_rollout_diff — checkpoint-saving
+    Pallas primal, fused Pallas reverse segments). The reference times
+    nothing, but this is its Enzyme end-to-end reverse
+    (test_Enzyme_end2end.jl) as a production path."""
     import jax.numpy as jnp
 
     from mpas_ocean_tpu.structured import pallas_rollout_diff

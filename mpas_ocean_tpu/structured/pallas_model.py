@@ -16,10 +16,13 @@ Math is identical to model.structured_step (tests assert agreement to
 roundoff); terminology and stencils come from hex_layout.py's
 machine-extracted tables.
 
-Differentiability: `pallas_step` is a custom-VJP wrapper whose forward pass
-is the fused kernel and whose backward pass is `jax.vjp` of the (equal-math)
-roll step — the pattern the reference needed hand-written Enzyme rules for
-(reference: ext/MPASEnzymeExt.jl:13-36).
+Differentiability: `pallas_rollout_diff` is a custom-VJP rollout whose
+forward saves coarse checkpoints while running the fused kernel and whose
+backward runs FUSED PALLAS ADJOINT SEGMENTS (in-kernel recompute +
+jax.vjp-derived transpose stencils, two-level checkpointing) — the whole-
+loop reverse the reference needs Enzyme plus hand-written rules for
+(reference: ext/MPASEnzymeExt.jl:13-36, test/enzyme/test_Enzyme_end2end.jl),
+at ~5x the fused forward cost instead of the ~18x of an HBM-bound reverse.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ from .hex_layout import E, NE, NW
 from .model import StructMesh, StructState, structured_step
 
 __all__ = [
+    "pallas_adjoint_rollout",
     "pallas_rollout_diff",
     "pallas_run_loop",
     "pallas_step",
@@ -564,6 +568,288 @@ def structured_auto_run_loop(
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False, q=2)
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas adjoint: the reverse sweep runs in VMEM too.
+#
+# The reverse of an n-step rollout needs the primal state at every step
+# (the thickness flux u*h is bilinear). Instead of replaying the HBM-bound
+# roll model (the round-1 fallback, ~18x the fused forward cost), the
+# rollout is checkpointed at two levels and each b-step segment is reversed
+# by ONE Pallas kernel that (a) recomputes the b primal states into VMEM
+# from the segment checkpoint and (b) runs b adjoint steps — the adjoint
+# step is jax.vjp of the same `_step_planes` math, traced INSIDE the
+# kernel, so the transpose stencils fuse on the VPU exactly like the
+# forward ones. (reference: the Enzyme whole-loop reverse,
+# test/enzyme/test_Enzyme_end2end.jl:78-92 — here it runs at a small
+# multiple of the fused forward speed instead of the host-loop speed.)
+# ---------------------------------------------------------------------------
+
+
+def _adjoint_segment_kernel(
+    scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
+    gs_ref, gh_ref, gu_ref, *rest, terms, b, masked,
+):
+    """Reverse one b-step segment: inputs are the segment-start primal state
+    and the cotangent at the segment end; outputs the cotangent at the
+    segment start plus the segment's d(dt) contribution."""
+    if masked:
+        mask_ref, gs_out, gh_out, gu_out, ddt_out = rest
+        masks = tuple(mask_ref[c] for c in range(6))
+    else:
+        gs_out, gh_out, gu_out, ddt_out = rest
+        masks = None
+    dt = scal_ref[0, 0]
+    inv_dc = scal_ref[0, 1]
+    s_div = scal_ref[0, 2]
+    f_edge = tuple(f_ref[c] for c in range(6))
+    rts = tuple(rts_ref[p] for p in range(2))
+
+    def step_fn(s, t):
+        ssh, h, u = s
+        return _step_planes(
+            ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks
+        )
+
+    # forward recompute: b primal states live in VMEM (b is chosen so they
+    # fit; the segment checkpoint is state[0])
+    states = [(
+        tuple(ssh_ref[p] for p in range(2)),
+        tuple(h_ref[p] for p in range(2)),
+        tuple(u_ref[c] for c in range(6)),
+    )]
+    for _ in range(b - 1):
+        states.append(step_fn(states[-1], dt))
+
+    cot = (
+        tuple(gs_ref[p] for p in range(2)),
+        tuple(gh_ref[p] for p in range(2)),
+        tuple(gu_ref[c] for c in range(6)),
+    )
+    ddt = jnp.zeros((), dt.dtype)
+    for j in range(b - 1, -1, -1):
+        _, vjp = jax.vjp(step_fn, states[j], dt)
+        cot, ddt_j = vjp(cot)
+        ddt = ddt + ddt_j
+    for p in range(2):
+        gs_out[p] = cot[0][p]
+        gh_out[p] = cot[1][p]
+    for c in range(6):
+        gu_out[c] = cot[2][c]
+    ddt_out[...] = ddt[None, None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("terms", "b", "interpret")
+)
+def _adjoint_segment(
+    ckpt, cot, f_edge, rts, scal, mask, *, terms, b, interpret
+):
+    """One fused reverse-segment call: (ckpt, cot_end) -> (cot_start, ddt)."""
+    ssh, h, u = ckpt
+    gs, gh, gu = cot
+    masked = mask is not None
+    kernel = functools.partial(
+        _adjoint_segment_kernel, terms=terms, b=b, masked=masked
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = (scal, ssh, h, u, f_edge, rts, gs, gh, gu) + (
+        (mask,) if masked else ()
+    )
+    n_in = len(operands)
+    ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
+    flops_step = step_flop_count(ny2, nx, k, len(terms), masked)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(gs.shape, gs.dtype),
+            jax.ShapeDtypeStruct(gh.shape, gh.dtype),
+            jax.ShapeDtypeStruct(gu.shape, gu.dtype),
+            jax.ShapeDtypeStruct((1, 1), scal.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vmem] * (n_in - 1),
+        out_specs=(vmem, vmem, vmem, vmem),
+        cost_estimate=pl.CostEstimate(
+            # recompute b forward steps + ~2x for the transposed stencils
+            flops=3 * flops_step * b,
+            bytes_accessed=2 * (gs.size + gh.size + gu.size) * gs.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_ADJ_VMEM_BUDGET
+        ),
+        input_output_aliases={6: 0, 7: 1, 8: 2},
+        interpret=interpret,
+    )(*operands)
+    gs2, gh2, gu2, ddt = out
+    return (gs2, gh2, gu2), ddt[0, 0]
+
+
+# the adjoint segment kernel is the VMEM-hungriest thing in the repo (b
+# resident primal states + per-step vjp residuals). Its kernel stack must
+# leave room for the pallas in/out window allocations (~28 planes of single-
+# buffered whole-array windows) within the physical 128 MB/core: a 110 MB
+# stack budget compiles but OOMs the chip at link time.
+_ADJ_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int):
+    """Pick (b, m): segments of b steps reversed in-VMEM, grouped m segments
+    per outer checkpoint. b: largest divisor of n_steps whose b resident
+    primal states + working set fit the VMEM budget; m: divisor of
+    n_steps//b nearest sqrt (balances outer-checkpoint HBM against inner
+    rebuild frequency). Returns None when even b=1 does not fit."""
+    k_pad = -(-k // 128) * 128
+    plane = ny2 * nx * k_pad * itemsize
+    # measured Mosaic stack footprint on the 64x64x100 headline config:
+    # ~(42 + 21.3*b) plane-equivalents (b resident states at 8 planes plus
+    # ~13 planes of per-step vjp residuals each, plus the base working set)
+    b_max = int((_ADJ_VMEM_BUDGET / plane - 44) // 22)
+    if b_max < 1:
+        return None
+    b = max(d for d in range(1, min(b_max, n_steps) + 1) if n_steps % d == 0)
+    s = n_steps // b
+    target = max(1, int(np.sqrt(s)))
+    m = min(
+        (d for d in range(1, s + 1) if s % d == 0),
+        key=lambda d: abs(d - target),
+    )
+    return b, m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("terms", "n_steps", "big", "interpret"),
+)
+def _pallas_forward_ckpts(
+    ssh0, h0, u0, f_edge, rts, scal, mask=None,
+    *, terms, n_steps, big, interpret,
+):
+    """Fused forward in ``big``-step segments, emitting the state at the
+    start of each segment (the outer checkpoints the reverse sweep needs).
+    Bitwise-identical to one fused call — same per-step arithmetic, just
+    interleaved with HBM checkpoint writes."""
+    n_out = n_steps // big
+    assert n_out * big == n_steps, (n_steps, big)
+
+    def fwd_outer(c, _):
+        s_, h_, u_ = c
+        o = _pallas_rollout(
+            s_, h_, u_, f_edge, rts, scal, mask,
+            terms=terms, n_steps=big, interpret=interpret,
+        )
+        return o, c  # emit the group's START state
+
+    final, outer_ckpts = jax.lax.scan(fwd_outer, (ssh0, h0, u0), length=n_out)
+    return final, outer_ckpts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("terms", "b", "m", "interpret"),
+)
+def _pallas_adjoint_from_ckpts(
+    outer_ckpts, f_edge, rts, scal, gs, gh, gu, mask=None,
+    *, terms, b, m, interpret,
+):
+    """Reverse sweep given the outer checkpoints: per outer group (reversed),
+    rebuild the m inner checkpoints with the fused forward kernel, then
+    reverse-scan the fused adjoint segment kernel over them.
+    Returns ((cot_ssh, cot_h, cot_u), d_dt)."""
+
+    def rev_outer(carry, ckpt):
+        cot, ddt = carry
+
+        def fwd_inner(c, _):
+            s_, h_, u_ = c
+            o = _pallas_rollout(
+                s_, h_, u_, f_edge, rts, scal, mask,
+                terms=terms, n_steps=b, interpret=interpret,
+            )
+            return o, c
+
+        _, inner_ckpts = jax.lax.scan(fwd_inner, ckpt, length=m)
+
+        def rev_inner(carry2, ick):
+            cot2, ddt2 = carry2
+            cot2, ddt_j = _adjoint_segment(
+                ick, cot2, f_edge, rts, scal, mask,
+                terms=terms, b=b, interpret=interpret,
+            )
+            return (cot2, ddt2 + ddt_j), None
+
+        (cot, ddt), _ = jax.lax.scan(
+            rev_inner, (cot, ddt), inner_ckpts, reverse=True
+        )
+        return (cot, ddt), None
+
+    (cot, ddt), _ = jax.lax.scan(
+        rev_outer, ((gs, gh, gu), jnp.zeros((), scal.dtype)),
+        outer_ckpts, reverse=True,
+    )
+    return cot, ddt
+
+
+def _adjoint_aux(mesh: StructMesh, dt, dtype):
+    """Plane-layout constant fields the adjoint kernels need."""
+    ny2, nx = mesh.ny2, mesh.nx
+    f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
+    rts = mesh.resting_thickness_sum[..., None].astype(dtype)
+    mask = (
+        None
+        if mesh.edge_mask is None
+        else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+    )
+    return f_edge, rts, _scal(mesh, dt, dtype), mask
+
+
+def _cot_from_planes(gs, gh, gu, ny2, nx, k):
+    return StructState(
+        ssh=gs[..., 0],
+        layer_thickness=gh,
+        normal_velocity=gu.reshape(3, 2, ny2, nx, k),
+    )
+
+
+def pallas_adjoint_rollout(
+    state: StructState, mesh: StructMesh, dt, n_steps: int, g: StructState,
+    *, plan=None, interpret=None,
+):
+    """Fused-kernel VJP of an n-step rollout: given the rollout's input
+    ``state`` and an output cotangent ``g``, returns (d_state, d_dt) — the
+    reverse sweep runs in Pallas segment kernels (see module comment).
+    ``interpret=True`` runs the kernels in interpret mode (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ny2, nx = mesh.ny2, mesh.nx
+    k = state.layer_thickness.shape[-1]
+    dtype = state.layer_thickness.dtype
+    if plan is None:
+        plan = _adjoint_plan(n_steps, ny2, nx, k, dtype.itemsize)
+    if plan is None:
+        raise ValueError("state too large for the fused adjoint segments")
+    b, m = plan
+    f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+    _, ckpts = _pallas_forward_ckpts(
+        state.ssh[..., None],
+        state.layer_thickness,
+        state.normal_velocity.reshape(6, ny2, nx, k),
+        f_edge, rts, scal, mask,
+        terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
+        interpret=bool(interpret),
+    )
+    (gs, gh, gu), ddt = _pallas_adjoint_from_ckpts(
+        ckpts, f_edge, rts, scal,
+        g.ssh[..., None].astype(dtype),
+        g.layer_thickness.astype(dtype),
+        g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
+        mask,
+        terms=mesh.coriolis_terms, b=b, m=m, interpret=bool(interpret),
+    )
+    d_state = _cot_from_planes(gs, gh, gu, ny2, nx, k)
+    return d_state, ddt.astype(jnp.asarray(dt).dtype)
+
+
 def _checkpointed_roll_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int
 ) -> StructState:
@@ -601,12 +887,66 @@ def pallas_rollout_diff(
     return structured_auto_run_loop(state, mesh, dt, n_steps)
 
 
+def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int):
+    """(b, m) when the fused adjoint applies on this backend/size, else None."""
+    k = state.layer_thickness.shape[-1]
+    itemsize = state.layer_thickness.dtype.itemsize
+    if jax.default_backend() != "tpu" or not fits_in_vmem(mesh, k, itemsize):
+        return None
+    return _adjoint_plan(n_steps, mesh.ny2, mesh.nx, k, itemsize)
+
+
 def _rollout_fwd(state, mesh, dt, n_steps):
-    return pallas_rollout_diff(state, mesh, dt, n_steps), (state, mesh, dt)
+    plan = _fast_adjoint_plan(state, mesh, n_steps)
+    if plan is None:
+        return pallas_rollout_diff(state, mesh, dt, n_steps), (
+            None, state, mesh, dt,
+        )
+    # fast path: run the forward in fused big-step segments, SAVING the
+    # outer checkpoints as residuals — the reverse sweep then skips one
+    # whole forward rebuild (bitwise-identical final state)
+    b, m = plan
+    ny2, nx = mesh.ny2, mesh.nx
+    k = state.layer_thickness.shape[-1]
+    dtype = state.layer_thickness.dtype
+    f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+    (ssh_f, h_f, u_f), ckpts = _pallas_forward_ckpts(
+        state.ssh[..., None],
+        state.layer_thickness,
+        state.normal_velocity.reshape(6, ny2, nx, k),
+        f_edge, rts, scal, mask,
+        terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
+        interpret=False,
+    )
+    out = StructState(
+        ssh=ssh_f[..., 0],
+        layer_thickness=h_f,
+        normal_velocity=u_f.reshape(3, 2, ny2, nx, k),
+    )
+    return out, (ckpts, state, mesh, dt)
 
 
 def _rollout_bwd(n_steps, res, g):
-    state, mesh, dt = res
+    ckpts, state, mesh, dt = res
+    if ckpts is not None:
+        plan = _fast_adjoint_plan(state, mesh, n_steps)
+        b, m = plan
+        ny2, nx = mesh.ny2, mesh.nx
+        k = state.layer_thickness.shape[-1]
+        dtype = state.layer_thickness.dtype
+        f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+        (gs, gh, gu), ddt = _pallas_adjoint_from_ckpts(
+            ckpts, f_edge, rts, scal,
+            g.ssh[..., None].astype(dtype),
+            g.layer_thickness.astype(dtype),
+            g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
+            mask,
+            terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
+        )
+        d_state = _cot_from_planes(gs, gh, gu, ny2, nx, k)
+        d_dt = ddt.astype(jnp.asarray(dt).dtype)
+        return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt
+    # fallback (CPU / beyond-VMEM meshes): sqrt-checkpointed roll reverse
     _, vjp = jax.vjp(
         lambda s, t: _checkpointed_roll_rollout(s, mesh, t, n_steps), state, dt
     )

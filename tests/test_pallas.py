@@ -180,6 +180,88 @@ def test_pallas_rollout_diff_grad_masked_channel():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-13)
 
 
+def test_pallas_adjoint_segments_match_roll_vjp(setup):
+    """The fused Pallas reverse sweep (pallas_adjoint_rollout: in-kernel
+    b-step recompute + jax.vjp adjoint steps, two-level checkpointing) must
+    reproduce the roll-model VJP exactly — cotangents AND d(dt) — in f64
+    interpret mode. This is the path the TPU backward of
+    pallas_rollout_diff takes."""
+    from mpas_ocean_tpu.structured.pallas_model import pallas_adjoint_rollout
+
+    sm, st = setup
+    mesh = sm.struct_mesh
+    n, dt = 6, 10.0
+    out, vjp = jax.vjp(
+        lambda s, t: structured_run_loop(s, mesh, t, n), st, dt
+    )
+    g = jax.tree.map(lambda a: a + 0.5, out)  # dense arbitrary cotangent
+    d_ref, ddt_ref = vjp(g)
+    d_st, ddt = pallas_adjoint_rollout(
+        st, mesh, dt, n, g, plan=(2, 3), interpret=True
+    )
+    for a, b in zip(jax.tree.leaves(d_st), jax.tree.leaves(d_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14
+        )
+    np.testing.assert_allclose(float(ddt), float(ddt_ref), rtol=1e-12)
+
+
+def test_pallas_adjoint_segments_masked_channel():
+    """Fused reverse sweep on a masked (wall) lattice agrees with the roll
+    VJP; wall-edge cotangents are exactly zero."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.structured.pallas_model import pallas_adjoint_rollout
+
+    nx = ny = 8
+    dc = 1000.0
+    horz = planar_hex_mesh(nx, ny, dc, f0=1e-4)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=2,
+        resting_thickness=np.full((chan.n_cells, 2), 500.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, ny, parent_horz=horz, keep_cells=keep)
+    rng = np.random.default_rng(5)
+    h = np.full((chan.n_cells, 2), 500.0) + 0.1 * rng.normal(size=(chan.n_cells, 2))
+    u = 0.01 * rng.normal(size=(chan.n_edges, 2))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    smesh = sm.struct_mesh
+    n, dt = 4, 10.0
+    out, vjp = jax.vjp(
+        lambda s, t: structured_run_loop(s, smesh, t, n), st, dt
+    )
+    g = jax.tree.map(jnp.ones_like, out)
+    d_ref, ddt_ref = vjp(g)
+    d_st, ddt = pallas_adjoint_rollout(
+        st, smesh, dt, n, g, plan=(2, 2), interpret=True
+    )
+    for a, b in zip(jax.tree.leaves(d_st), jax.tree.leaves(d_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14
+        )
+    np.testing.assert_allclose(float(ddt), float(ddt_ref), rtol=1e-12)
+
+
+def test_adjoint_plan_divisibility():
+    """_adjoint_plan must return (b, m) with b | n and m | (n//b)."""
+    from mpas_ocean_tpu.structured.pallas_model import _adjoint_plan
+
+    for n in (1, 7, 12, 97, 8000, 9998):
+        plan = _adjoint_plan(n, 32, 64, 100, 4)
+        assert plan is not None
+        b, m = plan
+        assert n % b == 0 and (n // b) % m == 0
+
+
 @pytest.mark.parametrize("q", [2, 3])
 def test_pallas_tiled_temporal_blocking_matches_roll(setup, q):
     """q-step temporal blocking (q halo rows, q steps per kernel call) must
