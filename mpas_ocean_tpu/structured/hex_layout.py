@@ -203,9 +203,18 @@ class HexLayout:
                 e0 = self.edge_of[c0, fam]
                 flip0 = self.edge_flip[c0, fam]
                 assert flip0 == 1.0, "interior representative must be canonical"
+                w_scale = np.abs(w[e0, : n_eoe[e0]]).max()
                 for s in range(n_eoe[e0]):
                     g = eoe[e0, s]
                     wg = w[e0, s]
+                    if abs(wg) <= 1e-12 * w_scale:
+                        # the cell-opposite edge's TRiSK weight is zero on
+                        # uniform hexagons (cumulative kite profile
+                        # {±1/3, ±1/6, 0}/sqrt(3)) up to f64 roundoff in the
+                        # kite-area sums; keeping those taps would burn 12
+                        # of 60 FMA planes per step in every structured path
+                        # for a <=1e-16-relative contribution
+                        continue
                     cg = self.edge_owner[g]
                     fg = self.edge_family[g]
                     jg, ig = cg // nx, cg % nx
