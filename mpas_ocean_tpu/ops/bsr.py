@@ -37,23 +37,42 @@ __all__ = ["Bsr", "build_bsr", "bsr_matvec", "trisk_matrices"]
 
 @pytree_dataclass
 class Bsr:
-    """One block-sparse matrix: y = A @ x with dense (bs, bs) blocks.
+    """One block-sparse matrix: y = A @ x with dense (bs_r, bs_c) blocks.
 
     Storage is banded-plus-overflow: every block-row stores `band` slots in
-    the dense (nb_out, band, bs, bs) tensor, and the few block-rows wider
+    the dense (nb_out, band, bs_r, bs_c) tensor, and the few block-rows wider
     than the band (e.g. periodic-wrap rows) spill their extra blocks into a
     block-COO overflow list — the band is chosen to minimize total bytes, so
-    a handful of wide rows doesn't pad the whole matrix."""
+    a handful of wide rows doesn't pad the whole matrix.
+
+    Blocks may be rectangular: TRiSK stencils have 2-11 nonzeros per row, so
+    the stored-entry count (which sets BOTH the HBM bytes streamed and the
+    MXU FLOPs spent per apply — the two costs that bound this path) shrinks
+    as the block narrows. MEASURED on a v5e (64x64 hex mesh, K=100): the
+    byte savings never pay for the MXU-granularity loss — XLA runs
+    batched matmuls with M<128 at a small fraction of peak, so e.g. the
+    Coriolis operator at (16,32) blocks streams 3.4x fewer bytes but runs
+    no faster (55 vs 60 us), and every other rectangular shape is slower.
+    (128,128) runs at HBM peak (~535 GB/s) and ~55% of f32 MXU peak
+    SIMULTANEOUSLY — i.e. the square-block einsum is at this formulation's
+    roofline, which is why it stays the default."""
 
     n_out: int = static_field()
     n_in: int = static_field()
-    bs: int = static_field()
+    bs_r: int = static_field()
+    bs_c: int = static_field()
 
     block_cols: jax.Array  # (nb_out, B) int32 — input block index per slot
-    blocks: jax.Array  # (nb_out, B, bs, bs)
+    blocks: jax.Array  # (nb_out, B, bs_r, bs_c)
     ov_rows: jax.Array  # (M,) int32 — overflow output block index
     ov_cols: jax.Array  # (M,) int32 — overflow input block index
-    ov_blocks: jax.Array  # (M, bs, bs)
+    ov_blocks: jax.Array  # (M, bs_r, bs_c)
+
+    @property
+    def bs(self) -> int:
+        """Square-block size (back-compat; asserts squareness)."""
+        assert self.bs_r == self.bs_c
+        return self.bs_r
 
     @property
     def nb_out(self) -> int:
@@ -80,21 +99,25 @@ class Bsr:
 
 
 def build_bsr(rows, cols, vals, n_out: int, n_in: int, bs: int = 128,
-              dtype=np.float32) -> Bsr:
+              dtype=np.float32, bs_r: int | None = None,
+              bs_c: int | None = None) -> Bsr:
     """Assemble a Bsr from COO triplets (host-side, numpy).
 
     Duplicate (row, col) entries accumulate, matching the `+=` semantics of
-    the stencil kernels they replace.
+    the stencil kernels they replace. `bs` sets square blocks; `bs_r`/`bs_c`
+    override row/column block sizes independently.
     """
+    bs_r = bs if bs_r is None else bs_r
+    bs_c = bs if bs_c is None else bs_c
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
     keep = vals != 0.0
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
 
-    nbo = -(-n_out // bs)
-    nbi = -(-n_in // bs)
-    br, bc = rows // bs, cols // bs
+    nbo = -(-n_out // bs_r)
+    nbi = -(-n_in // bs_c)
+    br, bc = rows // bs_r, cols // bs_c
 
     # distinct input blocks per output block-row, ordered by nnz count so
     # the widely-used blocks land in the banded slots
@@ -133,10 +156,10 @@ def build_bsr(rows, cols, vals, n_out: int, n_in: int, bs: int = 128,
         for c, slot in m.items():
             block_cols[b, slot] = c
 
-    blocks = np.zeros((nbo, band, bs, bs), dtype=np.float64)
+    blocks = np.zeros((nbo, band, bs_r, bs_c), dtype=np.float64)
     n_ov = len(ov_rows)
-    ov_blocks = np.zeros((n_ov, bs, bs), dtype=np.float64)
-    for b, c, r, co, v in zip(br, bc, rows % bs, cols % bs, vals):
+    ov_blocks = np.zeros((n_ov, bs_r, bs_c), dtype=np.float64)
+    for b, c, r, co, v in zip(br, bc, rows % bs_r, cols % bs_c, vals):
         s = slot_of[b].get(c)
         if s is None:
             ov_blocks[ov_index[(b, c)], r, co] += v
@@ -146,7 +169,8 @@ def build_bsr(rows, cols, vals, n_out: int, n_in: int, bs: int = 128,
     return Bsr(
         n_out=int(n_out),
         n_in=int(n_in),
-        bs=int(bs),
+        bs_r=int(bs_r),
+        bs_c=int(bs_c),
         block_cols=jnp.asarray(block_cols),
         blocks=jnp.asarray(blocks.astype(dtype)),
         ov_rows=jnp.asarray(np.asarray(ov_rows, dtype=np.int32)),
@@ -161,11 +185,11 @@ def bsr_matvec(A: Bsr, x: jnp.ndarray) -> jnp.ndarray:
     if squeeze:
         x = x[:, None]
     k = x.shape[1]
-    nbi = -(-A.n_in // A.bs)
-    pad = nbi * A.bs - A.n_in
+    nbi = -(-A.n_in // A.bs_c)
+    pad = nbi * A.bs_c - A.n_in
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, k), x.dtype)], axis=0)
-    xb = x.reshape(nbi, A.bs, k)
+    xb = x.reshape(nbi, A.bs_c, k)
     xg = xb[A.block_cols]  # (nb_out, B, bs, K) — block-granular take
     y = jnp.einsum(
         "obij,objk->oik", A.blocks.astype(x.dtype), xg,
