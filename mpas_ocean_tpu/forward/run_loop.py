@@ -25,7 +25,7 @@ from ..models.shallow_water import PrognosticVars
 from .time_integration import ForwardEuler, ocn_timestep
 
 
-@partial(jax.jit, static_argnames=("n_steps", "method", "checkpoint", "del2_coeff"))
+@partial(jax.jit, static_argnames=("n_steps", "method", "checkpoint", "del2_coeff", "nonlinear"))
 def ocn_run_loop(
     prog: PrognosticVars,
     mesh,
@@ -34,11 +34,12 @@ def ocn_run_loop(
     method=ForwardEuler,
     checkpoint: bool = False,
     del2_coeff: float = 0.0,
+    nonlinear: bool = False,
 ) -> PrognosticVars:
     """Advance ``n_steps`` timesteps under one jit/scan."""
 
     def body(p, _):
-        return ocn_timestep(p, mesh, dt, method, del2_coeff), None
+        return ocn_timestep(p, mesh, dt, method, del2_coeff, nonlinear), None
 
     if checkpoint:
         body = jax.checkpoint(body)
@@ -46,13 +47,16 @@ def ocn_run_loop(
     return final
 
 
-@partial(jax.jit, static_argnames=("n_steps", "method"))
+@partial(jax.jit, static_argnames=("n_steps", "method", "nonlinear"))
 def ocn_run_loop_objective(
-    prog: PrognosticVars, mesh, dt, n_steps: int, method=ForwardEuler
+    prog: PrognosticVars, mesh, dt, n_steps: int, method=ForwardEuler,
+    nonlinear: bool = False,
 ) -> jnp.ndarray:
     """Rollout followed by the reference's test objective sum(ssh^2)
     (reference: run_loop.jl:26-45). Differentiable end to end."""
-    final = ocn_run_loop(prog, mesh, dt, n_steps, method, checkpoint=True)
+    final = ocn_run_loop(
+        prog, mesh, dt, n_steps, method, checkpoint=True, nonlinear=nonlinear
+    )
     return jnp.sum(final.ssh * final.ssh)
 
 

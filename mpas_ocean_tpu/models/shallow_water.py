@@ -29,6 +29,8 @@ from ..ops.operators import (
     divergence_on_cell,
     gradient_on_edge,
     interpolate_cell_to_edge,
+    interpolate_cell_to_vertex,
+    interpolate_vertex_to_edge,
     tangential_reconstruction,
 )
 from ..utils.pytree import pytree_dataclass
@@ -98,6 +100,50 @@ def kinetic_energy_on_cell(normal_velocity: jnp.ndarray, mesh) -> jnp.ndarray:
     return masked.sum(axis=1) / mesh.cells.area_cell[:, None]
 
 
+def potential_vorticity_on_vertex(
+    prog: PrognosticVars, mesh, relative_vorticity=None
+) -> jnp.ndarray:
+    """Layer potential vorticity at vertices: q_v = (f_v + zeta_v) / h_v,
+    with h_v the kite-area thickness average (Ringler et al. 2010, the TRiSK
+    scheme MPAS-Ocean uses; BEYOND the reference, whose dynamical core has
+    'gravity and coriolis forces, with no non-linear terms', README.MD:12).
+
+    Inactive levels (below bathymetry at any adjacent cell) are masked to
+    zero with a safe denominator, so no Inf/NaN enters the tendency chain.
+    """
+    zeta = (
+        relative_vorticity
+        if relative_vorticity is not None
+        else curl_on_vertex(prog.normal_velocity, mesh)
+    )
+    h_v = interpolate_cell_to_vertex(prog.layer_thickness, mesh)
+    vmask = mesh.vert.vertex_level_mask
+    safe_h = jnp.where(vmask > 0, h_v, jnp.ones_like(h_v))
+    return (mesh.duals.f[:, None] + zeta) / safe_h * vmask
+
+
+def pv_flux_tendency(
+    q_edge: jnp.ndarray, thickness_flux: jnp.ndarray, mesh
+) -> jnp.ndarray:
+    """Nonlinear Coriolis + rotational momentum advection:
+
+        tend_e = sum_j w_{e,j} * F_j * (q_e + q_j) / 2
+
+    — the TRiSK energy-conserving discretization of q (h u)^perp (Ringler et
+    al. 2010 eq. 49/62; MPAS-Ocean's symmetrized PV flux), where F = h_e u
+    is the thickness flux and q the vertex-averaged PV at edges. With
+    q -> f/H and F -> H u it reduces to the linear Coriolis term (up to
+    where f is sampled: the reference samples f at the neighbor edge,
+    horizontal_advection_and_coriolis.jl:70-72; the symmetric average is
+    what conserves energy in the nonlinear regime).
+    """
+    half = jnp.asarray(0.5, q_edge.dtype)
+    return half * (
+        q_edge * tangential_reconstruction(thickness_flux, mesh)
+        + tangential_reconstruction(thickness_flux * q_edge, mesh)
+    )
+
+
 def del2_tendency(normal_velocity: jnp.ndarray, mesh, coeff) -> jnp.ndarray:
     """Harmonic (del2) momentum mixing done right.
 
@@ -119,25 +165,48 @@ def del2_tendency(normal_velocity: jnp.ndarray, mesh, coeff) -> jnp.ndarray:
 
 
 def compute_normal_velocity_tendency(
-    prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0
+    prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
+    nonlinear: bool = False,
 ) -> jnp.ndarray:
-    """du/dt = -g * grad(ssh) + TRiSK Coriolis [+ del2 mixing].
+    """du/dt = -g * grad(ssh) + Coriolis/advection [+ del2 mixing].
 
-    (reference: normalVelocity.jl:21-53 dispatching to the sshGradient
-    pressure gradient, pressure_gradient.jl:45-65, and linearCoriolis,
+    Linear core (the reference's full dynamical core, README.MD:12):
+    -g grad(ssh) pressure + linear TRiSK Coriolis (reference:
+    normalVelocity.jl:21-53 dispatching to pressure_gradient.jl:45-65 and
     horizontal_advection_and_coriolis.jl:50-75; del2 is the repaired
     version of its dead mixing module, see del2_tendency.)
+
+    ``nonlinear=True`` upgrades to the full vector-invariant shallow-water
+    momentum equation (BEYOND the reference):
+
+        du/dt = q (h u)^perp - grad(g ssh + K) [+ del2]
+
+    with K the cell kinetic energy and q the layer PV — the TRiSK
+    energy-conserving scheme (Ringler et al. 2010) MPAS-Ocean itself uses.
     """
     edges = mesh.edges
     # pressure gradient: tend -= g * (ssh[c2]-ssh[c1])/dc, all active levels
     grad_ssh = gradient_on_edge(prog.ssh, mesh)  # (nEdges,)
     tend = -GRAVITY * grad_ssh[:, None] * mesh.vert.edge_level_mask
 
-    # linear Coriolis: tend += sum_j w_j * u[eoe_j] * f[eoe_j]
-    # (the reference folds f at the *neighbor* edge into the tangential
-    # reconstruction, h_a_and_c.jl:70-72)
-    uf = prog.normal_velocity * edges.f[:, None]
-    tend = tend + tangential_reconstruction(uf, mesh) * mesh.vert.edge_level_mask
+    if nonlinear:
+        # kinetic-energy gradient: tend -= grad(K), K per cell and level
+        ke = kinetic_energy_on_cell(prog.normal_velocity, mesh)
+        tend = tend - gradient_on_edge(ke, mesh) * mesh.vert.edge_level_mask
+        # symmetrized PV flux q (h u)^perp
+        q_v = potential_vorticity_on_vertex(
+            prog, mesh, relative_vorticity=diag.relative_vorticity
+        )
+        q_e = interpolate_vertex_to_edge(q_v, mesh)
+        tend = tend + pv_flux_tendency(
+            q_e, diag.thickness_flux, mesh
+        ) * mesh.vert.edge_level_mask
+    else:
+        # linear Coriolis: tend += sum_j w_j * u[eoe_j] * f[eoe_j]
+        # (the reference folds f at the *neighbor* edge into the tangential
+        # reconstruction, h_a_and_c.jl:70-72)
+        uf = prog.normal_velocity * edges.f[:, None]
+        tend = tend + tangential_reconstruction(uf, mesh) * mesh.vert.edge_level_mask
 
     if del2_coeff:
         # masked by the edge level mask: no mixing acceleration below
@@ -165,11 +234,12 @@ def compute_layer_thickness_tendency(
 
 
 def compute_tendencies(
-    prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0
+    prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
+    nonlinear: bool = False,
 ) -> TendencyVars:
     return TendencyVars(
         tend_normal_velocity=compute_normal_velocity_tendency(
-            prog, diag, mesh, del2_coeff
+            prog, diag, mesh, del2_coeff, nonlinear
         ),
         tend_layer_thickness=compute_layer_thickness_tendency(prog, diag, mesh),
     )

@@ -27,6 +27,8 @@ __all__ = [
     "divergence_on_cell",
     "curl_on_vertex",
     "interpolate_cell_to_edge",
+    "interpolate_cell_to_vertex",
+    "interpolate_vertex_to_edge",
     "tangential_reconstruction",
 ]
 
@@ -86,6 +88,33 @@ def interpolate_cell_to_edge(cell_value: jnp.ndarray, mesh) -> jnp.ndarray:
     (reference: Operators.jl:201-222; done for all levels, not just k=1)."""
     coe = mesh.edges.cells_on_edge
     return 0.5 * (cell_value[coe[:, 0]] + cell_value[coe[:, 1]])
+
+
+def interpolate_cell_to_vertex(cell_value: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Kite-area-weighted interpolation of a cell field to vertices:
+
+        v = sum_i kite_{v,i} * c[cov_i] / sum_i kite_{v,i}
+
+    — the standard MPAS dual-cell average used for thickness at vertices in
+    the potential-vorticity diagnostic (the reference has no nonlinear
+    dynamics to need it, README.MD:12; the kite-area field inventory comes
+    from its legacy mesh, src/infra/Mesh.jl:93-96 kiteAreasOnVertex). On
+    interior vertices sum_i kite = areaTriangle exactly; on boundary
+    vertices of culled meshes the partial-kite normalization keeps the
+    average unbiased (padded cells_on_vertex slots carry zero kite area).
+    """
+    gathered = cell_value[mesh.duals.cells_on_vertex]  # (nV, deg, ...)
+    w = mesh.duals.kite_areas_on_vertex
+    tot = (gathered * _per_slot(w, gathered)).sum(axis=1)
+    denom = w.sum(axis=1)
+    denom = jnp.where(denom > 0, denom, jnp.ones_like(denom))
+    return tot / _per_elem(denom, tot)
+
+
+def interpolate_vertex_to_edge(vertex_value: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Arithmetic mean of a vertex field at the edge's two endpoints."""
+    voe = mesh.edges.vertices_on_edge
+    return 0.5 * (vertex_value[voe[:, 0]] + vertex_value[voe[:, 1]])
 
 
 def tangential_reconstruction(normal_velocity: jnp.ndarray, mesh) -> jnp.ndarray:
