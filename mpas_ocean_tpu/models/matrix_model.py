@@ -39,15 +39,33 @@ class MatrixModel:
     cell_level_mask: jax.Array  # (nCells, K)
     resting_thickness_sum: jax.Array  # (nCells,)
 
+    # nonlinear (vector-invariant) extension — None unless built with
+    # nonlinear=True (models/shallow_water.compute_normal_velocity_tendency
+    # nonlinear branch, re-expressed as MXU matmuls + elementwise products)
+    tang: Bsr | None = None  # (nEdges x nEdges) weights-only tangential
+    curl: Bsr | None = None  # (nVertices x nEdges)
+    c2v: Bsr | None = None  # (nVertices x nCells) kite average
+    v2e: Bsr | None = None  # (nEdges x nVertices) endpoint mean
+    ke: Bsr | None = None  # (nCells x nEdges) applied to u^2
+    f_vertex: jax.Array | None = None  # (nVertices,)
+    vertex_level_mask: jax.Array | None = None  # (nVertices, K)
+
     @classmethod
     def from_mesh(cls, mesh, bs: int = 128, dtype=np.float32,
-                  del2_coeff: float = 0.0) -> "MatrixModel":
+                  del2_coeff: float = 0.0,
+                  nonlinear: bool = False) -> "MatrixModel":
         """``del2_coeff`` > 0 folds the del2 momentum-mixing operator into
         the Coriolis matrix (ops/bsr.del2_matrix_coo) — the mixing is then
         free at run time. (Like the gather path, the folded del2 is gated by
         the edge level mask, so both paths keep inactive-level velocity at
-        exactly zero on variable-bathymetry meshes.)"""
-        mats = trisk_matrices(mesh, bs=bs, dtype=dtype)
+        exactly zero on variable-bathymetry meshes.)
+
+        ``nonlinear=True`` additionally builds the vector-invariant
+        operators so matrix_step/matrix_run_loop accept nonlinear=True.
+        The nonlinear tendency never applies the linear Coriolis matrix, so
+        with del2_coeff > 0 the `corf` slot holds the del2 operator alone
+        (applied to u as its own matvec); with del2_coeff == 0 it is None."""
+        mats = trisk_matrices(mesh, bs=bs, dtype=dtype, nonlinear=nonlinear)
         corf = mats["corf"]
         if del2_coeff:
             from ..ops.bsr import build_bsr, del2_matrix_coo
@@ -59,14 +77,34 @@ class MatrixModel:
             f = np.asarray(e.f, dtype=np.float64)
             r = np.repeat(np.arange(ne), eoe.shape[1])
             d2r, d2c, d2v = del2_matrix_coo(mesh)
-            corf = build_bsr(
-                np.concatenate([r, d2r]),
-                np.concatenate([eoe.ravel(), d2c]),
-                np.concatenate([(w * f[eoe]).ravel(), del2_coeff * d2v]),
-                ne, ne, bs, dtype,
-            )
+            if nonlinear:
+                # nonlinear mode never applies corf: the matrix becomes the
+                # del2 operator alone (still gated by edge_mask_lv)
+                corf = build_bsr(d2r, d2c, del2_coeff * d2v, ne, ne, bs, dtype)
+            else:
+                corf = build_bsr(
+                    np.concatenate([r, d2r]),
+                    np.concatenate([eoe.ravel(), d2c]),
+                    np.concatenate([(w * f[eoe]).ravel(), del2_coeff * d2v]),
+                    ne, ne, bs, dtype,
+                )
+        elif nonlinear:
+            corf = None
         elm = jnp.asarray(mesh.vert.edge_level_mask, dtype)
         emask = jnp.asarray(mesh.horz.edges.edge_mask, dtype)
+        extra = {}
+        if nonlinear:
+            extra = dict(
+                tang=mats["tang"],
+                curl=mats["curl"],
+                c2v=mats["c2v"],
+                v2e=mats["v2e"],
+                ke=mats["ke"],
+                f_vertex=jnp.asarray(mesh.horz.duals.f, dtype),
+                vertex_level_mask=jnp.asarray(
+                    mesh.vert.vertex_level_mask, dtype
+                ),
+            )
         return cls(
             grad=mats["grad"],
             c2e=mats["c2e"],
@@ -77,27 +115,53 @@ class MatrixModel:
             resting_thickness_sum=jnp.asarray(
                 mesh.vert.resting_thickness_sum, dtype
             ),
+            **extra,
         )
 
 
-def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel):
+def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,
+                       nonlinear: bool = False):
     h, u = prog.layer_thickness, prog.normal_velocity
     flux = u * bsr_matvec(mm.c2e, h)
     tend_h = -bsr_matvec(mm.div, flux) * mm.cell_level_mask
     grad_ssh = bsr_matvec(mm.grad, prog.ssh)  # (nEdges,)
-    tend_u = (
-        -GRAVITY * grad_ssh[:, None] + bsr_matvec(mm.corf, u)
-    ) * mm.edge_mask_lv
-    return tend_u, tend_h
+    tend_u = -GRAVITY * grad_ssh[:, None]
+    if nonlinear:
+        if mm.tang is None:
+            raise ValueError(
+                "MatrixModel was built without nonlinear operators; "
+                "rebuild with MatrixModel.from_mesh(..., nonlinear=True)"
+            )
+        # KE gradient (models/shallow_water nonlinear branch, on the MXU)
+        ke = bsr_matvec(mm.ke, u * u)
+        tend_u = tend_u - bsr_matvec(mm.grad, ke)
+        # layer PV at vertices, bathymetry-masked with a safe denominator
+        zeta = bsr_matvec(mm.curl, u)
+        h_v = bsr_matvec(mm.c2v, h)
+        vmask = mm.vertex_level_mask
+        safe_h = jnp.where(vmask > 0, h_v, jnp.ones_like(h_v))
+        q_v = (mm.f_vertex[:, None] + zeta) / safe_h * vmask
+        q_e = bsr_matvec(mm.v2e, q_v)
+        # symmetrized PV flux sum_j w_j F_j (q_e + q_j)/2
+        half = jnp.asarray(0.5, u.dtype)
+        tend_u = tend_u + half * (
+            q_e * bsr_matvec(mm.tang, flux) + bsr_matvec(mm.tang, flux * q_e)
+        )
+        if mm.corf is not None:  # del2 mixing (folded standalone)
+            tend_u = tend_u + bsr_matvec(mm.corf, u)
+    else:
+        tend_u = tend_u + bsr_matvec(mm.corf, u)
+    return tend_u * mm.edge_mask_lv, tend_h
 
 
 def _ssh_of(h, mm):
     return (h * mm.cell_level_mask).sum(axis=1) - mm.resting_thickness_sum
 
 
-def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt) -> PrognosticVars:
+def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt,
+                nonlinear: bool = False) -> PrognosticVars:
     """One forward-Euler step, all stencils as MXU matmuls."""
-    tend_u, tend_h = _matrix_tendencies(prog, mm)
+    tend_u, tend_h = _matrix_tendencies(prog, mm, nonlinear)
     h_new = prog.layer_thickness + dt * tend_h
     u_new = prog.normal_velocity + dt * tend_u
     return PrognosticVars(
@@ -105,7 +169,8 @@ def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt) -> PrognosticVars:
     )
 
 
-def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt) -> PrognosticVars:
+def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
+                    nonlinear: bool = False) -> PrognosticVars:
     """Classical RK4 on the MXU path (mirrors
     forward/time_integration.rk4_step, ssh rederived at every stage)."""
     u0, h0 = prog.normal_velocity, prog.layer_thickness
@@ -116,23 +181,24 @@ def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt) -> PrognosticVars
             ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u0 + a * du
         )
 
-    k1u, k1h = _matrix_tendencies(prog, mm)
-    k2u, k2h = _matrix_tendencies(stage(k1u, k1h, dt / 2.0), mm)
-    k3u, k3h = _matrix_tendencies(stage(k2u, k2h, dt / 2.0), mm)
-    k4u, k4h = _matrix_tendencies(stage(k3u, k3h, dt), mm)
+    k1u, k1h = _matrix_tendencies(prog, mm, nonlinear)
+    k2u, k2h = _matrix_tendencies(stage(k1u, k1h, dt / 2.0), mm, nonlinear)
+    k3u, k3h = _matrix_tendencies(stage(k2u, k2h, dt / 2.0), mm, nonlinear)
+    k4u, k4h = _matrix_tendencies(stage(k3u, k3h, dt), mm, nonlinear)
     u = u0 + (dt / 6.0) * (k1u + 2.0 * k2u + 2.0 * k3u + k4u)
     h = h0 + (dt / 6.0) * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
     return PrognosticVars(ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "rk4"))
+@partial(jax.jit, static_argnames=("n_steps", "rk4", "nonlinear"))
 def matrix_run_loop(
-    prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int, rk4: bool = False
+    prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int, rk4: bool = False,
+    nonlinear: bool = False,
 ) -> PrognosticVars:
     step = matrix_rk4_step if rk4 else matrix_step
 
     def body(p, _):
-        return step(p, mm, dt), None
+        return step(p, mm, dt, nonlinear), None
 
     out, _ = jax.lax.scan(body, prog, length=n_steps)
     return out

@@ -205,7 +205,8 @@ def bsr_matvec(A: Bsr, x: jnp.ndarray) -> jnp.ndarray:
     return y[:, 0] if squeeze else y
 
 
-def trisk_matrices(mesh, bs: int = 128, dtype=np.float32) -> dict:
+def trisk_matrices(mesh, bs: int = 128, dtype=np.float32,
+                   nonlinear: bool = False) -> dict:
     """Build the step's linear operators as Bsr matrices from a Mesh.
 
     Returns dict with keys:
@@ -214,6 +215,15 @@ def trisk_matrices(mesh, bs: int = 128, dtype=np.float32) -> dict:
       div   (nCells x nEdges): outward-flux divergence    [operators.py:54]
       corf  (nEdges x nEdges): sum_j w_j f[eoe_j] u[eoe_j] [operators.py:91]
       curl  (nVertices x nEdges): circulation/areaTri     [operators.py:70]
+
+    With ``nonlinear=True``, also the operators of the vector-invariant
+    momentum equation (every nonlinearity is an ELEMENTWISE product between
+    linear operator applications, so the whole nonlinear step stays on the
+    MXU):
+      tang (nEdges x nEdges): weights-only tangential sum_j w_j x[eoe_j]
+      c2v  (nVertices x nCells): kite-area average (partial-kite normalized)
+      v2e  (nEdges x nVertices): endpoint mean
+      ke   (nCells x nEdges): (dc dv / 4 A_c) applied to u^2
     """
     horz = mesh.horz if hasattr(mesh, "horz") else mesh
     cells, edges, duals = horz.cells, horz.edges, horz.duals
@@ -259,7 +269,44 @@ def trisk_matrices(mesh, bs: int = 128, dtype=np.float32) -> dict:
     c_vals = (vsign * dc[eov] / atri[:, None]).ravel()
     curl = build_bsr(v_ids, eov.ravel(), c_vals, nv, ne, bs, dtype)
 
-    return {"grad": grad, "c2e": c2e, "div": div, "corf": corf, "curl": curl}
+    mats = {"grad": grad, "c2e": c2e, "div": div, "corf": corf, "curl": curl}
+    if not nonlinear:
+        return mats
+
+    # weights-only tangential reconstruction (models/shallow_water.py
+    # pv_flux_tendency applies it to the thickness flux twice)
+    mats["tang"] = build_bsr(r, eoe.ravel(), w.ravel(), ne, ne, bs, dtype)
+
+    # kite-area cell->vertex average, normalized by the PARTIAL kite sum so
+    # boundary vertices of culled meshes stay unbiased
+    # (ops/operators.interpolate_cell_to_vertex)
+    cov = np.asarray(duals.cells_on_vertex)
+    kite = np.asarray(duals.kite_areas_on_vertex, dtype=np.float64)
+    ksum = kite.sum(axis=1)
+    ksum = np.where(ksum > 0, ksum, 1.0)
+    mats["c2v"] = build_bsr(
+        np.repeat(np.arange(nv), cov.shape[1]),
+        cov.ravel(),
+        (kite / ksum[:, None]).ravel(),
+        nv, nc, bs, dtype,
+    )
+
+    # vertex->edge endpoint mean (ops/operators.interpolate_vertex_to_edge)
+    voe = np.asarray(edges.vertices_on_edge)
+    mats["v2e"] = build_bsr(
+        np.concatenate([e_ids, e_ids]),
+        np.concatenate([voe[:, 0], voe[:, 1]]),
+        np.full(2 * ne, 0.5),
+        ne, nv, bs, dtype,
+    )
+
+    # cell kinetic energy applied to u^2: KE_c = sum_e (dc dv/4)/A_c u_e^2
+    # (models/shallow_water.kinetic_energy_on_cell); padded edges_on_cell
+    # slots are zeroed via the edge mask-on-cell weights
+    emoc = np.asarray(cells.edge_mask_on_cell, dtype=np.float64)
+    ke_vals = (0.25 * dc[eoc] * dv[eoc]) * emoc / area[:, None]
+    mats["ke"] = build_bsr(c_ids, eoc.ravel(), ke_vals.ravel(), nc, ne, bs, dtype)
+    return mats
 
 
 def del2_matrix_coo(mesh):

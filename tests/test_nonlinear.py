@@ -185,3 +185,31 @@ def test_nonlinear_end2end_gradient_vs_fd(igw_mesh):
     fd = (float(obj(u0 + eps * v)) - float(obj(u0 - eps * v))) / (2 * eps)
     ad = float(jnp.vdot(g, v))
     assert ad == pytest.approx(fd, rel=1e-6)
+
+
+def test_matrix_nonlinear_matches_gather(mesh16_3l):
+    """The MXU matrix formulation of the nonlinear step agrees with the
+    gather path to f64 roundoff (same invariant the linear paths keep)."""
+    from mpas_ocean_tpu.models.matrix_model import MatrixModel, matrix_run_loop
+
+    mesh = mesh16_3l
+    prog = _wavy_state(mesh, 0.05)
+    mm = MatrixModel.from_mesh(mesh, dtype=np.float64, nonlinear=True)
+    out_g = ocn_run_loop(prog, mesh, 5.0, 10, nonlinear=True)
+    out_m = matrix_run_loop(prog, mm, 5.0, 10, nonlinear=True)
+    scale = float(jnp.abs(out_g.normal_velocity).max())
+    assert np.abs(np.asarray(out_m.normal_velocity - out_g.normal_velocity)).max() < 1e-12 * max(scale, 1.0)
+    assert np.abs(np.asarray(out_m.layer_thickness - out_g.layer_thickness)).max() < 1e-10
+    # RK4 variant too
+    out_g4 = ocn_run_loop(prog, mesh, 5.0, 5, method=RungeKutta4, nonlinear=True)
+    out_m4 = matrix_run_loop(prog, mm, 5.0, 5, rk4=True, nonlinear=True)
+    assert np.abs(np.asarray(out_m4.normal_velocity - out_g4.normal_velocity)).max() < 1e-12 * max(scale, 1.0)
+
+
+def test_matrix_nonlinear_requires_operators(mesh16):
+    from mpas_ocean_tpu.models.matrix_model import MatrixModel, matrix_step
+
+    prog = _wavy_state(mesh16, 0.1)
+    mm = MatrixModel.from_mesh(mesh16, dtype=np.float64)
+    with pytest.raises(ValueError, match="nonlinear"):
+        matrix_step(prog, mm, 1.0, nonlinear=True)
