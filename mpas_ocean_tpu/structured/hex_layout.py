@@ -127,8 +127,16 @@ class HexLayout:
             vertex_of[:, kind] = shared
         self.vertex_of = vertex_of
 
+        # owner cell + kind of every vertex (inverse map)
+        self.vertex_owner = np.empty(horz.n_vertices, dtype=np.int64)
+        self.vertex_kind = np.empty(horz.n_vertices, dtype=np.int64)
+        self.vertex_owner[vertex_of.ravel()] = np.repeat(cid, 2)
+        self.vertex_kind[vertex_of.ravel()] = np.tile(np.arange(2), n_cells)
+
         self._cell_perm = (j % 2, j // 2, i)  # plane, unit, col of each cell
         self.coriolis_terms = self._extract_coriolis_stencil()
+        self.vertex_cell_terms = self._extract_vertex_cell_stencil()
+        self.edge_vertex_terms = self._extract_edge_vertex_stencil()
 
     # ---- field conversion ------------------------------------------------
     def cells_to_struct(self, field: np.ndarray) -> np.ndarray:
@@ -182,6 +190,65 @@ class HexLayout:
         for kind in range(2):
             out[self.vertex_of[:, kind]] = self.cells_from_struct(field[kind])
         return out
+
+    def _cell_offset(self, c0: int, cg: int):
+        """(p_in, dm, di) of cell cg relative to representative cell c0
+        (both interior, no periodic wrap)."""
+        nx = self.nx
+        j0, i0 = c0 // nx, c0 % nx
+        jg, ig = cg // nx, cg % nx
+        dj, di_ = jg - j0, ig - i0
+        p_in = (j0 + dj) % 2
+        dm = (j0 + dj) // 2 - j0 // 2
+        return int(p_in), int(dm), int(di_)
+
+    # ---- vertex stencils (nonlinear dynamics) ----------------------------
+    def _extract_vertex_cell_stencil(self) -> tuple:
+        """Kite-area cell->vertex average as static rolls: terms
+        (kind, p_out, p_in, dm, di, w) with w the normalized kite weight
+        (1/3 each on a uniform lattice; asserted to sum to 1)."""
+        horz = self.horz
+        cov = np.asarray(horz.duals.cells_on_vertex)
+        kite = np.asarray(horz.duals.kite_areas_on_vertex, dtype=np.float64)
+        terms = []
+        for kind in (A, B):
+            for parity in (0, 1):
+                j0, i0 = 2 + parity, 2
+                c0 = j0 * self.nx + i0
+                v0 = self.vertex_of[c0, kind]
+                w = kite[v0]
+                wsum = w.sum()
+                assert wsum > 0
+                total = 0.0
+                for s in range(cov.shape[1]):
+                    if w[s] == 0.0:
+                        continue
+                    p_in, dm, di_ = self._cell_offset(c0, cov[v0, s])
+                    terms.append(
+                        (kind, parity, p_in, dm, di_, float(w[s] / wsum))
+                    )
+                    total += w[s] / wsum
+                assert abs(total - 1.0) < 1e-12, "kite partition of unity"
+        return tuple(terms)
+
+    def _extract_edge_vertex_stencil(self) -> tuple:
+        """The edge's two vertex endpoints as static rolls: terms
+        (f_out, p_out, kind, p_in, dm, di), two per (family, parity)."""
+        horz = self.horz
+        voe = np.asarray(horz.edges.vertices_on_edge)
+        terms = []
+        for fam in (E, NE, NW):
+            for parity in (0, 1):
+                j0, i0 = 2 + parity, 2
+                c0 = j0 * self.nx + i0
+                e0 = self.edge_of[c0, fam]
+                for vg in voe[e0]:
+                    kind = int(self.vertex_kind[vg])
+                    p_in, dm, di_ = self._cell_offset(
+                        c0, int(self.vertex_owner[vg])
+                    )
+                    terms.append((fam, parity, kind, p_in, dm, di_))
+        return tuple(terms)
 
     # ---- Coriolis stencil extraction ------------------------------------
     def _extract_coriolis_stencil(self) -> list[CoriolisTerm]:

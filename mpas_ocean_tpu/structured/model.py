@@ -54,6 +54,14 @@ class StructMesh:
     # the live-cell dynamics match the culled unstructured mesh to roundoff.
     edge_mask: jax.Array | None = None  # (3, 2, ny2, nx)
 
+    # nonlinear (vector-invariant) extension: machine-extracted vertex
+    # stencils (hex_layout.py) + Coriolis parameter at vertices. Populated
+    # by StructuredModel; () / None on hand-built meshes keeps the linear
+    # path working unchanged.
+    vertex_cell_terms: tuple = static_field(default=())
+    edge_vertex_terms: tuple = static_field(default=())
+    f_vertex: jax.Array | None = None  # (2, 2, ny2, nx)
+
 
 def _shift(x: jnp.ndarray, dm: int, di: int) -> jnp.ndarray:
     """out[m, i] = x[m + dm, i + di] on a (ny2, nx, ...) plane, periodic."""
@@ -90,15 +98,64 @@ def interp_cell_to_edge(h, mesh: StructMesh):
     )
 
 
-def div_on_cell(u, mesh: StructMesh):
-    """Outward-flux divergence of an edge-normal field u (3,2,ny2,nx,...)."""
+def _incoming_edge_fields(u):
+    """The cell's three non-owned edges: E of the W-neighbor, NE of the
+    SW-neighbor, NW of the SE-neighbor (each (2, ny2, nx, ...))."""
     uE, uNE, uNW = u[0], u[1], u[2]
-    # incoming edges: E of W-neighbor, NE of SW-neighbor, NW of SE-neighbor
     inc_E = jnp.stack([_shift(uE[0], 0, -1), _shift(uE[1], 0, -1)])
     inc_NE = jnp.stack([_shift(uNE[1], -1, -1), uNE[0]])
     inc_NW = jnp.stack([_shift(uNW[1], -1, 0), _shift(uNW[0], 0, 1)])
-    total = uE + uNE + uNW - inc_E - inc_NE - inc_NW
+    return inc_E, inc_NE, inc_NW
+
+
+def div_on_cell(u, mesh: StructMesh):
+    """Outward-flux divergence of an edge-normal field u (3,2,ny2,nx,...)."""
+    inc_E, inc_NE, inc_NW = _incoming_edge_fields(u)
+    total = u[0] + u[1] + u[2] - inc_E - inc_NE - inc_NW
     return total * (mesh.dv / mesh.area_cell)
+
+
+def kinetic_energy_cell(u, mesh: StructMesh):
+    """KE_c = (dc dv / 4 A_c) sum over the cell's 6 edges of u_e^2
+    (models/shallow_water.kinetic_energy_on_cell on the lattice; dc/dv/A
+    are uniform scalars here)."""
+    sq = u * u
+    inc_E, inc_NE, inc_NW = _incoming_edge_fields(sq)
+    total = sq[0] + sq[1] + sq[2] + inc_E + inc_NE + inc_NW
+    return total * (0.25 * mesh.dc * mesh.dv / mesh.area_cell)
+
+
+def cell_to_vertex_kite(h, mesh: StructMesh):
+    """Kite-area cell->vertex average -> (2, 2, ny2, nx, ...), from the
+    machine-extracted stencil (ops/operators.interpolate_cell_to_vertex)."""
+    out = [[None, None], [None, None]]
+    for (kind, p_out, p_in, dm, di, w) in mesh.vertex_cell_terms:
+        contrib = w * _shift(h[p_in], dm, di)
+        cur = out[kind][p_out]
+        out[kind][p_out] = contrib if cur is None else cur + contrib
+    return jnp.stack([jnp.stack(planes) for planes in out])
+
+
+def vertex_to_edge_mean(v, mesh: StructMesh):
+    """Endpoint mean of a vertex field -> (3, 2, ny2, nx, ...)
+    (ops/operators.interpolate_vertex_to_edge)."""
+    out = [[None, None] for _ in range(3)]
+    for (f_out, p_out, kind, p_in, dm, di) in mesh.edge_vertex_terms:
+        contrib = _shift(v[kind, p_in], dm, di)
+        cur = out[f_out][p_out]
+        out[f_out][p_out] = contrib if cur is None else cur + contrib
+    return 0.5 * jnp.stack([jnp.stack(planes) for planes in out])
+
+
+def tangential_weights_only(x, mesh: StructMesh):
+    """sum_j w_j x[eoe_j] — the Coriolis stencil WITHOUT folding f (the
+    nonlinear PV flux applies it to the thickness flux)."""
+    out = [[None, None] for _ in range(3)]
+    for (f_out, p_out, f_in, p_in, dm, di, w) in mesh.coriolis_terms:
+        contrib = w * _shift(x[f_in, p_in], dm, di)
+        cur = out[f_out][p_out]
+        out[f_out][p_out] = contrib if cur is None else cur + contrib
+    return jnp.stack([jnp.stack(planes) for planes in out])
 
 
 def curl_on_vertex(u, mesh: StructMesh):
@@ -128,16 +185,47 @@ def tangential_times_f(u, mesh: StructMesh):
     return jnp.stack([jnp.stack(planes) for planes in out])
 
 
-def structured_step(state: StructState, mesh: StructMesh, dt) -> StructState:
-    """One forward-Euler step, all rolls + elementwise."""
+def structured_step(
+    state: StructState, mesh: StructMesh, dt, nonlinear: bool = False
+) -> StructState:
+    """One forward-Euler step, all rolls + elementwise.
+
+    ``nonlinear=True`` runs the full vector-invariant momentum equation
+    (models/shallow_water.compute_normal_velocity_tendency nonlinear
+    branch: KE gradient + symmetrized PV flux) on the lattice — periodic
+    lattices only: the PV of a dead (culled) cell slot is meaningless, so
+    wall-masked channels route nonlinear runs to the gather/matrix paths.
+    """
     h_edge = interp_cell_to_edge(state.layer_thickness, mesh)
     flux = state.normal_velocity * h_edge
     tend_h = -div_on_cell(flux, mesh)
 
     grad_ssh = grad_on_edge(state.ssh, mesh)  # (3, 2, ny2, nx)
-    tend_u = -GRAVITY * grad_ssh[..., None] + tangential_times_f(
-        state.normal_velocity, mesh
-    )
+    tend_u = -GRAVITY * grad_ssh[..., None]
+    if nonlinear:
+        if mesh.edge_mask is not None:
+            raise NotImplementedError(
+                "nonlinear structured dynamics require a fully periodic "
+                "lattice; use the gather or matrix path for walled channels"
+            )
+        if not mesh.vertex_cell_terms:
+            raise ValueError(
+                "StructMesh lacks vertex stencils; build it via "
+                "StructuredModel so hex_layout extracts them"
+            )
+        ke = kinetic_energy_cell(state.normal_velocity, mesh)
+        tend_u = tend_u - grad_on_edge(ke, mesh)
+        zeta = curl_on_vertex(state.normal_velocity, mesh)
+        h_v = cell_to_vertex_kite(state.layer_thickness, mesh)
+        q_v = (mesh.f_vertex[..., None] + zeta) / h_v
+        q_e = vertex_to_edge_mean(q_v, mesh)
+        half = jnp.asarray(0.5, q_e.dtype)
+        tend_u = tend_u + half * (
+            q_e * tangential_weights_only(flux, mesh)
+            + tangential_weights_only(flux * q_e, mesh)
+        )
+    else:
+        tend_u = tend_u + tangential_times_f(state.normal_velocity, mesh)
 
     h = state.layer_thickness + dt * tend_h
     u = state.normal_velocity + dt * tend_u
@@ -147,10 +235,13 @@ def structured_step(state: StructState, mesh: StructMesh, dt) -> StructState:
     return StructState(ssh=ssh, layer_thickness=h, normal_velocity=u)
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
-def structured_run_loop(state: StructState, mesh: StructMesh, dt, n_steps: int):
+@partial(jax.jit, static_argnames=("n_steps", "nonlinear"))
+def structured_run_loop(
+    state: StructState, mesh: StructMesh, dt, n_steps: int,
+    nonlinear: bool = False,
+):
     def body(s, _):
-        return structured_step(s, mesh, dt), None
+        return structured_step(s, mesh, dt, nonlinear), None
 
     out, _ = jax.lax.scan(body, state, length=n_steps)
     return out
@@ -230,6 +321,11 @@ class StructuredModel:
             f_edge=jnp.asarray(lay.edges_to_struct(np.asarray(lattice_horz.edges.f))),
             resting_thickness_sum=jnp.asarray(rts),
             edge_mask=edge_mask,
+            vertex_cell_terms=lay.vertex_cell_terms,
+            edge_vertex_terms=lay.edge_vertex_terms,
+            f_vertex=jnp.asarray(
+                lay.vertices_to_struct(np.asarray(lattice_horz.duals.f))
+            ),
         )
         # uniformity requirements for the scalar metric shortcut
         assert np.allclose(
@@ -290,5 +386,8 @@ class StructuredModel:
             normal_velocity=jnp.asarray(u),
         )
 
-    def run(self, state: StructState, dt, n_steps: int) -> StructState:
-        return structured_run_loop(state, self.struct_mesh, dt, n_steps)
+    def run(self, state: StructState, dt, n_steps: int,
+            nonlinear: bool = False) -> StructState:
+        return structured_run_loop(
+            state, self.struct_mesh, dt, n_steps, nonlinear
+        )

@@ -63,11 +63,19 @@ def _shift(x, dm: int, di: int):
     return x
 
 
-def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None):
+def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
+                 nl=None):
     """One forward-Euler step on parity-plane lists.
 
     ssh[p]: (ny2, nx, 1); h[p]: (ny2, nx, K); u[fam*2+p]: (ny2, nx, K);
     f_edge[c] and rts[p] are (ny2, nx, 1). Returns (ssh', h', u') tuples.
+
+    ``nl`` is None for the reference's linear core, or
+    (f_vert, vc_terms, ev_terms, s_ke, s_curl) — vertex-Coriolis planes
+    [kind*2+p], the machine-extracted kite and endpoint stencils
+    (hex_layout.py), and the KE / curl metric scalars — selecting the full
+    vector-invariant momentum equation (model.structured_step nonlinear
+    branch) fused into the same kernel.
 
     Layout note: ALL fields carry the level axis last (singleton for 2-D
     fields). In VMEM the last axis is the lane dimension, so a 2-D field
@@ -102,14 +110,66 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None):
             pin, dm, di = _NEIGHBOR[(fam, p)]
             grad2.append((_shift(ssh[pin], dm, di) - ssh[p]) * inv_dc)
 
-    # TRiSK Coriolis: 60 static roll-multiply-adds of u*f (Mosaic CSEs the
-    # repeated shifted planes; hand-deduplicating measured slower)
-    uf = [u[c] * f_edge[c] for c in range(6)]
-    acc = [None] * 6
-    for f_out, p_out, f_in, p_in, dm, di, w in terms:
-        contrib = w * _shift(uf[f_in * 2 + p_in], dm, di)
-        c = f_out * 2 + p_out
-        acc[c] = contrib if acc[c] is None else acc[c] + contrib
+    if nl is None:
+        # TRiSK Coriolis: 60 static roll-multiply-adds of u*f (Mosaic CSEs
+        # the repeated shifted planes; hand-deduplicating measured slower)
+        uf = [u[c] * f_edge[c] for c in range(6)]
+        acc = [None] * 6
+        for f_out, p_out, f_in, p_in, dm, di, w in terms:
+            contrib = w * _shift(uf[f_in * 2 + p_in], dm, di)
+            c = f_out * 2 + p_out
+            acc[c] = contrib if acc[c] is None else acc[c] + contrib
+    else:
+        f_vert, vc_terms, ev_terms, s_ke, s_curl = nl
+        # cell kinetic energy and its edge gradient
+        sq = [u[c] * u[c] for c in range(6)]
+        ke = []
+        for p in (0, 1):
+            tot = sq[E * 2 + p] + sq[NE * 2 + p] + sq[NW * 2 + p]
+            for ch, dm, di in _INCOMING[p]:
+                tot = tot + _shift(sq[ch], dm, di)
+            ke.append(s_ke * tot)
+        gke = []
+        for fam in (E, NE, NW):
+            for p in (0, 1):
+                pin, dm, di = _NEIGHBOR[(fam, p)]
+                gke.append((_shift(ke[pin], dm, di) - ke[p]) * inv_dc)
+        # relative vorticity planes [kind*2+p] (model.curl_on_vertex)
+        e_of_nw = (_shift(u[E * 2 + 1], 0, -1), _shift(u[E * 2 + 0], 1, 0))
+        nw_of_e = (_shift(u[NW * 2 + 0], 0, 1), _shift(u[NW * 2 + 1], 0, 1))
+        zeta = [None] * 4
+        for p in (0, 1):
+            zeta[0 * 2 + p] = (
+                u[NE * 2 + p] - e_of_nw[p] - u[NW * 2 + p]
+            ) * s_curl
+            zeta[1 * 2 + p] = (
+                u[E * 2 + p] + nw_of_e[p] - u[NE * 2 + p]
+            ) * s_curl
+        # kite thickness average -> layer PV -> edge PV
+        hv = [None] * 4
+        for kind, p_out, p_in, dm, di, w in vc_terms:
+            c = w * _shift(h[p_in], dm, di)
+            i = kind * 2 + p_out
+            hv[i] = c if hv[i] is None else hv[i] + c
+        qv = [(f_vert[i] + zeta[i]) / hv[i] for i in range(4)]
+        qe = [None] * 6
+        for f_out, p_out, kind, p_in, dm, di in ev_terms:
+            c = _shift(qv[kind * 2 + p_in], dm, di)
+            i = f_out * 2 + p_out
+            qe[i] = c if qe[i] is None else qe[i] + c
+        qe = [0.5 * x for x in qe]
+        # symmetrized PV flux 0.5 (q_e T(F) + T(F q))
+        fq = [flux[c] * qe[c] for c in range(6)]
+        tf = [None] * 6
+        tfq = [None] * 6
+        for f_out, p_out, f_in, p_in, dm, di, w in terms:
+            i = f_out * 2 + p_out
+            jn = f_in * 2 + p_in
+            c1 = w * _shift(flux[jn], dm, di)
+            c2 = w * _shift(fq[jn], dm, di)
+            tf[i] = c1 if tf[i] is None else tf[i] + c1
+            tfq[i] = c2 if tfq[i] is None else tfq[i] + c2
+        acc = [0.5 * (qe[c] * tf[c] + tfq[c]) - gke[c] for c in range(6)]
 
     u_new = [
         u[c] + dt * acc[c] + (-GRAVITY * dt) * grad2[c] for c in range(6)
@@ -120,9 +180,19 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None):
     return tuple(ssh_new), tuple(h_new), tuple(u_new)
 
 
+def _nl_pack(scal_ref, fvert_ref, nl_terms):
+    """Assemble _step_planes' ``nl`` tuple from kernel refs + static
+    stencils (None when the linear core is selected)."""
+    if nl_terms is None:
+        return None
+    vc_terms, ev_terms = nl_terms
+    f_vert = tuple(fvert_ref[i] for i in range(4))
+    return (f_vert, vc_terms, ev_terms, scal_ref[0, 3], scal_ref[0, 4])
+
+
 def _rollout_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref, *rest,
-    terms, n_steps, masked,
+    terms, n_steps, masked, nl_terms=None,
 ):
     """In-place rollout: inputs are ALIASED to outputs, the state lives in
     the (VMEM) out refs and each iteration reads and rewrites them. The
@@ -130,14 +200,19 @@ def _rollout_kernel(
     measures ~28 us/step of pure carry-copy overhead on the headline
     config, dwarfing the physics."""
     if masked:
-        mask_ref, ssh_out, h_out, u_out = rest
+        mask_ref, *rest = rest
         masks = tuple(mask_ref[c] for c in range(6))
     else:
-        ssh_out, h_out, u_out = rest
         masks = None
+    if nl_terms is not None:
+        fvert_ref, *rest = rest
+    else:
+        fvert_ref = None
+    ssh_out, h_out, u_out = rest
     dt = scal_ref[0, 0]
     inv_dc = scal_ref[0, 1]
     s_div = scal_ref[0, 2]
+    nl = _nl_pack(scal_ref, fvert_ref, nl_terms)
 
     f_edge = tuple(f_ref[c] for c in range(6))
     rts = tuple(rts_ref[p] for p in range(2))
@@ -147,7 +222,7 @@ def _rollout_kernel(
         h = tuple(h_out[p] for p in range(2))
         u = tuple(u_out[c] for c in range(6))
         ssh_n, h_n, u_n = _step_planes(
-            ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks
+            ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks, nl
         )
         for p in range(2):
             ssh_out[p] = ssh_n[p]
@@ -160,19 +235,27 @@ def _rollout_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "interpret", "terms")
+    jax.jit, static_argnames=("n_steps", "interpret", "terms", "nl_terms")
 )
 def _pallas_rollout(
-    ssh, h, u, f_edge, rts, scal, mask=None, *, terms, n_steps, interpret
+    ssh, h, u, f_edge, rts, scal, mask=None, f_vert=None,
+    *, terms, n_steps, interpret, nl_terms=None,
 ):
     masked = mask is not None
     kernel = functools.partial(
-        _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked
+        _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked,
+        nl_terms=nl_terms,
     )
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
-    flops_step = step_flop_count(ny2, nx, k, len(terms), masked)
+    flops_step = step_flop_count(
+        ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None
+    )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    operands = (scal, ssh, h, u, f_edge, rts) + ((mask,) if masked else ())
+    operands = (scal, ssh, h, u, f_edge, rts)
+    if masked:
+        operands += (mask,)
+    if nl_terms is not None:
+        operands += (f_vert,)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -199,7 +282,8 @@ def _pallas_rollout(
 
 
 def step_flop_count(
-    ny2: int, nx: int, k: int, n_terms: int, masked: bool = False
+    ny2: int, nx: int, k: int, n_terms: int, masked: bool = False,
+    nonlinear: bool = False,
 ) -> int:
     """Accurate FLOP count of one structured step (each Coriolis term is a
     single-plane FMA — an earlier estimate multiplied the term count by all
@@ -207,8 +291,18 @@ def step_flop_count(
       uf product 6; Coriolis FMAs 2*n_terms; flux 6*(add + 0.5-mul + u-mul);
       divergence accumulation 2*5; h update 2*2; ssh reduction+shift 2*2;
       u update 6*(2 FMAs) [+ 6 mask multiplies]. 2-D plane work (ssh
-      gradient) is O(1/k) and ignored."""
-    per_site = 6 + 2 * n_terms + 18 + 10 + 4 + 4 + 24 + (6 if masked else 0)
+      gradient) is O(1/k) and ignored.
+
+    The nonlinear (vector-invariant) step replaces the 2*n_terms Coriolis
+    FMAs with: u^2 (6) + KE accumulation (2*5+2) + KE grad (6*2) + curl
+    (2*7) + kite hv (2*12 FMAs, 12 three-tap stencils over 4 planes) + PV
+    (4*2) + q_e (6*3) + flux*q (6) + two tangential passes (2*2*n_terms) +
+    flux combine (6*3)."""
+    per_site = 6 + 18 + 10 + 4 + 4 + 24 + (6 if masked else 0)
+    if nonlinear:
+        per_site += 6 + 12 + 12 + 14 + 24 + 8 + 18 + 6 + 4 * n_terms + 18
+    else:
+        per_site += 2 * n_terms
     return per_site * ny2 * nx * k
 
 
@@ -219,9 +313,14 @@ def _scal(mesh: StructMesh, dt, dtype):
             dt,
             (1.0 / mesh.dc).astype(dtype),
             (mesh.dv / mesh.area_cell).astype(dtype),
+            # nonlinear metric scalars (computed exactly as the roll path
+            # does, model.kinetic_energy_cell / curl_on_vertex, so the
+            # fused and roll nonlinear paths agree to roundoff)
+            (0.25 * mesh.dc * mesh.dv / mesh.area_cell).astype(dtype),
+            (mesh.dc / (mesh.area_cell * 0.5)).astype(dtype),
             jnp.zeros((), dtype),
         ]
-    ).reshape(1, 4)
+    ).reshape(1, 6)
 
 
 _VMEM_BUDGET = 100 * 1024 * 1024
@@ -240,14 +339,35 @@ def fits_in_vmem(mesh: StructMesh, k: int, itemsize: int = 4) -> bool:
     return vmem_estimate(mesh.ny2, mesh.nx, k, itemsize) <= _VMEM_BUDGET
 
 
+def _nl_setup(mesh: StructMesh, dtype, nonlinear: bool):
+    """(nl_terms, f_vert operand) for the fused kernels, validating the
+    mesh supports the nonlinear step (same rules as model.structured_step)."""
+    if not nonlinear:
+        return None, None
+    if mesh.edge_mask is not None:
+        raise NotImplementedError(
+            "nonlinear structured dynamics require a fully periodic "
+            "lattice; use the gather or matrix path for walled channels"
+        )
+    if not mesh.vertex_cell_terms:
+        raise ValueError(
+            "StructMesh lacks vertex stencils; build it via "
+            "StructuredModel so hex_layout extracts them"
+        )
+    f_vert = mesh.f_vertex.reshape(4, mesh.ny2, mesh.nx, 1).astype(dtype)
+    return (mesh.vertex_cell_terms, mesh.edge_vertex_terms), f_vert
+
+
 def pallas_run_loop(
-    state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None
+    state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
+    nonlinear: bool = False,
 ) -> StructState:
     """Run n_steps of the structured model in ONE fused on-chip kernel.
 
     The whole prognostic state must fit in VMEM (~64x64 cells x 100 levels
     per core); for larger meshes use model.structured_run_loop (HBM-
-    streaming rolls) or the BSR matrix path."""
+    streaming rolls) or the BSR matrix path. ``nonlinear=True`` fuses the
+    vector-invariant momentum equation (periodic lattices only)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_ = state.layer_thickness.shape[-1]
@@ -273,9 +393,11 @@ def pallas_run_loop(
         if mesh.edge_mask is None
         else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
     )
+    nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
     ssh_f, h_f, u_f = _pallas_rollout(
-        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask,
+        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask, f_vert,
         terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
+        nl_terms=nl_terms,
     )
     return StructState(
         ssh=ssh_f[..., 0],
@@ -552,19 +674,28 @@ def pallas_tiled_run_loop(
 
 
 def structured_auto_run_loop(
-    state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None
+    state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
+    nonlinear: bool = False,
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
-    the state fits, tiled per-step kernel otherwise; roll model on CPU."""
+    the state fits, tiled per-step kernel otherwise; roll model on CPU.
+    Nonlinear beyond-VMEM meshes use the HBM-streaming roll model (the
+    tiled kernel's 1-row halos cannot cover the deeper PV-flux stencil)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if interpret:
         from .model import structured_run_loop
 
-        return structured_run_loop(state, mesh, dt, n_steps)
+        return structured_run_loop(state, mesh, dt, n_steps, nonlinear)
     k = state.layer_thickness.shape[-1]
     if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize):
-        return pallas_run_loop(state, mesh, dt, n_steps, interpret=False)
+        return pallas_run_loop(
+            state, mesh, dt, n_steps, interpret=False, nonlinear=nonlinear
+        )
+    if nonlinear:
+        from .model import structured_run_loop
+
+        return structured_run_loop(state, mesh, dt, n_steps, nonlinear)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False, q=2)
 
 
@@ -587,27 +718,32 @@ def structured_auto_run_loop(
 
 def _adjoint_segment_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
-    gs_ref, gh_ref, gu_ref, *rest, terms, b, masked,
+    gs_ref, gh_ref, gu_ref, *rest, terms, b, masked, nl_terms=None,
 ):
     """Reverse one b-step segment: inputs are the segment-start primal state
     and the cotangent at the segment end; outputs the cotangent at the
     segment start plus the segment's d(dt) contribution."""
     if masked:
-        mask_ref, gs_out, gh_out, gu_out, ddt_out = rest
+        mask_ref, *rest = rest
         masks = tuple(mask_ref[c] for c in range(6))
     else:
-        gs_out, gh_out, gu_out, ddt_out = rest
         masks = None
+    if nl_terms is not None:
+        fvert_ref, *rest = rest
+    else:
+        fvert_ref = None
+    gs_out, gh_out, gu_out, ddt_out = rest
     dt = scal_ref[0, 0]
     inv_dc = scal_ref[0, 1]
     s_div = scal_ref[0, 2]
+    nl = _nl_pack(scal_ref, fvert_ref, nl_terms)
     f_edge = tuple(f_ref[c] for c in range(6))
     rts = tuple(rts_ref[p] for p in range(2))
 
     def step_fn(s, t):
         ssh, h, u = s
         return _step_planes(
-            ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks
+            ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks, nl
         )
 
     # forward recompute: b primal states live in VMEM (b is chosen so they
@@ -639,25 +775,31 @@ def _adjoint_segment_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("terms", "b", "interpret")
+    jax.jit, static_argnames=("terms", "b", "interpret", "nl_terms")
 )
 def _adjoint_segment(
-    ckpt, cot, f_edge, rts, scal, mask, *, terms, b, interpret
+    ckpt, cot, f_edge, rts, scal, mask, f_vert=None,
+    *, terms, b, interpret, nl_terms=None,
 ):
     """One fused reverse-segment call: (ckpt, cot_end) -> (cot_start, ddt)."""
     ssh, h, u = ckpt
     gs, gh, gu = cot
     masked = mask is not None
     kernel = functools.partial(
-        _adjoint_segment_kernel, terms=terms, b=b, masked=masked
+        _adjoint_segment_kernel, terms=terms, b=b, masked=masked,
+        nl_terms=nl_terms,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    operands = (scal, ssh, h, u, f_edge, rts, gs, gh, gu) + (
-        (mask,) if masked else ()
-    )
+    operands = (scal, ssh, h, u, f_edge, rts, gs, gh, gu)
+    if masked:
+        operands += (mask,)
+    if nl_terms is not None:
+        operands += (f_vert,)
     n_in = len(operands)
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
-    flops_step = step_flop_count(ny2, nx, k, len(terms), masked)
+    flops_step = step_flop_count(
+        ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=(
@@ -693,7 +835,8 @@ def _adjoint_segment(
 _ADJ_VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int):
+def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
+                  nonlinear: bool = False):
     """Pick (b, m): segments of b steps reversed in-VMEM, grouped m segments
     per outer checkpoint. b: largest divisor of n_steps whose b resident
     primal states + working set fit the VMEM budget; m: divisor of
@@ -704,7 +847,10 @@ def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int):
     # measured Mosaic stack footprint on the 64x64x100 headline config:
     # ~(42 + 21.3*b) plane-equivalents (b resident states at 8 planes plus
     # ~13 planes of per-step vjp residuals each, plus the base working set)
-    b_max = int((_ADJ_VMEM_BUDGET / plane - 44) // 22)
+    # the nonlinear step carries ~2x the per-step vjp residuals (KE, PV,
+    # kite planes), so budget twice the per-step footprint
+    per_step = 44 if nonlinear else 22
+    b_max = int((_ADJ_VMEM_BUDGET / plane - 44) // per_step)
     if b_max < 1:
         return None
     b = max(d for d in range(1, min(b_max, n_steps) + 1) if n_steps % d == 0)
@@ -719,11 +865,11 @@ def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("terms", "n_steps", "big", "interpret"),
+    static_argnames=("terms", "n_steps", "big", "interpret", "nl_terms"),
 )
 def _pallas_forward_ckpts(
-    ssh0, h0, u0, f_edge, rts, scal, mask=None,
-    *, terms, n_steps, big, interpret,
+    ssh0, h0, u0, f_edge, rts, scal, mask=None, f_vert=None,
+    *, terms, n_steps, big, interpret, nl_terms=None,
 ):
     """Fused forward in ``big``-step segments, emitting the state at the
     start of each segment (the outer checkpoints the reverse sweep needs).
@@ -735,8 +881,8 @@ def _pallas_forward_ckpts(
     def fwd_outer(c, _):
         s_, h_, u_ = c
         o = _pallas_rollout(
-            s_, h_, u_, f_edge, rts, scal, mask,
-            terms=terms, n_steps=big, interpret=interpret,
+            s_, h_, u_, f_edge, rts, scal, mask, f_vert,
+            terms=terms, n_steps=big, interpret=interpret, nl_terms=nl_terms,
         )
         return o, c  # emit the group's START state
 
@@ -746,11 +892,11 @@ def _pallas_forward_ckpts(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("terms", "b", "m", "interpret"),
+    static_argnames=("terms", "b", "m", "interpret", "nl_terms"),
 )
 def _pallas_adjoint_from_ckpts(
-    outer_ckpts, f_edge, rts, scal, gs, gh, gu, mask=None,
-    *, terms, b, m, interpret,
+    outer_ckpts, f_edge, rts, scal, gs, gh, gu, mask=None, f_vert=None,
+    *, terms, b, m, interpret, nl_terms=None,
 ):
     """Reverse sweep given the outer checkpoints: per outer group (reversed),
     rebuild the m inner checkpoints with the fused forward kernel, then
@@ -763,8 +909,9 @@ def _pallas_adjoint_from_ckpts(
         def fwd_inner(c, _):
             s_, h_, u_ = c
             o = _pallas_rollout(
-                s_, h_, u_, f_edge, rts, scal, mask,
+                s_, h_, u_, f_edge, rts, scal, mask, f_vert,
                 terms=terms, n_steps=b, interpret=interpret,
+                nl_terms=nl_terms,
             )
             return o, c
 
@@ -773,8 +920,8 @@ def _pallas_adjoint_from_ckpts(
         def rev_inner(carry2, ick):
             cot2, ddt2 = carry2
             cot2, ddt_j = _adjoint_segment(
-                ick, cot2, f_edge, rts, scal, mask,
-                terms=terms, b=b, interpret=interpret,
+                ick, cot2, f_edge, rts, scal, mask, f_vert,
+                terms=terms, b=b, interpret=interpret, nl_terms=nl_terms,
             )
             return (cot2, ddt2 + ddt_j), None
 
@@ -813,7 +960,7 @@ def _cot_from_planes(gs, gh, gu, ny2, nx, k):
 
 def pallas_adjoint_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int, g: StructState,
-    *, plan=None, interpret=None,
+    *, plan=None, interpret=None, nonlinear: bool = False,
 ):
     """Fused-kernel VJP of an n-step rollout: given the rollout's input
     ``state`` and an output cotangent ``g``, returns (d_state, d_dt) — the
@@ -825,33 +972,36 @@ def pallas_adjoint_rollout(
     k = state.layer_thickness.shape[-1]
     dtype = state.layer_thickness.dtype
     if plan is None:
-        plan = _adjoint_plan(n_steps, ny2, nx, k, dtype.itemsize)
+        plan = _adjoint_plan(n_steps, ny2, nx, k, dtype.itemsize, nonlinear)
     if plan is None:
         raise ValueError("state too large for the fused adjoint segments")
     b, m = plan
     f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+    nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
     _, ckpts = _pallas_forward_ckpts(
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
-        f_edge, rts, scal, mask,
+        f_edge, rts, scal, mask, f_vert,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
-        interpret=bool(interpret),
+        interpret=bool(interpret), nl_terms=nl_terms,
     )
     (gs, gh, gu), ddt = _pallas_adjoint_from_ckpts(
         ckpts, f_edge, rts, scal,
         g.ssh[..., None].astype(dtype),
         g.layer_thickness.astype(dtype),
         g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
-        mask,
+        mask, f_vert,
         terms=mesh.coriolis_terms, b=b, m=m, interpret=bool(interpret),
+        nl_terms=nl_terms,
     )
     d_state = _cot_from_planes(gs, gh, gu, ny2, nx, k)
     return d_state, ddt.astype(jnp.asarray(dt).dtype)
 
 
 def _checkpointed_roll_rollout(
-    state: StructState, mesh: StructMesh, dt, n_steps: int
+    state: StructState, mesh: StructMesh, dt, n_steps: int,
+    nonlinear: bool = False,
 ) -> StructState:
     """Roll-model rollout with two-level (sqrt) checkpointing: reverse-mode
     memory is O(sqrt(n) * state) instead of O(n * intermediates). Used as
@@ -861,7 +1011,9 @@ def _checkpointed_roll_rollout(
     b = max(1, math.isqrt(n_steps))
     a, rem = divmod(n_steps, b)
 
-    step = jax.checkpoint(lambda s, _: (structured_step(s, mesh, dt), None))
+    step = jax.checkpoint(
+        lambda s, _: (structured_step(s, mesh, dt, nonlinear), None)
+    )
 
     def chunk(s, _):
         s, _ = jax.lax.scan(step, s, length=b)
@@ -874,9 +1026,10 @@ def _checkpointed_roll_rollout(
     return state
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def pallas_rollout_diff(
-    state: StructState, mesh: StructMesh, dt, n_steps: int
+    state: StructState, mesh: StructMesh, dt, n_steps: int,
+    nonlinear: bool = False,
 ) -> StructState:
     """n-step structured rollout, FAST forward and differentiable: the
     primal runs the fused/tiled Pallas kernel (VMEM-resident loop), the VJP
@@ -884,22 +1037,25 @@ def pallas_rollout_diff(
     the whole-loop reverse the reference validates with Enzyme
     (reference: test/enzyme/test_Enzyme_end2end.jl:78-92) at the fused
     path's forward speed."""
-    return structured_auto_run_loop(state, mesh, dt, n_steps)
+    return structured_auto_run_loop(
+        state, mesh, dt, n_steps, nonlinear=nonlinear
+    )
 
 
-def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int):
+def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
+                       nonlinear: bool = False):
     """(b, m) when the fused adjoint applies on this backend/size, else None."""
     k = state.layer_thickness.shape[-1]
     itemsize = state.layer_thickness.dtype.itemsize
     if jax.default_backend() != "tpu" or not fits_in_vmem(mesh, k, itemsize):
         return None
-    return _adjoint_plan(n_steps, mesh.ny2, mesh.nx, k, itemsize)
+    return _adjoint_plan(n_steps, mesh.ny2, mesh.nx, k, itemsize, nonlinear)
 
 
-def _rollout_fwd(state, mesh, dt, n_steps):
-    plan = _fast_adjoint_plan(state, mesh, n_steps)
+def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False):
+    plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
     if plan is None:
-        return pallas_rollout_diff(state, mesh, dt, n_steps), (
+        return pallas_rollout_diff(state, mesh, dt, n_steps, nonlinear), (
             None, state, mesh, dt,
         )
     # fast path: run the forward in fused big-step segments, SAVING the
@@ -910,13 +1066,14 @@ def _rollout_fwd(state, mesh, dt, n_steps):
     k = state.layer_thickness.shape[-1]
     dtype = state.layer_thickness.dtype
     f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+    nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
     (ssh_f, h_f, u_f), ckpts = _pallas_forward_ckpts(
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
-        f_edge, rts, scal, mask,
+        f_edge, rts, scal, mask, f_vert,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
-        interpret=False,
+        interpret=False, nl_terms=nl_terms,
     )
     out = StructState(
         ssh=ssh_f[..., 0],
@@ -926,29 +1083,32 @@ def _rollout_fwd(state, mesh, dt, n_steps):
     return out, (ckpts, state, mesh, dt)
 
 
-def _rollout_bwd(n_steps, res, g):
+def _rollout_bwd(n_steps, nonlinear, res, g):
     ckpts, state, mesh, dt = res
     if ckpts is not None:
-        plan = _fast_adjoint_plan(state, mesh, n_steps)
+        plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
         b, m = plan
         ny2, nx = mesh.ny2, mesh.nx
         k = state.layer_thickness.shape[-1]
         dtype = state.layer_thickness.dtype
         f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+        nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
         (gs, gh, gu), ddt = _pallas_adjoint_from_ckpts(
             ckpts, f_edge, rts, scal,
             g.ssh[..., None].astype(dtype),
             g.layer_thickness.astype(dtype),
             g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
-            mask,
+            mask, f_vert,
             terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
+            nl_terms=nl_terms,
         )
         d_state = _cot_from_planes(gs, gh, gu, ny2, nx, k)
         d_dt = ddt.astype(jnp.asarray(dt).dtype)
         return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt
     # fallback (CPU / beyond-VMEM meshes): sqrt-checkpointed roll reverse
     _, vjp = jax.vjp(
-        lambda s, t: _checkpointed_roll_rollout(s, mesh, t, n_steps), state, dt
+        lambda s, t: _checkpointed_roll_rollout(s, mesh, t, n_steps, nonlinear),
+        state, dt,
     )
     d_state, d_dt = vjp(g)
     return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt

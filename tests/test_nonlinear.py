@@ -213,3 +213,51 @@ def test_matrix_nonlinear_requires_operators(mesh16):
     mm = MatrixModel.from_mesh(mesh16, dtype=np.float64)
     with pytest.raises(ValueError, match="nonlinear"):
         matrix_step(prog, mm, 1.0, nonlinear=True)
+
+
+def test_structured_nonlinear_matches_gather():
+    """Roll-path nonlinear step (machine-extracted vertex stencils) agrees
+    with the gather path at f64 roundoff on a periodic lattice."""
+    from mpas_ocean_tpu.mesh import planar_hex_mesh
+    from mpas_ocean_tpu.mesh.mesh import Mesh
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.structured import StructuredModel
+
+    nx = 16
+    horz = planar_hex_mesh(nx, nx, 1000.0, f0=1e-4)
+    vert = make_vertical_mesh(
+        horz, n_vert_levels=2,
+        resting_thickness=np.full((horz.n_cells, 2), 50.0),
+    )
+    mesh = Mesh(horz=horz, vert=vert).to_device()
+    prog = _wavy_state(mesh, 0.5)
+    sm = StructuredModel(mesh, nx, nx)
+
+    out_g = ocn_run_loop(prog, mesh, 2.0, 20, nonlinear=True)
+    out_s = sm.from_struct(sm.run(sm.to_struct(prog), 2.0, 20, nonlinear=True))
+    scale = float(jnp.abs(out_g.normal_velocity).max())
+    assert np.abs(np.asarray(out_s.normal_velocity - out_g.normal_velocity)).max() < 1e-12 * max(scale, 1.0)
+    assert np.abs(np.asarray(out_s.ssh - out_g.ssh)).max() < 1e-9
+
+
+def test_structured_nonlinear_rejects_walls():
+    from mpas_ocean_tpu.mesh import planar_hex_mesh
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.mesh.mesh import Mesh
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.structured import StructuredModel
+
+    nx = 16
+    parent = planar_hex_mesh(nx, nx, 1000.0, f0=1e-4)
+    y = np.asarray(parent.cells.y)
+    keep = (y > y.min()) & (y < y.max())
+    culled = cull_cells(parent, keep)
+    vert = make_vertical_mesh(
+        culled, n_vert_levels=1,
+        resting_thickness=np.full((culled.n_cells, 1), 100.0),
+    )
+    mesh = Mesh(horz=culled, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, nx, parent_horz=parent, keep_cells=keep)
+    prog = _wavy_state(mesh, 0.1)
+    with pytest.raises(NotImplementedError, match="periodic"):
+        sm.run(sm.to_struct(prog), 1.0, 2, nonlinear=True)
