@@ -124,16 +124,21 @@ def measure_structured(device, sm, prog, dt, steps, reps) -> float:
     return _time_fn(run, reps)
 
 
-def measure_pallas(device, sm, prog, dt, steps, reps) -> float:
+def measure_pallas(device, sm, prog, dt, steps, reps,
+                   nonlinear: bool = False) -> float:
     """Fused Pallas rollout: whole time loop in one on-chip kernel (state
-    resident in VMEM, HBM touched twice per rollout)."""
+    resident in VMEM, HBM touched twice per rollout). nonlinear=True runs
+    the full vector-invariant dynamics (BEYOND the reference, README.MD:12)
+    in the same kernel."""
     from mpas_ocean_tpu.structured.pallas_model import pallas_run_loop
 
     st = jax.device_put(sm.to_struct(prog), device)
     smesh = jax.device_put(sm.struct_mesh, device)
 
     def run():
-        out = pallas_run_loop(st, smesh, dt, steps, interpret=False)
+        out = pallas_run_loop(
+            st, smesh, dt, steps, interpret=False, nonlinear=nonlinear
+        )
         return float(out.ssh.sum())
 
     return _time_fn(run, reps)
@@ -392,11 +397,16 @@ def main():
 
     if accel.platform == "tpu":
         large_gps, large_spstep = measure_tiled_large(accel)
-        adj_steps = max(8, STEPS // 16)
+        # >= STEPS//2 so the ~25 ms fixed dispatch+readback latency of this
+        # tunneled chip stays <2% of the measurement (at STEPS//16 it
+        # inflated the per-step number ~1.5x)
+        adj_steps = max(8, STEPS // 2)
         t_adj = measure_adjoint(accel, sm, prog, dt, adj_steps)
         adj_spstep = t_adj / adj_steps
+        t_nl = measure_pallas(accel, sm, prog, dt, STEPS, 1, nonlinear=True)
+        nl_gps = n_gridpoints * STEPS / t_nl
     else:
-        large_gps = large_spstep = adj_spstep = float("nan")
+        large_gps = large_spstep = adj_spstep = nl_gps = float("nan")
 
     # static halo-overlap profile of an 8-part decomposition of this mesh
     # (single real chip here; the sharded tests execute the same code on 8
@@ -451,6 +461,7 @@ def main():
                     "large_mesh_tiled_seconds_per_step": large_spstep,
                     "large_mesh_config": "256x256 hex, 100 levels (HBM-streaming tiled path)",
                     "adjoint_rollout_seconds_per_step": adj_spstep,
+                    "nonlinear_fused_gridpoints_per_sec": nl_gps,
                     "roofline": {
                         "vpu_peak_tflops_measured": vpu_peak / 1e12,
                         "hbm_peak_gbps_measured": hbm_peak / 1e9,

@@ -37,6 +37,10 @@ class ModelSetup:
     mesh: Mesh
     time_manager: Clock
     integrator: type = ForwardEuler
+    # vector-invariant (nonlinear) dynamics — a capability beyond the
+    # reference's linear core (reference: README.MD:12); selected by the
+    # optional namelist key time_integration: config_nonlinear_dynamics
+    nonlinear: bool = False
 
 
 def ocn_setup_mesh(config: GlobalConfig, dtype=np.float64) -> Mesh:
@@ -99,7 +103,11 @@ def ocn_init(config_fp, dtype=np.float64):
     if "config_time_integrator" in ti_cfg:
         integrator = _INTEGRATORS[ConfigGet(ti_cfg, "config_time_integrator")]
 
-    setup = ModelSetup(config, mesh, clock, integrator)
+    nonlinear = bool(
+        "config_nonlinear_dynamics" in ti_cfg
+        and ConfigGet(ti_cfg, "config_nonlinear_dynamics")
+    )
+    setup = ModelSetup(config, mesh, clock, integrator, nonlinear)
 
     tm_cfg = ConfigGet(config.namelist, "time_management")
     if ConfigGet(tm_cfg, "config_do_restart"):

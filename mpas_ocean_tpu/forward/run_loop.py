@@ -60,7 +60,7 @@ def ocn_run_loop_objective(
     return jnp.sum(final.ssh * final.ssh)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_outputs", "method"))
+@partial(jax.jit, static_argnames=("n_steps", "n_outputs", "method", "nonlinear"))
 def ocn_run_loop_with_outputs(
     prog: PrognosticVars,
     mesh,
@@ -68,6 +68,7 @@ def ocn_run_loop_with_outputs(
     n_steps: int,
     n_outputs: int,
     method=ForwardEuler,
+    nonlinear: bool = False,
 ):
     """Rollout that also returns the state every n_steps/n_outputs steps
     (the in-loop periodic output the reference's output alarm only stubs,
@@ -77,7 +78,7 @@ def ocn_run_loop_with_outputs(
 
     def outer(p, _):
         def body(q, _):
-            return ocn_timestep(q, mesh, dt, method), None
+            return ocn_timestep(q, mesh, dt, method, nonlinear=nonlinear), None
 
         p, _ = jax.lax.scan(body, p, length=chunk)
         return p, p
@@ -86,7 +87,7 @@ def ocn_run_loop_with_outputs(
     return final, outputs
 
 
-@partial(jax.jit, static_argnames=("n_steps", "every", "method", "snapshots"))
+@partial(jax.jit, static_argnames=("n_steps", "every", "method", "snapshots", "nonlinear"))
 def ocn_run_loop_with_monitor(
     prog: PrognosticVars,
     mesh,
@@ -95,6 +96,7 @@ def ocn_run_loop_with_monitor(
     every: int,
     method=ForwardEuler,
     snapshots: bool = False,
+    nonlinear: bool = False,
 ):
     """Rollout that also samples physics health metrics every ``every``
     steps, ON DEVICE inside the scan (total volume, total kinetic energy,
@@ -114,7 +116,7 @@ def ocn_run_loop_with_monitor(
 
     def outer(p, _):
         def body(q, _):
-            return ocn_timestep(q, mesh, dt, method), None
+            return ocn_timestep(q, mesh, dt, method, nonlinear=nonlinear), None
 
         p, _ = jax.lax.scan(body, p, length=every)
         h_act = p.layer_thickness * mesh.vert.cell_level_mask

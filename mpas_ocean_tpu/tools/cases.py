@@ -43,6 +43,7 @@ CONFIG_TEMPLATE = """omega:
     config_dt: {dt}
     config_number_of_time_levels: 2
     config_time_integrator: {integrator}
+    config_nonlinear_dynamics: {nonlinear}
   streams:
     mesh:
       filename_template: {case_dir}/initial_state.nc
@@ -66,6 +67,7 @@ def make_igw_case(
     output_interval_seconds: float | None = None,
     integrator: str = "ForwardEuler",
     f0: float = 1e-4,
+    nonlinear: bool = False,
 ) -> str:
     """Generate an inertial-gravity-wave case directory; returns the config
     path. Box size follows the polaris case the reference artifacts encode:
@@ -101,6 +103,7 @@ def make_igw_case(
         output_interval=mpas_interval(output_interval_seconds),
         integrator=integrator,
         case_dir=case_dir,
+        nonlinear="true" if nonlinear else "false",
     )
     config_fp = os.path.join(case_dir, "config.yml")
     with open(config_fp, "w") as f:

@@ -361,3 +361,27 @@ def test_monitor_series_and_health(tmp_path):
     v = [r["volume"] for r in records]
     assert abs(v[-1] - v[0]) < 1e-9 * abs(v[0])
     assert all(np.isfinite(list(r.values())).all() for r in records)
+
+
+def test_driver_nonlinear_config(tmp_path):
+    """config_nonlinear_dynamics: true selects the vector-invariant
+    dynamics through the whole config->driver->rollout chain, and the
+    result differs from the linear run of the same case."""
+    from mpas_ocean_tpu.tools.cases import make_igw_case
+
+    d_nl = tmp_path / "nl"
+    d_lin = tmp_path / "lin"
+    d_nl.mkdir(), d_lin.mkdir()
+    cfg_nl = make_igw_case(d_nl, nx=16, resolution_km=200.0,
+                           duration_seconds=4000, nonlinear=True)
+    cfg_lin = make_igw_case(d_lin, nx=16, resolution_km=200.0,
+                            duration_seconds=4000)
+    setup_nl, prog_nl = ocn_run(cfg_nl)
+    assert setup_nl.nonlinear is True
+    setup_lin, prog_lin = ocn_run(cfg_lin)
+    assert setup_lin.nonlinear is False
+    assert np.isfinite(np.asarray(prog_nl.ssh)).all()
+    assert (
+        np.abs(np.asarray(prog_nl.normal_velocity - prog_lin.normal_velocity)).max()
+        > 0
+    )
