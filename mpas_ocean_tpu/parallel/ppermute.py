@@ -146,3 +146,35 @@ def halo_exchange_ppermute(
         erecv = jax.lax.ppermute(u_s[r.edge_send], axis, perm)
         u = u.at[r.edge_recv].set(erecv)
     return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u)
+
+
+def halo_exchange_fields_ppermute(
+    cell_fields, edge_fields, rounds, axis: str, n_parts: int
+):
+    """Refresh halo slots of arbitrary derived per-(cell|edge) fields with
+    one ppermute per ring round (inside shard_map). Used by the nonlinear
+    sharded step, whose PV-flux taps need OWNER-computed derived values
+    (kinetic energy, thickness flux, edge PV) at halo elements — exchanging
+    the derived fields keeps the 1-ring halo sufficient where the raw
+    stencil would need two rings. Fields are (n_local, K) arrays; returns
+    (cell_fields, edge_fields) tuples with halo slots overwritten."""
+    cf, ef = list(cell_fields), list(edge_fields)
+    for r in rounds:
+        perm = [(i, (i + r.shift) % n_parts) for i in range(n_parts)]
+        if cf:
+            pack = jnp.concatenate([f[r.cell_send] for f in cf], axis=1)
+            recv = jax.lax.ppermute(pack, axis, perm)
+            o = 0
+            for i, f in enumerate(cf):
+                w = f.shape[1]
+                cf[i] = f.at[r.cell_recv].set(recv[:, o:o + w])
+                o += w
+        if ef:
+            pack = jnp.concatenate([f[r.edge_send] for f in ef], axis=1)
+            recv = jax.lax.ppermute(pack, axis, perm)
+            o = 0
+            for i, f in enumerate(ef):
+                w = f.shape[1]
+                ef[i] = f.at[r.edge_recv].set(recv[:, o:o + w])
+                o += w
+    return tuple(cf), tuple(ef)

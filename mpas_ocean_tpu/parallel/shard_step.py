@@ -20,16 +20,30 @@ import numpy as np
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..constants import GRAVITY
 from ..models.shallow_water import (
     PrognosticVars,
     compute_diagnostics,
     compute_tendencies,
+    kinetic_energy_on_cell,
+    potential_vorticity_on_vertex,
+    pv_flux_tendency,
     update_ssh,
+)
+from ..ops.operators import (
+    divergence_on_cell,
+    gradient_on_edge,
+    interpolate_cell_to_edge,
+    interpolate_vertex_to_edge,
 )
 from ..forward.time_integration import ForwardEuler, RungeKutta4, ocn_timestep
 from ..utils.pytree import pytree_dataclass
 from .partition import PartitionedMesh, build_partition
-from .ppermute import build_permute_schedule, halo_exchange_ppermute
+from .ppermute import (
+    build_permute_schedule,
+    halo_exchange_fields_ppermute,
+    halo_exchange_ppermute,
+)
 
 try:  # JAX >= 0.6 spells it jax.shard_map
     shard_map = jax.shard_map
@@ -80,7 +94,64 @@ def _halo_exchange(
     return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u)
 
 
-def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh) -> PrognosticVars:
+def _halo_exchange_fields(cell_fields, edge_fields, ex: ExchangeSpec, axis):
+    """all_gather variant of ppermute.halo_exchange_fields_ppermute:
+    refresh halo slots of derived per-(cell|edge) fields (see there for why
+    the nonlinear step needs it)."""
+    cf, ef = list(cell_fields), list(edge_fields)
+    if cf:
+        pack = jnp.concatenate([f[ex.cell_send] for f in cf], axis=1)
+        allp = jax.lax.all_gather(pack, axis, tiled=True)
+        inc = allp[ex.cell_recv_flat]
+        o = 0
+        for i, f in enumerate(cf):
+            w = f.shape[1]
+            cf[i] = f.at[ex.cell_halo_slots].set(inc[:, o:o + w])
+            o += w
+    if ef:
+        pack = jnp.concatenate([f[ex.edge_send] for f in ef], axis=1)
+        allp = jax.lax.all_gather(pack, axis, tiled=True)
+        inc = allp[ex.edge_recv_flat]
+        o = 0
+        for i, f in enumerate(ef):
+            w = f.shape[1]
+            ef[i] = f.at[ex.edge_halo_slots].set(inc[:, o:o + w])
+            o += w
+    return tuple(cf), tuple(ef)
+
+
+def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields):
+    """Vector-invariant tendencies on a 1-ring-halo local mesh.
+
+    The PV flux at an owned edge taps derived values (thickness flux, edge
+    PV) at the edges of its two adjacent cells; computing those locally
+    would need a 2-ring halo (their own stencils reach one more ring out).
+    Instead every device computes the derived fields where its data is
+    complete — kinetic energy at owned cells, flux and edge PV at owned
+    edges (their vertices always have all 3 cells inside the 1-ring halo) —
+    and ``refresh_fields((ke,), (flux, q_e))`` overwrites halo slots with
+    the owner-computed values. Same math as the global nonlinear tendency
+    (models/shallow_water.compute_normal_velocity_tendency), so owned
+    elements match the unsharded rollout to f64 roundoff."""
+    ke = kinetic_energy_on_cell(p.normal_velocity, lmesh)
+    flux = p.normal_velocity * interpolate_cell_to_edge(
+        p.layer_thickness, lmesh
+    )
+    q_v = potential_vorticity_on_vertex(p, lmesh)
+    q_e = interpolate_vertex_to_edge(q_v, lmesh)
+    (ke,), (flux, q_e) = refresh_fields((ke,), (flux, q_e))
+
+    elm = lmesh.vert.edge_level_mask
+    tend_u = -GRAVITY * gradient_on_edge(p.ssh, lmesh)[:, None] * elm
+    tend_u = tend_u - gradient_on_edge(ke, lmesh) * elm
+    tend_u = tend_u + pv_flux_tendency(q_e, flux, lmesh) * elm
+    tend_u = tend_u * lmesh.edges.edge_mask[:, None]
+    tend_h = -divergence_on_cell(flux, lmesh) * lmesh.vert.cell_level_mask
+    return tend_u, tend_h
+
+
+def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
+                     rates=None) -> PrognosticVars:
     """One RK4 step inside shard_map, with a halo refresh before every
     stage-rate evaluation: each of the four stages widens the stencil by one
     ring, so per-stage exchange is required for the 1-ring halo the
@@ -90,13 +161,16 @@ def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh) -> PrognosticVars
     ``refresh(p)`` must overwrite halo slots with owner values. The caller
     is responsible for refreshing the RETURNED state (the run loop's
     post-step exchange does it), and ``prog`` must arrive with fresh halos.
-    Mirrors forward/time_integration.rk4_step stage for stage.
+    Mirrors forward/time_integration.rk4_step stage for stage. ``rates``
+    overrides the stage-rate function (nonlinear sharded runs pass
+    sharded_nonlinear_rates bound to the derived-field refresh).
     """
 
-    def rates(p):
-        diag = compute_diagnostics(p, lmesh)
-        t = compute_tendencies(p, diag, lmesh)
-        return t.tend_normal_velocity, t.tend_layer_thickness
+    if rates is None:
+        def rates(p):
+            diag = compute_diagnostics(p, lmesh)
+            t = compute_tendencies(p, diag, lmesh)
+            return t.tend_normal_velocity, t.tend_layer_thickness
 
     u0, h0 = prog.normal_velocity, prog.layer_thickness
 
@@ -283,25 +357,41 @@ class ShardedModel:
             prog, ex, self.axes, apply_to
         )
 
+    def _exchange_fields_fn(self):
+        """(cell_fields, edge_fields, ex) -> halo-fresh derived fields,
+        per the configured backend (nonlinear sharded step)."""
+        if self.exchange == "ppermute":
+            axis, n_parts = self.axes, self.n_parts
+            return lambda cf, ef, ex: halo_exchange_fields_ppermute(
+                cf, ef, ex, axis, n_parts
+            )
+        return lambda cf, ef, ex: _halo_exchange_fields(cf, ef, ex, self.axes)
+
     @property
     def _ex_arg(self):
         return self.rounds if self.exchange == "ppermute" else self.ex
 
     # -- compute --------------------------------------------------------
-    def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler):
-        """n_steps sharded timesteps under one jit (scan inside shard_map)."""
-        use_overlap = self.overlap and method is ForwardEuler
+    def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
+            nonlinear: bool = False):
+        """n_steps sharded timesteps under one jit (scan inside shard_map).
+        ``nonlinear=True`` runs the vector-invariant dynamics (derived-field
+        halo exchange keeps the 1-ring halo exact; overlap mini-stepping is
+        bypassed — its boundary mesh only carries the linear stencil)."""
+        use_overlap = self.overlap and method is ForwardEuler and not nonlinear
         mini_args = (self.mini, self._ex_mini) if use_overlap else None
         return self._run_jit(
             local, self.local_mesh, self._ex_arg, mini_args,
-            float(dt), n_steps, method,
+            float(dt), n_steps, method, nonlinear,
         )
 
-    @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method"))
-    def _run_jit(self, local, lmesh, ex, mini_args, dt, n_steps, method):
+    @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method", "nonlinear"))
+    def _run_jit(self, local, lmesh, ex, mini_args, dt, n_steps, method,
+                 nonlinear=False):
         from .overlap import mini_forward_euler_step
 
         exchange = self._exchange_fn()
+        exchange_fields = self._exchange_fields_fn()
         if method not in (ForwardEuler, RungeKutta4):
             raise ValueError(f"unknown sharded time stepper {method!r}")
         use_overlap = mini_args is not None
@@ -312,11 +402,24 @@ class ShardedModel:
             local, lmesh, ex = sq(local), sq(lmesh), sq(ex)
             if use_overlap:
                 mini, ex_mini = sq(mini_args)
+            nl_rates = lambda p: sharded_nonlinear_rates(
+                p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex)
+            )
 
             def body(prog, _):
                 if method is RungeKutta4:
                     prog = sharded_rk4_step(
-                        prog, lmesh, dt, lambda p: exchange(p, ex)
+                        prog, lmesh, dt, lambda p: exchange(p, ex),
+                        rates=nl_rates if nonlinear else None,
+                    )
+                    return exchange(prog, ex), None
+                if nonlinear:
+                    tu, th = nl_rates(prog)
+                    h = prog.layer_thickness + dt * th
+                    u = prog.normal_velocity + dt * tu
+                    prog = PrognosticVars(
+                        ssh=update_ssh(h, lmesh), layer_thickness=h,
+                        normal_velocity=u,
                     )
                     return exchange(prog, ex), None
                 if use_overlap:
@@ -345,7 +448,8 @@ class ShardedModel:
             out_specs=self._in_specs(local),
         )(local, lmesh, ex, mini_args)
 
-    def objective(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler):
+    def objective(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
+                  nonlinear: bool = False):
         """Differentiable sharded rollout + global sum(ssh^2) over owned
         cells (psum over the mesh axis)."""
         if method not in (ForwardEuler, RungeKutta4):
@@ -357,15 +461,28 @@ class ShardedModel:
         owned_mask = self._put_tree(jnp.asarray(owned_mask))
 
         exchange = self._exchange_fn()
+        exchange_fields = self._exchange_fields_fn()
 
         def device_fn(local, lmesh, ex, mask):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, lmesh, ex, mask = sq(local), sq(lmesh), sq(ex), sq(mask)
+            nl_rates = lambda p: sharded_nonlinear_rates(
+                p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex)
+            )
 
             def body(prog, _):
                 if method is RungeKutta4:
                     prog = sharded_rk4_step(
-                        prog, lmesh, dt, lambda p: exchange(p, ex)
+                        prog, lmesh, dt, lambda p: exchange(p, ex),
+                        rates=nl_rates if nonlinear else None,
+                    )
+                elif nonlinear:
+                    tu, th = nl_rates(prog)
+                    h = prog.layer_thickness + dt * th
+                    u = prog.normal_velocity + dt * tu
+                    prog = PrognosticVars(
+                        ssh=update_ssh(h, lmesh), layer_thickness=h,
+                        normal_velocity=u,
                     )
                 else:
                     prog = ocn_timestep(prog, lmesh, dt, method)

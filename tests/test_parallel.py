@@ -207,3 +207,55 @@ def test_scaling_harness_smoke():
         assert np.isfinite(r["checksum"])
     # weak scaling: per-device size constant, global size doubles
     assert recs[1]["gridpoints"] == 2 * recs[0]["gridpoints"]
+
+
+@pytest.mark.parametrize("exchange", ["ppermute", "allgather"])
+def test_sharded_nonlinear_matches_single_device(igw_mesh, igw_prog, exchange):
+    """Nonlinear (vector-invariant) sharded stepping: the derived-field
+    halo exchange (KE, thickness flux, edge PV) keeps the 1-ring halo
+    exact, so owned elements reproduce the unsharded nonlinear rollout."""
+    dt, n = 976.0, 10
+    ref = ocn_run_loop(igw_prog, igw_mesh, dt, n, nonlinear=True)
+
+    sm = ShardedModel(igw_mesh, exchange=exchange)
+    local = sm.run(sm.scatter(igw_prog), dt, n, nonlinear=True)
+    out = sm.gather(local)
+
+    for a, b in (
+        (out.ssh, ref.ssh),
+        (out.normal_velocity, ref.normal_velocity),
+        (out.layer_thickness, ref.layer_thickness),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-11
+        )
+
+
+def test_sharded_nonlinear_rk4_and_grad(igw_mesh, igw_prog):
+    from mpas_ocean_tpu.forward.time_integration import RungeKutta4
+
+    dt, n = 976.0, 4
+    sm = ShardedModel(igw_mesh)
+
+    ref4 = ocn_run_loop(
+        igw_prog, igw_mesh, dt, n, method=RungeKutta4, nonlinear=True
+    )
+    out4 = sm.gather(
+        sm.run(sm.scatter(igw_prog), dt, n, method=RungeKutta4, nonlinear=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out4.normal_velocity),
+        np.asarray(ref4.normal_velocity),
+        rtol=0, atol=1e-11,
+    )
+
+    obj_ref = float(
+        ocn_run_loop_objective(igw_prog, igw_mesh, dt, n, nonlinear=True)
+    )
+    obj_sh = float(sm.objective(sm.scatter(igw_prog), dt, n, nonlinear=True))
+    assert obj_sh == pytest.approx(obj_ref, rel=1e-12)
+    # gradient flows through the derived-field collectives
+    g = jax.grad(lambda l: sm.objective(l, dt, n, nonlinear=True))(
+        sm.scatter(igw_prog)
+    )
+    assert np.isfinite(np.asarray(g.normal_velocity)).all()
