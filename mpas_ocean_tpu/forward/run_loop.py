@@ -110,7 +110,12 @@ def ocn_run_loop_with_monitor(
     writing a single output file; infra/monitor.py renders/logs it.
     """
     assert n_steps % every == 0
-    from ..models.shallow_water import kinetic_energy_on_cell
+    from ..constants import GRAVITY
+    from ..models.shallow_water import (
+        kinetic_energy_on_cell,
+        potential_vorticity_on_vertex,
+    )
+    from ..ops.operators import interpolate_cell_to_vertex
 
     area = mesh.cells.area_cell
 
@@ -121,10 +126,26 @@ def ocn_run_loop_with_monitor(
         p, _ = jax.lax.scan(body, p, length=every)
         h_act = p.layer_thickness * mesh.vert.cell_level_mask
         ke_col = kinetic_energy_on_cell(p.normal_velocity, mesh)  # (nC, K)
+        ke_total = jnp.sum((ke_col * h_act).sum(axis=1) * area)
+        pe_total = 0.5 * GRAVITY * jnp.sum(p.ssh * p.ssh * area)
+        # potential enstrophy sum_v A_v h_v q^2 / 2 — conserved (up to
+        # time-discretization) by the TRiSK PV flux; its drift is the
+        # canary for a broken nonlinear scheme
+        q_v = potential_vorticity_on_vertex(p, mesh)
+        h_v = interpolate_cell_to_vertex(p.layer_thickness, mesh)
+        a_tri = mesh.duals.area_triangle
+        enstrophy = 0.5 * jnp.sum(
+            (h_v * q_v * q_v * mesh.vert.vertex_level_mask).sum(axis=1)
+            * a_tri
+        )
         stats = {
             "volume": jnp.sum(h_act.sum(axis=1) * area),
             # KE weighted by layer thickness and cell area (J / rho0)
-            "kinetic_energy": jnp.sum((ke_col * h_act).sum(axis=1) * area),
+            "kinetic_energy": ke_total,
+            # spatially conserved by the nonlinear scheme (tests pin it);
+            # in LINEAR runs only meaningful as a blow-up canary
+            "total_energy": ke_total + pe_total,
+            "pot_enstrophy": enstrophy,
             "max_abs_u": jnp.max(jnp.abs(p.normal_velocity)),
             "ssh_rms": jnp.sqrt(jnp.mean(p.ssh * p.ssh)),
         }

@@ -115,3 +115,54 @@ def test_icosphere_points_unique():
 
     d, _ = cKDTree(pts).query(pts, k=2)
     assert d[:, 1].min() > 1e-3
+
+
+def test_nonlinear_on_sphere(sphere):
+    """Williamson test case 2 proper: the balanced zonal flow is a steady
+    solution of the FULL nonlinear shallow-water equations on the sphere
+    (with the nonlinear terms the geostrophic ssh must balance both the
+    Coriolis AND the u^2/2 metric term — here the linear-balance state is
+    close enough at this amplitude to stay near-steady), and the TRiSK
+    scheme must conserve energy: RK4 drift is time-discretization-only.
+    Exercises kite areas, vertex PV and the symmetric flux on a truly
+    unstructured spherical mesh (12 pentagons + hexagons)."""
+    from mpas_ocean_tpu.models.shallow_water import (
+        kinetic_energy_on_cell,
+        potential_vorticity_on_vertex,
+    )
+
+    H = 5000.0
+    vert = make_vertical_mesh(
+        sphere, n_vert_levels=1, resting_thickness=np.full((sphere.n_cells, 1), H)
+    )
+    mesh = Mesh(horz=sphere, vert=vert).to_device()
+    eta, h, u = _balanced_state(sphere, H=H)
+    prog = PrognosticVars(
+        ssh=jnp.asarray(eta),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    q = potential_vorticity_on_vertex(prog, mesh)
+    assert np.isfinite(np.asarray(q)).all()
+
+    def total_energy(p):
+        area = mesh.cells.area_cell
+        ke = kinetic_energy_on_cell(p.normal_velocity, mesh)
+        hh = p.layer_thickness
+        return float(
+            jnp.sum((ke * hh).sum(axis=1) * area)
+            + 0.5 * GRAVITY * jnp.sum(p.ssh * p.ssh * area)
+        )
+
+    from mpas_ocean_tpu.forward.time_integration import RungeKutta4
+
+    e0 = total_energy(prog)
+    fin = ocn_run_loop(prog, mesh, 300.0, 50, method=RungeKutta4, nonlinear=True)
+    assert np.isfinite(np.asarray(fin.normal_velocity)).all()
+    # near-steady: nonlinear terms perturb the linear-balanced state only
+    # at the u0^2/(g H) ~ 1e-2 level
+    du = np.abs(np.asarray(fin.normal_velocity) - np.asarray(prog.normal_velocity))
+    assert du.max() < 0.1 * np.abs(u).max()
+    # energy conservation on the unstructured sphere
+    drift = abs(total_energy(fin) - e0) / abs(e0)
+    assert drift < 1e-7
