@@ -51,6 +51,8 @@ from .ops import (
     divergence_on_cell,
     gradient_on_edge,
     interpolate_cell_to_edge,
+    interpolate_cell_to_vertex,
+    interpolate_vertex_to_edge,
     tangential_reconstruction,
 )
 from .models.shallow_water import (
@@ -60,6 +62,9 @@ from .models.shallow_water import (
     compute_diagnostics,
     compute_layer_thickness_tendency,
     compute_normal_velocity_tendency,
+    kinetic_energy_on_cell,
+    potential_vorticity_on_vertex,
+    pv_flux_tendency,
 )
 from .models.matrix_model import MatrixModel, matrix_run_loop, matrix_step
 from .forward.time_integration import ForwardEuler, RungeKutta4, ocn_timestep
@@ -85,6 +90,8 @@ __all__ = [
     "divergence_on_cell",
     "gradient_on_edge",
     "interpolate_cell_to_edge",
+    "interpolate_cell_to_vertex",
+    "interpolate_vertex_to_edge",
     "tangential_reconstruction",
     "DiagnosticVars",
     "PrognosticVars",
@@ -92,6 +99,9 @@ __all__ = [
     "compute_diagnostics",
     "compute_layer_thickness_tendency",
     "compute_normal_velocity_tendency",
+    "kinetic_energy_on_cell",
+    "potential_vorticity_on_vertex",
+    "pv_flux_tendency",
     "MatrixModel",
     "matrix_run_loop",
     "matrix_step",

@@ -3,6 +3,8 @@ from .operators import (
     divergence_on_cell,
     gradient_on_edge,
     interpolate_cell_to_edge,
+    interpolate_cell_to_vertex,
+    interpolate_vertex_to_edge,
     tangential_reconstruction,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "divergence_on_cell",
     "gradient_on_edge",
     "interpolate_cell_to_edge",
+    "interpolate_cell_to_vertex",
+    "interpolate_vertex_to_edge",
     "tangential_reconstruction",
 ]
