@@ -130,14 +130,19 @@ def ocn_run_loop_with_monitor(
         pe_total = 0.5 * GRAVITY * jnp.sum(p.ssh * p.ssh * area)
         # potential enstrophy sum_v A_v h_v q^2 / 2 — conserved (up to
         # time-discretization) by the TRiSK PV flux; its drift is the
-        # canary for a broken nonlinear scheme
-        q_v = potential_vorticity_on_vertex(p, mesh)
-        h_v = interpolate_cell_to_vertex(p.layer_thickness, mesh)
-        a_tri = mesh.duals.area_triangle
-        enstrophy = 0.5 * jnp.sum(
-            (h_v * q_v * q_v * mesh.vert.vertex_level_mask).sum(axis=1)
-            * a_tri
-        )
+        # canary for a broken nonlinear scheme. For linear runs the metric
+        # carries no conservation meaning, so skip the curl + two vertex
+        # interpolations and report NaN (schema stays stable).
+        if nonlinear:
+            q_v = potential_vorticity_on_vertex(p, mesh)
+            h_v = interpolate_cell_to_vertex(p.layer_thickness, mesh)
+            a_tri = mesh.duals.area_triangle
+            enstrophy = 0.5 * jnp.sum(
+                (h_v * q_v * q_v * mesh.vert.vertex_level_mask).sum(axis=1)
+                * a_tri
+            )
+        else:
+            enstrophy = jnp.asarray(jnp.nan, dtype=p.ssh.dtype)
         stats = {
             "volume": jnp.sum(h_act.sum(axis=1) * area),
             # KE weighted by layer thickness and cell area (J / rho0)

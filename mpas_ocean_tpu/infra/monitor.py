@@ -19,9 +19,11 @@ __all__ = ["series_records", "write_jsonl", "format_table", "check_health"]
 
 
 def series_records(series: dict, dt: float, every: int) -> list[dict]:
-    """Device series dict of (n,) arrays -> list of per-sample records."""
-    keys = sorted(series)
-    arrs = {k: np.asarray(series[k]) for k in keys}
+    """Device series dict of (n,) arrays -> list of per-sample records.
+    Metrics that are NaN at every sample were not computed for this run
+    (e.g. pot_enstrophy in linear rollouts) and are dropped."""
+    arrs = {k: np.asarray(series[k]) for k in sorted(series)}
+    keys = [k for k, a in arrs.items() if not np.isnan(a).all()]
     n = len(next(iter(arrs.values())))
     return [
         {"step": (i + 1) * every, "time": (i + 1) * every * float(dt),
@@ -56,6 +58,10 @@ def check_health(series: dict, volume_rtol: float = 1e-10) -> list[str]:
     warnings = []
     for k, v in series.items():
         a = np.asarray(v)
+        if np.isnan(a).all():
+            # metric not computed for this run (e.g. pot_enstrophy is
+            # NaN-filled in linear rollouts) — not a health failure
+            continue
         if not np.isfinite(a).all():
             warnings.append(f"{k} went non-finite at sample {int(np.argmax(~np.isfinite(a)))}")
     vol = np.asarray(series.get("volume", np.array([])))

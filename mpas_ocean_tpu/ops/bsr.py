@@ -70,8 +70,12 @@ class Bsr:
 
     @property
     def bs(self) -> int:
-        """Square-block size (back-compat; asserts squareness)."""
-        assert self.bs_r == self.bs_c
+        """Square-block size (back-compat; rejects rectangular blocks)."""
+        if self.bs_r != self.bs_c:
+            raise ValueError(
+                f"Bsr.bs is only defined for square blocks; this matrix has "
+                f"bs_r={self.bs_r}, bs_c={self.bs_c} — use bs_r/bs_c"
+            )
         return self.bs_r
 
     @property

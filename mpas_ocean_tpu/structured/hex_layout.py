@@ -70,6 +70,15 @@ class HexLayout:
             raise ValueError("ny must be even")
         if horz.n_cells != nx * ny or horz.n_edges != 3 * nx * ny:
             raise ValueError("mesh is not an nx-by-ny uniform hex mesh")
+        if nx < 5 or ny < 6:
+            # the stencil extractors probe representative interior cells at
+            # j0 = 2 + parity, i0 = 2 and _cell_offset assumes no periodic
+            # wrap; below this size the extracted (dm, di) could silently
+            # wrap and be wrong
+            raise ValueError(
+                f"HexLayout requires nx >= 5 and ny >= 6 (got {nx}x{ny}): "
+                "stencil extraction probes interior cells without wrap"
+            )
         self.nx, self.ny, self.ny2 = nx, ny, ny // 2
         self.horz = horz
 
