@@ -11,7 +11,11 @@ the structured counterpart of parallel/ppermute.py.
 
 This is the deployment path for meshes too large for one chip's VMEM or
 HBM: per-device compute is identical math to model.structured_step (tests
-assert equality to the global rollout at f64 roundoff).
+assert equality to the global rollout at f64 roundoff). Nonlinear
+(vector-invariant) dynamics shard too: a second ppermute round exchanges
+the derived fields (thickness flux, cell KE, edge PV) whose chained
+stencil would otherwise need a 2-ring halo — the slab counterpart of
+parallel/shard_step.py's derived-field exchange.
 """
 
 from __future__ import annotations
@@ -115,6 +119,142 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
     return tuple(ssh_new), tuple(h_new), tuple(u_new)
 
 
+def _derived_slab(h, u, mesh_sc, rows):
+    """Stage A of the nonlinear slab step: from 1-ring-padded prognostic
+    slabs, compute the derived fields whose own 1-ring halos the second
+    exchange round will provide — thickness flux and edge PV on the
+    interior rows, cell kinetic energy on the interior rows. Mirrors
+    parallel/shard_step.py's derived-field exchange (the same reason: the
+    chained nonlinear stencil reaches 2 rows, but every individual factor
+    reaches at most 1, so exchanging the intermediate fields keeps the
+    1-ring halo exact).
+
+    mesh_sc: (inv_dc, ke_scale, curl_scale, f_vertex_pad, vc_terms,
+    ev_terms) — static scalars/stencils + padded f_vertex planes.
+    Vertex fields (zeta, h_v, q_v) are computed on padded rows
+    [0, rows+1): their cell/edge taps only reach dm in {0, +1}, and the
+    edge PV endpoint taps only reach dm in {-1, 0}, so that row range is
+    both locally computable and sufficient (asserted at model build)."""
+    inv_dc, ke_scale, curl_scale, f_v, vc_terms, ev_terms = mesh_sc
+
+    # thickness flux on interior rows
+    flux = []
+    for fam in (E, NE, NW):
+        for p in (0, 1):
+            pin, dm, di = _NEIGHBOR[(fam, p)]
+            hn = _sh(h[pin], dm, di, rows)
+            flux.append(
+                u[fam * 2 + p][1 : 1 + rows] * (0.5 * (hn + h[p][1:1 + rows]))
+            )
+
+    # cell kinetic energy on interior rows (owned 3 edges + incoming 3)
+    sq = [x * x for x in u]
+    ke = []
+    for p in (0, 1):
+        total = (
+            sq[E * 2 + p][1 : 1 + rows]
+            + sq[NE * 2 + p][1 : 1 + rows]
+            + sq[NW * 2 + p][1 : 1 + rows]
+        )
+        for ch, dm, di in _INCOMING[p]:
+            total = total + _sh(sq[ch], dm, di, rows)
+        ke.append(total * ke_scale)
+
+    # relative vorticity + kite thickness at vertices, padded rows
+    # [0, rows+1) (bottom halo + interior; taps reach dm in {0, +1} only)
+    n = rows + 1
+
+    def shp(x, dm, di):  # out[r] = x[r + dm, i + di], r in [0, rows+1)
+        return _roll_nx(x[dm : dm + n], di)
+
+    uE0, uE1 = u[E * 2], u[E * 2 + 1]
+    uNE0, uNE1 = u[NE * 2], u[NE * 2 + 1]
+    uNW0, uNW1 = u[NW * 2], u[NW * 2 + 1]
+    # curl_A(c) = (u_NE(c) - u_E(NW(c)) - u_NW(c)) * dc / A_tri
+    # curl_B(c) = (u_E(c) + u_NW(E(c)) - u_NE(c)) * dc / A_tri
+    # (structured/model.curl_on_vertex, slab form)
+    zeta = [
+        (uNE0[:n] - shp(uE1, 0, -1) - uNW0[:n]) * curl_scale,  # A, p=0
+        (uNE1[:n] - shp(uE0, 1, 0) - uNW1[:n]) * curl_scale,   # A, p=1
+        (uE0[:n] + shp(uNW0, 0, 1) - uNE0[:n]) * curl_scale,   # B, p=0
+        (uE1[:n] + shp(uNW1, 0, 1) - uNE1[:n]) * curl_scale,   # B, p=1
+    ]
+    h_v = [None] * 4
+    for kind, p_out, p_in, dm, di, w in vc_terms:
+        contrib = w * shp(h[p_in], dm, di)
+        c = kind * 2 + p_out
+        h_v[c] = contrib if h_v[c] is None else h_v[c] + contrib
+    q_v = [(f_v[c][:n] + zeta[c]) / h_v[c] for c in range(4)]
+
+    # edge PV = endpoint mean of q_v, interior rows (taps dm in {-1, 0}:
+    # q_v rows [0, rows+1) cover padded rows 1+dm .. rows+dm)
+    q_e = [None] * 6
+    for f_out, p_out, kind, p_in, dm, di in ev_terms:
+        contrib = _roll_nx(q_v[kind * 2 + p_in][1 + dm : 1 + dm + rows], di)
+        c = f_out * 2 + p_out
+        q_e[c] = contrib if q_e[c] is None else q_e[c] + contrib
+    q_e = [0.5 * x for x in q_e]
+
+    return flux, ke, q_e
+
+
+def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
+                          terms, rows):
+    """Stage B of the nonlinear slab step: with 1-ring-padded prognostic
+    AND derived slabs, produce the new interior rows. Same math/order as
+    structured/model.structured_step(nonlinear=True)."""
+    h_new, ssh_new = [], []
+    for p in (0, 1):
+        total = (
+            flux[E * 2 + p][1 : 1 + rows]
+            + flux[NE * 2 + p][1 : 1 + rows]
+            + flux[NW * 2 + p][1 : 1 + rows]
+        )
+        for ch, dm, di in _INCOMING[p]:
+            total = total - _sh(flux[ch], dm, di, rows)
+        hp = _interior(h[p], rows) - (dt * s_div) * total
+        h_new.append(hp)
+        ssh_new.append(
+            jnp.sum(hp, axis=-1, keepdims=True) - _interior(rts[p], rows)
+        )
+
+    def grad(cell_field):
+        out = []
+        for fam in (E, NE, NW):
+            for p in (0, 1):
+                pin, dm, di = _NEIGHBOR[(fam, p)]
+                out.append(
+                    (_sh(cell_field[pin], dm, di, rows)
+                     - _interior(cell_field[p], rows)) * inv_dc
+                )
+        return out
+
+    grad_ssh = grad(ssh)
+    grad_ke = grad(ke)
+
+    def tangential(x):  # sum_j w_j x[eoe_j], interior rows
+        acc = [None] * 6
+        for f_out, p_out, f_in, p_in, dm, di, w in terms:
+            contrib = w * _sh(x[f_in * 2 + p_in], dm, di, rows)
+            c = f_out * 2 + p_out
+            acc[c] = contrib if acc[c] is None else acc[c] + contrib
+        return acc
+
+    w_flux = tangential(flux)
+    fq = [flux[c] * q_e[c] for c in range(6)]
+    w_fq = tangential(fq)
+
+    u_new = []
+    for c in range(6):
+        pv = 0.5 * (q_e[c][1 : 1 + rows] * w_flux[c] + w_fq[c])
+        u_new.append(
+            _interior(u[c], rows)
+            + dt * (pv - grad_ke[c])
+            + (-GRAVITY * dt) * grad_ssh[c]
+        )
+    return tuple(ssh_new), tuple(h_new), tuple(u_new)
+
+
 def _with_halo(interior, axis_name: str, n_parts: int):
     """Rebuild padded slabs from stacked interior planes (planes, R, nx, ...):
     halo row 0 comes from the previous device's last interior row, halo row
@@ -181,6 +321,13 @@ class ShardedStructuredModel:
                 6, ny2, struct_mesh.nx, 1
             )
             self._mask_local = self._put(self._slab(m))
+        if struct_mesh.f_vertex is None:
+            self._fv_local = None
+        else:
+            fv = np.asarray(struct_mesh.f_vertex).reshape(
+                4, ny2, struct_mesh.nx, 1
+            )
+            self._fv_local = self._put(self._slab(fv))
 
     def _put(self, host_array):
         """Place a host-global array onto the device mesh — via device_put
@@ -272,14 +419,39 @@ class ShardedStructuredModel:
             fn, mesh=self.device_mesh, in_specs=(specs,), out_specs=P()
         )(local)
 
-    def run(self, local, dt, n_steps: int):
+    def run(self, local, dt, n_steps: int, nonlinear: bool = False):
+        if nonlinear:
+            sm = self.smesh
+            if sm.edge_mask is not None:
+                raise NotImplementedError(
+                    "nonlinear structured dynamics require a fully periodic "
+                    "lattice (same restriction as structured_step)"
+                )
+            if not sm.vertex_cell_terms or sm.f_vertex is None:
+                raise ValueError(
+                    "StructMesh lacks vertex stencils; build it via "
+                    "StructuredModel so hex_layout extracts them"
+                )
+            # the derived-field exchange is exact on the 1-ring halo only
+            # because the vertex-stage taps stay within these row offsets
+            # (machine-extracted, so verify rather than trust)
+            assert all(t[3] in (0, 1) for t in sm.vertex_cell_terms), (
+                "vertex-cell stencil reaches outside rows {0, +1}"
+            )
+            assert all(t[4] in (-1, 0) for t in sm.edge_vertex_terms), (
+                "edge-vertex stencil reaches outside rows {-1, 0}"
+            )
         return self._run_jit(
             local, self._f_local, self._rts_local, self._mask_local,
-            float(dt), n_steps,
+            self._fv_local if nonlinear else None,
+            float(dt), n_steps, nonlinear,
         )
 
-    @partial(jax.jit, static_argnames=("self", "dt", "n_steps"))
-    def _run_jit(self, local, f_local, rts_local, mask_local, dt, n_steps):
+    @partial(
+        jax.jit, static_argnames=("self", "dt", "n_steps", "nonlinear")
+    )
+    def _run_jit(self, local, f_local, rts_local, mask_local, fv_local,
+                 dt, n_steps, nonlinear=False):
         axis, n_parts, rows = self.axes, self.n_parts, self.rows
         overlap = self.overlap
         terms = self.smesh.coriolis_terms
@@ -289,7 +461,13 @@ class ShardedStructuredModel:
         dt = jnp.asarray(dt, dtype)
         masked = mask_local is not None
 
-        def device_fn(local, f_loc, rts_loc, mask_loc):
+        sm = self.smesh
+        ke_scale = (0.25 * sm.dc * sm.dv / sm.area_cell).astype(dtype)
+        curl_scale = (sm.dc / (0.5 * sm.area_cell)).astype(dtype)
+        vc_terms = sm.vertex_cell_terms
+        ev_terms = sm.edge_vertex_terms
+
+        def device_fn(local, f_loc, rts_loc, mask_loc, fv_loc):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, f_loc, rts_loc = sq(local), sq(f_loc), sq(rts_loc)
             f_edge = tuple(f_loc[c] for c in range(6))
@@ -299,6 +477,11 @@ class ShardedStructuredModel:
                 masks = tuple(mask_loc[c] for c in range(6))
             else:
                 masks = None
+            if nonlinear:
+                fv_loc = sq(fv_loc)
+                f_v = tuple(fv_loc[c].astype(dtype) for c in range(4))
+                mesh_sc = (inv_dc, ke_scale, curl_scale, f_v,
+                           vc_terms, ev_terms)
 
             def body_serial(carry, _):
                 ssh = tuple(carry["ssh"][p] for p in range(2))
@@ -363,7 +546,37 @@ class ShardedStructuredModel:
                 }
                 return new, None
 
-            body = body_overlap if (overlap and rows >= 3) else body_serial
+            def body_nonlinear(carry, _):
+                """Two exchange rounds per step: the carried state halos
+                (round 1, done at the end of the previous step) feed stage
+                A's derived fields, whose OWN halos round 2 provides —
+                the slab counterpart of parallel/shard_step.py's
+                derived-field exchange. Serial schedule (the stage-B
+                stencil depends on the freshly exchanged derived rows)."""
+                ssh = tuple(carry["ssh"][p] for p in range(2))
+                h = tuple(carry["h"][p] for p in range(2))
+                u = tuple(carry["u"][c] for c in range(6))
+                flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows)
+                packed = jnp.stack(flux + ke + q_e)  # (14, rows, nx, K)
+                padded = _with_halo(packed, axis, n_parts)
+                ssh_i, h_i, u_i = _apply_slab_nonlinear(
+                    ssh, h, u,
+                    tuple(padded[c] for c in range(6)),
+                    (padded[6], padded[7]),
+                    tuple(padded[8 + c] for c in range(6)),
+                    rts, dt, inv_dc, s_div, terms, rows,
+                )
+                new = {
+                    "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
+                    "h": _with_halo(jnp.stack(h_i), axis, n_parts),
+                    "u": _with_halo(jnp.stack(u_i), axis, n_parts),
+                }
+                return new, None
+
+            if nonlinear:
+                body = body_nonlinear
+            else:
+                body = body_overlap if (overlap and rows >= 3) else body_serial
             out, _ = jax.lax.scan(body, local, length=n_steps)
             return jax.tree.map(lambda a: a[None], out)
 
@@ -371,9 +584,10 @@ class ShardedStructuredModel:
         fspec = jax.tree.map(lambda _: P(self.axes), f_local)
         rspec = jax.tree.map(lambda _: P(self.axes), rts_local)
         mspec = jax.tree.map(lambda _: P(self.axes), mask_local)
+        vspec = jax.tree.map(lambda _: P(self.axes), fv_local)
         return shard_map(
             device_fn,
             mesh=self.device_mesh,
-            in_specs=(specs, fspec, rspec, mspec),
+            in_specs=(specs, fspec, rspec, mspec, vspec),
             out_specs=specs,
-        )(local, f_local, rts_local, mask_local)
+        )(local, f_local, rts_local, mask_local, fv_local)

@@ -120,3 +120,62 @@ def test_sharded_structured_overlap_masked_channel():
         rtol=0,
         atol=1e-12,
     )
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_structured_nonlinear_matches_global(setup, n_devices):
+    """Nonlinear (vector-invariant) slab stepping: the derived-field
+    exchange round (flux / KE / edge PV) keeps the 1-ring halo exact where
+    the raw chained stencil would need two rings — sharded == global at
+    f64 roundoff."""
+    sm, st = setup
+    n = 7
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n, nonlinear=True)
+
+    ssm = ShardedStructuredModel(
+        sm.struct_mesh, devices=jax.devices()[:n_devices]
+    )
+    local = ssm.run(ssm.scatter(st), 10.0, n, nonlinear=True)
+    out = ssm.gather(local)
+
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.layer_thickness),
+        np.asarray(ref.layer_thickness),
+        rtol=0,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_sharded_structured_nonlinear_rejects_masked():
+    """Wall-masked lattices must refuse nonlinear slab runs (dead-slot PV
+    is meaningless), mirroring structured_step's restriction."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+
+    dc = 1000.0
+    horz = planar_hex_mesh(NX, NY, dc, f0=1e-4)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=K,
+        resting_thickness=np.full((chan.n_cells, K), 10.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, NX, NY, parent_horz=horz, keep_cells=keep)
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:2])
+    prog = PrognosticVars(
+        ssh=jnp.zeros(chan.n_cells),
+        layer_thickness=jnp.full((chan.n_cells, K), 10.0),
+        normal_velocity=jnp.zeros((chan.n_edges, K)),
+    )
+    with pytest.raises(NotImplementedError, match="periodic"):
+        ssm.run(ssm.scatter(sm.to_struct(prog)), 10.0, 2, nonlinear=True)
