@@ -79,12 +79,12 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
             prog, series, outputs = ocn_run_loop_with_monitor(
                 prog, mesh, dtype(dt), n_steps, every,
                 setup.integrator, snapshots=True,
-                nonlinear=setup.nonlinear,
+                nonlinear=setup.nonlinear, forcing=setup.forcing,
             )
         else:
             prog, series = ocn_run_loop_with_monitor(
                 prog, mesh, dtype(dt), n_steps, every, setup.integrator,
-                nonlinear=setup.nonlinear,
+                nonlinear=setup.nonlinear, forcing=setup.forcing,
             )
         jax.block_until_ready(prog)
         write_jsonl(monitor, series, dt, every)
@@ -95,12 +95,12 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
         n_outputs = n_steps // output_every
         prog, outputs = ocn_run_loop_with_outputs(
             prog, mesh, dtype(dt), n_steps, n_outputs, setup.integrator,
-            nonlinear=setup.nonlinear,
+            nonlinear=setup.nonlinear, forcing=setup.forcing,
         )
     else:
         prog = ocn_run_loop(
             prog, mesh, dtype(dt), n_steps, setup.integrator,
-            nonlinear=setup.nonlinear,
+            nonlinear=setup.nonlinear, forcing=setup.forcing,
         )
     jax.block_until_ready(prog)
     elapsed = _time.perf_counter() - t0
@@ -158,7 +158,7 @@ def ocn_run_with_ad(config_fp, dtype=np.float64, use_config_dt: bool = False):
     def obj_and_final(p):
         final = ocn_run_loop(
             p, mesh, dtype(dt), n_steps, setup.integrator, checkpoint=True,
-            nonlinear=setup.nonlinear,
+            nonlinear=setup.nonlinear, forcing=setup.forcing,
         )
         return jnp.sum(final.ssh * final.ssh), final
 

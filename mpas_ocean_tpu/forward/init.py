@@ -41,6 +41,10 @@ class ModelSetup:
     # reference's linear core (reference: README.MD:12); selected by the
     # optional namelist key time_integration: config_nonlinear_dynamics
     nonlinear: bool = False
+    # momentum forcing (wind stress / bottom drag / Rayleigh) from the
+    # optional namelist section `forcing` — the subsystem the reference
+    # stubs as an empty file (reference: src/ocn/ForcingVars.jl)
+    forcing: object = None
 
 
 def ocn_setup_mesh(config: GlobalConfig, dtype=np.float64) -> Mesh:
@@ -107,7 +111,8 @@ def ocn_init(config_fp, dtype=np.float64):
         "config_nonlinear_dynamics" in ti_cfg
         and ConfigGet(ti_cfg, "config_nonlinear_dynamics")
     )
-    setup = ModelSetup(config, mesh, clock, integrator, nonlinear)
+    forcing = _forcing_from_config(config, mesh, dtype)
+    setup = ModelSetup(config, mesh, clock, integrator, nonlinear, forcing)
 
     tm_cfg = ConfigGet(config.namelist, "time_management")
     if ConfigGet(tm_cfg, "config_do_restart"):
@@ -127,6 +132,36 @@ def ocn_init(config_fp, dtype=np.float64):
         normal_velocity=jnp.asarray(u.astype(dtype)),
     )
     return setup, prog
+
+
+def _forcing_from_config(config: GlobalConfig, mesh: Mesh, dtype):
+    """Optional namelist section `forcing` -> models.forcing.Forcing (or
+    None when absent / all-zero). Keys (all optional, default 0):
+    config_wind_stress_zonal / _meridional [N/m^2],
+    config_bottom_drag_linear [1/s], config_bottom_drag_quadratic [Cd],
+    config_rayleigh_damping [1/s], config_density0 [kg/m^3, default 1026].
+    """
+    if "forcing" not in config.namelist:
+        return None
+    from ..models.forcing import RHO0, make_forcing
+
+    f_cfg = ConfigGet(config.namelist, "forcing")
+
+    def val(key, default=0.0):
+        return float(ConfigGet(f_cfg, key)) if key in f_cfg else default
+
+    kwargs = dict(
+        wind_stress_zonal=val("config_wind_stress_zonal"),
+        wind_stress_meridional=val("config_wind_stress_meridional"),
+        bottom_drag_linear=val("config_bottom_drag_linear"),
+        bottom_drag_quadratic=val("config_bottom_drag_quadratic"),
+        rayleigh=val("config_rayleigh_damping"),
+    )
+    if not any(kwargs.values()):
+        return None
+    return make_forcing(
+        mesh, rho0=val("config_density0", RHO0), dtype=dtype, **kwargs
+    )
 
 
 def ocn_init_alarms(setup: ModelSetup):

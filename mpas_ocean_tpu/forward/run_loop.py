@@ -35,11 +35,13 @@ def ocn_run_loop(
     checkpoint: bool = False,
     del2_coeff: float = 0.0,
     nonlinear: bool = False,
+    forcing=None,
 ) -> PrognosticVars:
     """Advance ``n_steps`` timesteps under one jit/scan."""
 
     def body(p, _):
-        return ocn_timestep(p, mesh, dt, method, del2_coeff, nonlinear), None
+        return ocn_timestep(p, mesh, dt, method, del2_coeff, nonlinear,
+                            forcing), None
 
     if checkpoint:
         body = jax.checkpoint(body)
@@ -50,12 +52,13 @@ def ocn_run_loop(
 @partial(jax.jit, static_argnames=("n_steps", "method", "nonlinear"))
 def ocn_run_loop_objective(
     prog: PrognosticVars, mesh, dt, n_steps: int, method=ForwardEuler,
-    nonlinear: bool = False,
+    nonlinear: bool = False, forcing=None,
 ) -> jnp.ndarray:
     """Rollout followed by the reference's test objective sum(ssh^2)
     (reference: run_loop.jl:26-45). Differentiable end to end."""
     final = ocn_run_loop(
-        prog, mesh, dt, n_steps, method, checkpoint=True, nonlinear=nonlinear
+        prog, mesh, dt, n_steps, method, checkpoint=True, nonlinear=nonlinear,
+        forcing=forcing,
     )
     return jnp.sum(final.ssh * final.ssh)
 
@@ -69,6 +72,7 @@ def ocn_run_loop_with_outputs(
     n_outputs: int,
     method=ForwardEuler,
     nonlinear: bool = False,
+    forcing=None,
 ):
     """Rollout that also returns the state every n_steps/n_outputs steps
     (the in-loop periodic output the reference's output alarm only stubs,
@@ -78,7 +82,9 @@ def ocn_run_loop_with_outputs(
 
     def outer(p, _):
         def body(q, _):
-            return ocn_timestep(q, mesh, dt, method, nonlinear=nonlinear), None
+            return ocn_timestep(
+                q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing
+            ), None
 
         p, _ = jax.lax.scan(body, p, length=chunk)
         return p, p
@@ -97,6 +103,7 @@ def ocn_run_loop_with_monitor(
     method=ForwardEuler,
     snapshots: bool = False,
     nonlinear: bool = False,
+    forcing=None,
 ):
     """Rollout that also samples physics health metrics every ``every``
     steps, ON DEVICE inside the scan (total volume, total kinetic energy,
@@ -121,7 +128,9 @@ def ocn_run_loop_with_monitor(
 
     def outer(p, _):
         def body(q, _):
-            return ocn_timestep(q, mesh, dt, method, nonlinear=nonlinear), None
+            return ocn_timestep(
+                q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing
+            ), None
 
         p, _ = jax.lax.scan(body, p, length=every)
         h_act = p.layer_thickness * mesh.vert.cell_level_mask

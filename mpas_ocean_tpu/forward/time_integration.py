@@ -43,23 +43,25 @@ def _apply(prog: PrognosticVars, tend, dt, mesh) -> PrognosticVars:
 
 
 def forward_euler_step(
-    prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False
+    prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False,
+    forcing=None,
 ) -> PrognosticVars:
     """One forward-Euler step (reference: time_integration.jl:150-193)."""
     diag = compute_diagnostics(prog, mesh)
-    tend = compute_tendencies(prog, diag, mesh, del2_coeff, nonlinear)
+    tend = compute_tendencies(prog, diag, mesh, del2_coeff, nonlinear, forcing)
     return _apply(prog, tend, dt, mesh)
 
 
 def rk4_step(
-    prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False
+    prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False,
+    forcing=None,
 ) -> PrognosticVars:
     """Classical RK4 on the (normal_velocity, layer_thickness) state, with
     ssh rederived at every stage (what the reference's dead RK4 intended)."""
 
     def rates(p: PrognosticVars):
         diag = compute_diagnostics(p, mesh)
-        t = compute_tendencies(p, diag, mesh, del2_coeff, nonlinear)
+        t = compute_tendencies(p, diag, mesh, del2_coeff, nonlinear, forcing)
         return t.tend_normal_velocity, t.tend_layer_thickness
 
     u0, h0 = prog.normal_velocity, prog.layer_thickness
@@ -87,7 +89,7 @@ _STEPPERS = {ForwardEuler: forward_euler_step, RungeKutta4: rk4_step}
 
 def ocn_timestep(
     prog: PrognosticVars, mesh, dt, method=ForwardEuler, del2_coeff=0.0,
-    nonlinear: bool = False,
+    nonlinear: bool = False, forcing=None,
 ) -> PrognosticVars:
     """Advance one step with the selected stepper (reference dispatches the
     same way on a stepper tag type, time_integration.jl:2-5)."""
@@ -95,4 +97,4 @@ def ocn_timestep(
         step = _STEPPERS[method]
     except (KeyError, TypeError):
         raise ValueError(f"unknown time stepper {method!r}") from None
-    return step(prog, mesh, dt, del2_coeff, nonlinear)
+    return step(prog, mesh, dt, del2_coeff, nonlinear, forcing)

@@ -120,9 +120,10 @@ class MatrixModel:
 
 
 def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,
-                       nonlinear: bool = False):
+                       nonlinear: bool = False, forcing=None):
     h, u = prog.layer_thickness, prog.normal_velocity
-    flux = u * bsr_matvec(mm.c2e, h)
+    h_edge = bsr_matvec(mm.c2e, h)
+    flux = u * h_edge
     tend_h = -bsr_matvec(mm.div, flux) * mm.cell_level_mask
     grad_ssh = bsr_matvec(mm.grad, prog.ssh)  # (nEdges,)
     tend_u = -GRAVITY * grad_ssh[:, None]
@@ -151,6 +152,12 @@ def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,
             tend_u = tend_u + bsr_matvec(mm.corf, u)
     else:
         tend_u = tend_u + bsr_matvec(mm.corf, u)
+    if forcing is not None:
+        # wind / bottom drag / Rayleigh (models/forcing.py) — elementwise
+        # given the h_edge the flux matvec already produced
+        from .forcing import forcing_tendency
+
+        tend_u = tend_u + forcing_tendency(u, h_edge, forcing)
     return tend_u * mm.edge_mask_lv, tend_h
 
 
@@ -159,9 +166,9 @@ def _ssh_of(h, mm):
 
 
 def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt,
-                nonlinear: bool = False) -> PrognosticVars:
+                nonlinear: bool = False, forcing=None) -> PrognosticVars:
     """One forward-Euler step, all stencils as MXU matmuls."""
-    tend_u, tend_h = _matrix_tendencies(prog, mm, nonlinear)
+    tend_u, tend_h = _matrix_tendencies(prog, mm, nonlinear, forcing)
     h_new = prog.layer_thickness + dt * tend_h
     u_new = prog.normal_velocity + dt * tend_u
     return PrognosticVars(
@@ -170,7 +177,7 @@ def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt,
 
 
 def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
-                    nonlinear: bool = False) -> PrognosticVars:
+                    nonlinear: bool = False, forcing=None) -> PrognosticVars:
     """Classical RK4 on the MXU path (mirrors
     forward/time_integration.rk4_step, ssh rederived at every stage)."""
     u0, h0 = prog.normal_velocity, prog.layer_thickness
@@ -181,10 +188,12 @@ def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
             ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u0 + a * du
         )
 
-    k1u, k1h = _matrix_tendencies(prog, mm, nonlinear)
-    k2u, k2h = _matrix_tendencies(stage(k1u, k1h, dt / 2.0), mm, nonlinear)
-    k3u, k3h = _matrix_tendencies(stage(k2u, k2h, dt / 2.0), mm, nonlinear)
-    k4u, k4h = _matrix_tendencies(stage(k3u, k3h, dt), mm, nonlinear)
+    k1u, k1h = _matrix_tendencies(prog, mm, nonlinear, forcing)
+    k2u, k2h = _matrix_tendencies(
+        stage(k1u, k1h, dt / 2.0), mm, nonlinear, forcing)
+    k3u, k3h = _matrix_tendencies(
+        stage(k2u, k2h, dt / 2.0), mm, nonlinear, forcing)
+    k4u, k4h = _matrix_tendencies(stage(k3u, k3h, dt), mm, nonlinear, forcing)
     u = u0 + (dt / 6.0) * (k1u + 2.0 * k2u + 2.0 * k3u + k4u)
     h = h0 + (dt / 6.0) * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
     return PrognosticVars(ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u)
@@ -193,12 +202,12 @@ def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
 @partial(jax.jit, static_argnames=("n_steps", "rk4", "nonlinear"))
 def matrix_run_loop(
     prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int, rk4: bool = False,
-    nonlinear: bool = False,
+    nonlinear: bool = False, forcing=None,
 ) -> PrognosticVars:
     step = matrix_rk4_step if rk4 else matrix_step
 
     def body(p, _):
-        return step(p, mm, dt, nonlinear), None
+        return step(p, mm, dt, nonlinear, forcing), None
 
     out, _ = jax.lax.scan(body, prog, length=n_steps)
     return out

@@ -166,9 +166,10 @@ def del2_tendency(normal_velocity: jnp.ndarray, mesh, coeff) -> jnp.ndarray:
 
 def compute_normal_velocity_tendency(
     prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
-    nonlinear: bool = False,
+    nonlinear: bool = False, forcing=None,
 ) -> jnp.ndarray:
-    """du/dt = -g * grad(ssh) + Coriolis/advection [+ del2 mixing].
+    """du/dt = -g * grad(ssh) + Coriolis/advection [+ del2 mixing]
+    [+ wind / bottom-drag / Rayleigh forcing].
 
     Linear core (the reference's full dynamical core, README.MD:12):
     -g grad(ssh) pressure + linear TRiSK Coriolis (reference:
@@ -216,6 +217,16 @@ def compute_normal_velocity_tendency(
             prog.normal_velocity, mesh, del2_coeff
         ) * mesh.vert.edge_level_mask
 
+    if forcing is not None:
+        # wind stress / bottom drag / Rayleigh damping (models/forcing.py
+        # — the subsystem the reference stubs as an empty ForcingVars.jl);
+        # elementwise given the h_edge the flux already needed
+        from .forcing import forcing_tendency
+
+        tend = tend + forcing_tendency(
+            prog.normal_velocity, diag.layer_thickness_edge, forcing
+        )
+
     # closed-boundary edges never accelerate
     return tend * edges.edge_mask[:, None]
 
@@ -235,11 +246,11 @@ def compute_layer_thickness_tendency(
 
 def compute_tendencies(
     prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
-    nonlinear: bool = False,
+    nonlinear: bool = False, forcing=None,
 ) -> TendencyVars:
     return TendencyVars(
         tend_normal_velocity=compute_normal_velocity_tendency(
-            prog, diag, mesh, del2_coeff, nonlinear
+            prog, diag, mesh, del2_coeff, nonlinear, forcing
         ),
         tend_layer_thickness=compute_layer_thickness_tendency(prog, diag, mesh),
     )

@@ -120,7 +120,8 @@ def _halo_exchange_fields(cell_fields, edge_fields, ex: ExchangeSpec, axis):
     return tuple(cf), tuple(ef)
 
 
-def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields):
+def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields,
+                            forcing=None):
     """Vector-invariant tendencies on a 1-ring-halo local mesh.
 
     The PV flux at an owned edge taps derived values (thickness flux, edge
@@ -134,9 +135,8 @@ def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields):
     (models/shallow_water.compute_normal_velocity_tendency), so owned
     elements match the unsharded rollout to f64 roundoff."""
     ke = kinetic_energy_on_cell(p.normal_velocity, lmesh)
-    flux = p.normal_velocity * interpolate_cell_to_edge(
-        p.layer_thickness, lmesh
-    )
+    h_edge = interpolate_cell_to_edge(p.layer_thickness, lmesh)
+    flux = p.normal_velocity * h_edge
     q_v = potential_vorticity_on_vertex(p, lmesh)
     q_e = interpolate_vertex_to_edge(q_v, lmesh)
     (ke,), (flux, q_e) = refresh_fields((ke,), (flux, q_e))
@@ -145,13 +145,17 @@ def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields):
     tend_u = -GRAVITY * gradient_on_edge(p.ssh, lmesh)[:, None] * elm
     tend_u = tend_u - gradient_on_edge(ke, lmesh) * elm
     tend_u = tend_u + pv_flux_tendency(q_e, flux, lmesh) * elm
+    if forcing is not None:
+        from ..models.forcing import forcing_tendency
+
+        tend_u = tend_u + forcing_tendency(p.normal_velocity, h_edge, forcing)
     tend_u = tend_u * lmesh.edges.edge_mask[:, None]
     tend_h = -divergence_on_cell(flux, lmesh) * lmesh.vert.cell_level_mask
     return tend_u, tend_h
 
 
 def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
-                     rates=None) -> PrognosticVars:
+                     rates=None, forcing=None) -> PrognosticVars:
     """One RK4 step inside shard_map, with a halo refresh before every
     stage-rate evaluation: each of the four stages widens the stencil by one
     ring, so per-stage exchange is required for the 1-ring halo the
@@ -169,7 +173,7 @@ def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
     if rates is None:
         def rates(p):
             diag = compute_diagnostics(p, lmesh)
-            t = compute_tendencies(p, diag, lmesh)
+            t = compute_tendencies(p, diag, lmesh, forcing=forcing)
             return t.tend_normal_velocity, t.tend_layer_thickness
 
     u0, h0 = prog.normal_velocity, prog.layer_thickness
@@ -371,23 +375,56 @@ class ShardedModel:
     def _ex_arg(self):
         return self.rounds if self.exchange == "ppermute" else self.ex
 
+    def scatter_forcing(self, forcing):
+        """Global models.forcing.Forcing -> per-part local layout (edge
+        fields gathered by edge_gids, scalars replicated as a (P,) stack so
+        the shard_map squeeze recovers plain scalars)."""
+        if forcing is None:
+            return None
+        from ..models.forcing import Forcing
+
+        p = self.part
+        gids_e = np.where(p.edge_gids >= 0, p.edge_gids, 0)
+        local = Forcing(
+            wind_edge=jnp.asarray(np.asarray(forcing.wind_edge)[gids_e]),
+            top_mask=jnp.asarray(np.asarray(forcing.top_mask)[gids_e]),
+            bottom_mask=jnp.asarray(np.asarray(forcing.bottom_mask)[gids_e]),
+            drag_linear=jnp.asarray(
+                np.full(self.n_parts, float(forcing.drag_linear))
+            ),
+            drag_quadratic=jnp.asarray(
+                np.full(self.n_parts, float(forcing.drag_quadratic))
+            ),
+            rayleigh=jnp.asarray(
+                np.full(self.n_parts, float(forcing.rayleigh))
+            ),
+        )
+        return self._put_tree(local)
+
     # -- compute --------------------------------------------------------
     def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
-            nonlinear: bool = False):
+            nonlinear: bool = False, forcing=None):
         """n_steps sharded timesteps under one jit (scan inside shard_map).
         ``nonlinear=True`` runs the vector-invariant dynamics (derived-field
         halo exchange keeps the 1-ring halo exact; overlap mini-stepping is
-        bypassed — its boundary mesh only carries the linear stencil)."""
-        use_overlap = self.overlap and method is ForwardEuler and not nonlinear
+        bypassed — its boundary mesh only carries the linear stencil).
+        ``forcing``: a GLOBAL models.forcing.Forcing (scattered here);
+        forcing also bypasses the overlap mini step (the boundary mini mesh
+        carries no forcing fields)."""
+        lforce = self.scatter_forcing(forcing)
+        use_overlap = (
+            self.overlap and method is ForwardEuler and not nonlinear
+            and forcing is None
+        )
         mini_args = (self.mini, self._ex_mini) if use_overlap else None
         return self._run_jit(
-            local, self.local_mesh, self._ex_arg, mini_args,
+            local, self.local_mesh, self._ex_arg, mini_args, lforce,
             float(dt), n_steps, method, nonlinear,
         )
 
     @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method", "nonlinear"))
-    def _run_jit(self, local, lmesh, ex, mini_args, dt, n_steps, method,
-                 nonlinear=False):
+    def _run_jit(self, local, lmesh, ex, mini_args, lforce, dt, n_steps,
+                 method, nonlinear=False):
         from .overlap import mini_forward_euler_step
 
         exchange = self._exchange_fn()
@@ -396,21 +433,23 @@ class ShardedModel:
             raise ValueError(f"unknown sharded time stepper {method!r}")
         use_overlap = mini_args is not None
 
-        def device_fn(local, lmesh, ex, mini_args):
+        def device_fn(local, lmesh, ex, mini_args, lforce):
             # leaves arrive as (1, ...) blocks of the parts axis
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, lmesh, ex = sq(local), sq(lmesh), sq(ex)
+            lf = sq(lforce) if lforce is not None else None
             if use_overlap:
                 mini, ex_mini = sq(mini_args)
             nl_rates = lambda p: sharded_nonlinear_rates(
-                p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex)
+                p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex),
+                forcing=lf,
             )
 
             def body(prog, _):
                 if method is RungeKutta4:
                     prog = sharded_rk4_step(
                         prog, lmesh, dt, lambda p: exchange(p, ex),
-                        rates=nl_rates if nonlinear else None,
+                        rates=nl_rates if nonlinear else None, forcing=lf,
                     )
                     return exchange(prog, ex), None
                 if nonlinear:
@@ -430,7 +469,7 @@ class ShardedModel:
                     )
                     full = ocn_timestep(prog, lmesh, dt, method)
                     return exchange(pack, ex_mini, apply_to=full), None
-                prog = ocn_timestep(prog, lmesh, dt, method)
+                prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf)
                 return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(body, local, length=n_steps)
@@ -444,16 +483,18 @@ class ShardedModel:
                 self._in_specs(lmesh),
                 self._in_specs(ex),
                 self._in_specs(mini_args),
+                self._in_specs(lforce),
             ),
             out_specs=self._in_specs(local),
-        )(local, lmesh, ex, mini_args)
+        )(local, lmesh, ex, mini_args, lforce)
 
     def objective(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
-                  nonlinear: bool = False):
+                  nonlinear: bool = False, forcing=None):
         """Differentiable sharded rollout + global sum(ssh^2) over owned
         cells (psum over the mesh axis)."""
         if method not in (ForwardEuler, RungeKutta4):
             raise ValueError(f"unknown sharded time stepper {method!r}")
+        lforce = self.scatter_forcing(forcing)
         p = self.part
         owned_mask = (
             np.arange(p.cell_gids.shape[1])[None, :] < p.n_owned_cells[:, None]
@@ -463,18 +504,20 @@ class ShardedModel:
         exchange = self._exchange_fn()
         exchange_fields = self._exchange_fields_fn()
 
-        def device_fn(local, lmesh, ex, mask):
+        def device_fn(local, lmesh, ex, mask, lforce):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, lmesh, ex, mask = sq(local), sq(lmesh), sq(ex), sq(mask)
+            lf = sq(lforce) if lforce is not None else None
             nl_rates = lambda p: sharded_nonlinear_rates(
-                p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex)
+                p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex),
+                forcing=lf,
             )
 
             def body(prog, _):
                 if method is RungeKutta4:
                     prog = sharded_rk4_step(
                         prog, lmesh, dt, lambda p: exchange(p, ex),
-                        rates=nl_rates if nonlinear else None,
+                        rates=nl_rates if nonlinear else None, forcing=lf,
                     )
                 elif nonlinear:
                     tu, th = nl_rates(prog)
@@ -485,7 +528,7 @@ class ShardedModel:
                         normal_velocity=u,
                     )
                 else:
-                    prog = ocn_timestep(prog, lmesh, dt, method)
+                    prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf)
                 return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(jax.checkpoint(body), local, length=n_steps)
@@ -501,7 +544,8 @@ class ShardedModel:
                 self._in_specs(self.local_mesh),
                 self._in_specs(ex_arg),
                 self._spec_parts,
+                self._in_specs(lforce),
             ),
             out_specs=P(),
         )
-        return fn(local, self.local_mesh, ex_arg, owned_mask)
+        return fn(local, self.local_mesh, ex_arg, owned_mask, lforce)

@@ -186,7 +186,8 @@ def tangential_times_f(u, mesh: StructMesh):
 
 
 def structured_step(
-    state: StructState, mesh: StructMesh, dt, nonlinear: bool = False
+    state: StructState, mesh: StructMesh, dt, nonlinear: bool = False,
+    forcing=None,
 ) -> StructState:
     """One forward-Euler step, all rolls + elementwise.
 
@@ -227,6 +228,16 @@ def structured_step(
     else:
         tend_u = tend_u + tangential_times_f(state.normal_velocity, mesh)
 
+    if forcing is not None:
+        # struct-layout Forcing (StructuredModel.to_struct_forcing):
+        # elementwise wind / bottom drag / Rayleigh on the already-computed
+        # h_edge (models/forcing.py)
+        from ..models.forcing import forcing_tendency
+
+        tend_u = tend_u + forcing_tendency(
+            state.normal_velocity, h_edge, forcing
+        )
+
     h = state.layer_thickness + dt * tend_h
     u = state.normal_velocity + dt * tend_u
     if mesh.edge_mask is not None:
@@ -238,10 +249,10 @@ def structured_step(
 @partial(jax.jit, static_argnames=("n_steps", "nonlinear"))
 def structured_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
-    nonlinear: bool = False,
+    nonlinear: bool = False, forcing=None,
 ):
     def body(s, _):
-        return structured_step(s, mesh, dt, nonlinear), None
+        return structured_step(s, mesh, dt, nonlinear, forcing), None
 
     out, _ = jax.lax.scan(body, state, length=n_steps)
     return out
@@ -386,8 +397,35 @@ class StructuredModel:
             normal_velocity=jnp.asarray(u),
         )
 
+    def to_struct_forcing(self, forcing):
+        """Unstructured Forcing -> struct-layout Forcing: the wind stress
+        is a signed normal-projected edge quantity (sign=True like
+        normal_velocity); the level masks are unsigned. Culled channels
+        embed into the parent lattice with zeros on dead slots, so dead
+        edges receive no forcing."""
+        from ..models.forcing import Forcing
+
+        lay = self.layout
+        wind = lay.edges_to_struct(
+            self._edges_to_parent(np.asarray(forcing.wind_edge)), sign=True
+        )
+        top = lay.edges_to_struct(
+            self._edges_to_parent(np.asarray(forcing.top_mask))
+        )
+        bot = lay.edges_to_struct(
+            self._edges_to_parent(np.asarray(forcing.bottom_mask))
+        )
+        return Forcing(
+            wind_edge=jnp.asarray(wind),
+            top_mask=jnp.asarray(top),
+            bottom_mask=jnp.asarray(bot),
+            drag_linear=forcing.drag_linear,
+            drag_quadratic=forcing.drag_quadratic,
+            rayleigh=forcing.rayleigh,
+        )
+
     def run(self, state: StructState, dt, n_steps: int,
-            nonlinear: bool = False) -> StructState:
+            nonlinear: bool = False, forcing=None) -> StructState:
         return structured_run_loop(
-            state, self.struct_mesh, dt, n_steps, nonlinear
+            state, self.struct_mesh, dt, n_steps, nonlinear, forcing
         )

@@ -60,25 +60,38 @@ def _interior(x, rows: int):
     return x[1 : 1 + rows]
 
 
+def _apply_forcing(u_i, he_i, forc, c):
+    """Elementwise wind / bottom-drag / Rayleigh term for edge channel c on
+    interior rows (models/forcing.forcing_tendency, slab layout):
+    forc = (wind6, top6, bot6, drag_lin, drag_quad, rayleigh), each field a
+    6-tuple of halo-padded planes sliced to interior by the caller."""
+    wind, top, bot, dlin, dquad, rayl = forc
+    safe_h = jnp.where(he_i > 0, he_i, jnp.ones_like(he_i))
+    t = top[c] * (wind[c] / safe_h)
+    t = t - bot[c] * (dlin * u_i + dquad * jnp.abs(u_i) * u_i / safe_h)
+    return t - rayl * u_i
+
+
 def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
-               masks=None):
+               masks=None, forc=None):
     """One forward-Euler step on a halo-padded slab; returns interior-only
     planes. Mirrors pallas_model._step_planes with halo reads instead of
     periodic wraps (same coefficients, same order). ``masks`` (halo-padded
-    like f_edge, or None) pins wall/dead-edge velocity to zero."""
+    like f_edge, or None) pins wall/dead-edge velocity to zero. ``forc``
+    (see _apply_forcing; fields halo-padded) adds the momentum forcing."""
     # thickness flux evaluated on padded rows [0, rows+1): the divergence
     # needs flux at the interior rows AND one row below (_INCOMING dm=-1
     # taps); the flux itself reads h up to one row above, so the single
     # halo row on each side covers the chained two-operator reach.
     fluxp = {}
+    hep = {}
     for fam in (E, NE, NW):
         for p in (0, 1):
             pin, dm, di = _NEIGHBOR[(fam, p)]
             # padded-slab shift: out[m] = x[m+dm] for m in [0, rows+1)
             hn = _roll_nx(h[pin][dm : dm + rows + 1], di)
-            fluxp[(fam, p)] = u[fam * 2 + p][:rows + 1] * (
-                0.5 * (hn + h[p][:rows + 1])
-            )
+            hep[(fam, p)] = 0.5 * (hn + h[p][:rows + 1])
+            fluxp[(fam, p)] = u[fam * 2 + p][:rows + 1] * hep[(fam, p)]
 
     h_new, ssh_new = [], []
     for p in (0, 1):
@@ -114,6 +127,20 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
         _interior(u[c], rows) + dt * acc[c] + (-GRAVITY * dt) * grad2[c]
         for c in range(6)
     ]
+    if forc is not None:
+        wind, top, bot, dlin, dquad, rayl = forc
+        forc_i = (
+            tuple(w[1 : 1 + rows] for w in wind),
+            tuple(t[1 : 1 + rows] for t in top),
+            tuple(b[1 : 1 + rows] for b in bot),
+            dlin, dquad, rayl,
+        )
+        for c in range(6):
+            fam, p = divmod(c, 2)
+            u_new[c] = u_new[c] + dt * _apply_forcing(
+                _interior(u[c], rows), hep[(fam, p)][1 : 1 + rows],
+                forc_i, c,
+            )
     if masks is not None:
         u_new = [u_new[c] * _interior(masks[c], rows) for c in range(6)]
     return tuple(ssh_new), tuple(h_new), tuple(u_new)
@@ -199,7 +226,7 @@ def _derived_slab(h, u, mesh_sc, rows):
 
 
 def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
-                          terms, rows):
+                          terms, rows, forc=None):
     """Stage B of the nonlinear slab step: with 1-ring-padded prognostic
     AND derived slabs, produce the new interior rows. Same math/order as
     structured/model.structured_step(nonlinear=True)."""
@@ -247,11 +274,28 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
     u_new = []
     for c in range(6):
         pv = 0.5 * (q_e[c][1 : 1 + rows] * w_flux[c] + w_fq[c])
-        u_new.append(
+        un = (
             _interior(u[c], rows)
             + dt * (pv - grad_ke[c])
             + (-GRAVITY * dt) * grad_ssh[c]
         )
+        if forc is not None:
+            fam, p = divmod(c, 2)
+            pin, dm, di = _NEIGHBOR[(fam, p)]
+            he_i = 0.5 * (
+                _sh(h[pin], dm, di, rows) + _interior(h[p], rows)
+            )
+            wind, top, bot, dlin, dquad, rayl = forc
+            forc_i = (
+                tuple(w[1 : 1 + rows] for w in wind),
+                tuple(t[1 : 1 + rows] for t in top),
+                tuple(b[1 : 1 + rows] for b in bot),
+                dlin, dquad, rayl,
+            )
+            un = un + dt * _apply_forcing(
+                _interior(u[c], rows), he_i, forc_i, c
+            )
+        u_new.append(un)
     return tuple(ssh_new), tuple(h_new), tuple(u_new)
 
 
@@ -419,7 +463,33 @@ class ShardedStructuredModel:
             fn, mesh=self.device_mesh, in_specs=(specs,), out_specs=P()
         )(local)
 
-    def run(self, local, dt, n_steps: int, nonlinear: bool = False):
+    def scatter_forcing(self, struct_forcing):
+        """Struct-layout Forcing (StructuredModel.to_struct_forcing) ->
+        halo-padded slab layout: wind (P, 6, R+2, nx, 1), level masks
+        (P, 6, R+2, nx, K), scalars stacked to (P,)."""
+        if struct_forcing is None:
+            return None
+        ny2, nx = self.smesh.ny2, self.smesh.nx
+        wind = np.asarray(struct_forcing.wind_edge).reshape(6, ny2, nx, 1)
+        top = np.asarray(struct_forcing.top_mask).reshape(6, ny2, nx, -1)
+        bot = np.asarray(struct_forcing.bottom_mask).reshape(6, ny2, nx, -1)
+        return {
+            "wind": self._put(self._slab(wind)),
+            "top": self._put(self._slab(top)),
+            "bot": self._put(self._slab(bot)),
+            "dlin": self._put(
+                np.full(self.n_parts, float(struct_forcing.drag_linear))
+            ),
+            "dquad": self._put(
+                np.full(self.n_parts, float(struct_forcing.drag_quadratic))
+            ),
+            "rayl": self._put(
+                np.full(self.n_parts, float(struct_forcing.rayleigh))
+            ),
+        }
+
+    def run(self, local, dt, n_steps: int, nonlinear: bool = False,
+            forcing=None):
         if nonlinear:
             sm = self.smesh
             if sm.edge_mask is not None:
@@ -444,6 +514,7 @@ class ShardedStructuredModel:
         return self._run_jit(
             local, self._f_local, self._rts_local, self._mask_local,
             self._fv_local if nonlinear else None,
+            self.scatter_forcing(forcing),
             float(dt), n_steps, nonlinear,
         )
 
@@ -451,7 +522,7 @@ class ShardedStructuredModel:
         jax.jit, static_argnames=("self", "dt", "n_steps", "nonlinear")
     )
     def _run_jit(self, local, f_local, rts_local, mask_local, fv_local,
-                 dt, n_steps, nonlinear=False):
+                 forcel, dt, n_steps, nonlinear=False):
         axis, n_parts, rows = self.axes, self.n_parts, self.rows
         overlap = self.overlap
         terms = self.smesh.coriolis_terms
@@ -467,11 +538,22 @@ class ShardedStructuredModel:
         vc_terms = sm.vertex_cell_terms
         ev_terms = sm.edge_vertex_terms
 
-        def device_fn(local, f_loc, rts_loc, mask_loc, fv_loc):
+        def device_fn(local, f_loc, rts_loc, mask_loc, fv_loc, forcel):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, f_loc, rts_loc = sq(local), sq(f_loc), sq(rts_loc)
             f_edge = tuple(f_loc[c] for c in range(6))
             rts = tuple(rts_loc[p] for p in range(2))
+            if forcel is not None:
+                fl = sq(forcel)
+                forc = (
+                    tuple(fl["wind"][c].astype(dtype) for c in range(6)),
+                    tuple(fl["top"][c].astype(dtype) for c in range(6)),
+                    tuple(fl["bot"][c].astype(dtype) for c in range(6)),
+                    fl["dlin"].astype(dtype), fl["dquad"].astype(dtype),
+                    fl["rayl"].astype(dtype),
+                )
+            else:
+                forc = None
             if masked:
                 mask_loc = sq(mask_loc)
                 masks = tuple(mask_loc[c] for c in range(6))
@@ -489,7 +571,7 @@ class ShardedStructuredModel:
                 u = tuple(carry["u"][c] for c in range(6))
                 ssh_i, h_i, u_i = _step_slab(
                     ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
-                    masks,
+                    masks, forc,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
@@ -510,9 +592,14 @@ class ShardedStructuredModel:
                     """Step padded rows [lo, lo+n+2) -> n new interior rows."""
                     sub = lambda t: tuple(x[lo : lo + n + 2] for x in t)
                     msub = sub(masks) if masks is not None else None
+                    if forc is not None:
+                        fsub = (sub(forc[0]), sub(forc[1]), sub(forc[2]),
+                                forc[3], forc[4], forc[5])
+                    else:
+                        fsub = None
                     return _step_slab(
                         sub(ssh), sub(h), sub(u), sub(f_edge), sub(rts),
-                        dt, inv_dc, s_div, terms, n, msub,
+                        dt, inv_dc, s_div, terms, n, msub, fsub,
                     )
 
                 top = run_rows(0, 1)           # new local row 0
@@ -564,7 +651,7 @@ class ShardedStructuredModel:
                     tuple(padded[c] for c in range(6)),
                     (padded[6], padded[7]),
                     tuple(padded[8 + c] for c in range(6)),
-                    rts, dt, inv_dc, s_div, terms, rows,
+                    rts, dt, inv_dc, s_div, terms, rows, forc,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
@@ -585,9 +672,10 @@ class ShardedStructuredModel:
         rspec = jax.tree.map(lambda _: P(self.axes), rts_local)
         mspec = jax.tree.map(lambda _: P(self.axes), mask_local)
         vspec = jax.tree.map(lambda _: P(self.axes), fv_local)
+        wspec = jax.tree.map(lambda _: P(self.axes), forcel)
         return shard_map(
             device_fn,
             mesh=self.device_mesh,
-            in_specs=(specs, fspec, rspec, mspec, vspec),
+            in_specs=(specs, fspec, rspec, mspec, vspec, wspec),
             out_specs=specs,
-        )(local, f_local, rts_local, mask_local, fv_local)
+        )(local, f_local, rts_local, mask_local, fv_local, forcel)

@@ -44,7 +44,7 @@ CONFIG_TEMPLATE = """omega:
     config_number_of_time_levels: 2
     config_time_integrator: {integrator}
     config_nonlinear_dynamics: {nonlinear}
-  streams:
+{forcing_section}  streams:
     mesh:
       filename_template: {case_dir}/initial_state.nc
     input:
@@ -68,6 +68,7 @@ def make_igw_case(
     integrator: str = "ForwardEuler",
     f0: float = 1e-4,
     nonlinear: bool = False,
+    forcing: dict | None = None,
 ) -> str:
     """Generate an inertial-gravity-wave case directory; returns the config
     path. Box size follows the polaris case the reference artifacts encode:
@@ -97,7 +98,16 @@ def make_igw_case(
     if output_interval_seconds is None:
         output_interval_seconds = duration_seconds
 
+    forcing_section = ""
+    if forcing:
+        # optional namelist `forcing` section (forward/init.py
+        # _forcing_from_config keys, e.g. config_wind_stress_zonal)
+        lines = ["  forcing:"]
+        for key, value in forcing.items():
+            lines.append(f"    {key}: {value}")
+        forcing_section = "\n".join(lines) + "\n"
     config = CONFIG_TEMPLATE.format(
+        forcing_section=forcing_section,
         run_duration=mpas_interval(duration_seconds),
         dt=mpas_interval(dt),
         output_interval=mpas_interval(output_interval_seconds),
