@@ -67,6 +67,7 @@ from .models.shallow_water import (
     pv_flux_tendency,
 )
 from .models.matrix_model import MatrixModel, matrix_run_loop, matrix_step
+from .models.tracers import make_tracers, total_tracer_content, tracer_tendency
 from .models.forcing import Forcing, forcing_tendency, make_forcing
 from .forward.time_integration import ForwardEuler, RungeKutta4, ocn_timestep
 from .forward.run_loop import ocn_run_loop, ocn_run_loop_objective
@@ -104,6 +105,9 @@ __all__ = [
     "potential_vorticity_on_vertex",
     "pv_flux_tendency",
     "MatrixModel",
+    "make_tracers",
+    "total_tracer_content",
+    "tracer_tendency",
     "matrix_run_loop",
     "matrix_step",
     "ForwardEuler",

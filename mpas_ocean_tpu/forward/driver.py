@@ -80,11 +80,15 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
                 prog, mesh, dtype(dt), n_steps, every,
                 setup.integrator, snapshots=True,
                 nonlinear=setup.nonlinear, forcing=setup.forcing,
+                tracer_kappa=setup.tracer_kappa,
+                tracer_upwind=setup.tracer_upwind,
             )
         else:
             prog, series = ocn_run_loop_with_monitor(
                 prog, mesh, dtype(dt), n_steps, every, setup.integrator,
                 nonlinear=setup.nonlinear, forcing=setup.forcing,
+                tracer_kappa=setup.tracer_kappa,
+                tracer_upwind=setup.tracer_upwind,
             )
         jax.block_until_ready(prog)
         write_jsonl(monitor, series, dt, every)
@@ -96,11 +100,15 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
         prog, outputs = ocn_run_loop_with_outputs(
             prog, mesh, dtype(dt), n_steps, n_outputs, setup.integrator,
             nonlinear=setup.nonlinear, forcing=setup.forcing,
+            tracer_kappa=setup.tracer_kappa,
+            tracer_upwind=setup.tracer_upwind,
         )
     else:
         prog = ocn_run_loop(
             prog, mesh, dtype(dt), n_steps, setup.integrator,
             nonlinear=setup.nonlinear, forcing=setup.forcing,
+            tracer_kappa=setup.tracer_kappa,
+            tracer_upwind=setup.tracer_upwind,
         )
     jax.block_until_ready(prog)
     elapsed = _time.perf_counter() - t0
@@ -121,8 +129,10 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
                 snap,
                 dt,
                 dt * output_every * (i + 1),
+                tracer_names=setup.tracer_names,
             )
-    write_output(out_fp, mesh, prog, dt, sim_seconds)
+    write_output(out_fp, mesh, prog, dt, sim_seconds,
+                 tracer_names=setup.tracer_names)
 
     gridpoints = mesh.n_cells * mesh.n_vert_levels * n_steps
     print(f"Simulation complete on backend: {jax.devices()[0].platform}")
@@ -159,6 +169,8 @@ def ocn_run_with_ad(config_fp, dtype=np.float64, use_config_dt: bool = False):
         final = ocn_run_loop(
             p, mesh, dtype(dt), n_steps, setup.integrator, checkpoint=True,
             nonlinear=setup.nonlinear, forcing=setup.forcing,
+            tracer_kappa=setup.tracer_kappa,
+            tracer_upwind=setup.tracer_upwind,
         )
         return jnp.sum(final.ssh * final.ssh), final
 
@@ -169,7 +181,8 @@ def ocn_run_with_ad(config_fp, dtype=np.float64, use_config_dt: bool = False):
 
     output_cfg = ConfigGet(setup.config.streams, "output")
     out_fp = ConfigGet(output_cfg, "filename_template")
-    write_output(out_fp, mesh, final, dt, dt * n_steps, d_prog=d_prog)
+    write_output(out_fp, mesh, final, dt, dt * n_steps, d_prog=d_prog,
+                 tracer_names=setup.tracer_names)
     print(f"objective sum(ssh^2) = {float(objective):.9e}; adjoint written")
     return setup, final, d_prog, float(objective)
 

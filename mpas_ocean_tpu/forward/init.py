@@ -45,6 +45,12 @@ class ModelSetup:
     # optional namelist section `forcing` — the subsystem the reference
     # stubs as an empty file (reference: src/ocn/ForcingVars.jl)
     forcing: object = None
+    # tracer transport (temperature/salinity/..., models/tracers.py) from
+    # the optional namelist section `tracer_transport` — state slots the
+    # reference stubs out (reference: src/ocn/PrognosticVars.jl:20-26)
+    tracer_names: tuple = ()
+    tracer_kappa: float = 0.0
+    tracer_upwind: float = 1.0
 
 
 def ocn_setup_mesh(config: GlobalConfig, dtype=np.float64) -> Mesh:
@@ -112,7 +118,9 @@ def ocn_init(config_fp, dtype=np.float64):
         and ConfigGet(ti_cfg, "config_nonlinear_dynamics")
     )
     forcing = _forcing_from_config(config, mesh, dtype)
-    setup = ModelSetup(config, mesh, clock, integrator, nonlinear, forcing)
+    tracer_names, tracer_kappa, tracer_upwind = _tracer_opts_from_config(config)
+    setup = ModelSetup(config, mesh, clock, integrator, nonlinear, forcing,
+                       tracer_names, tracer_kappa, tracer_upwind)
 
     tm_cfg = ConfigGet(config.namelist, "time_management")
     if ConfigGet(tm_cfg, "config_do_restart"):
@@ -126,12 +134,48 @@ def ocn_init(config_fp, dtype=np.float64):
         input_fp = ConfigGet(input_cfg, "filename_template")
 
     ssh, h, u = read_initial_state(input_fp, mesh.n_vert_levels)
+    tracers = None
+    if tracer_names:
+        from ..mesh.io import read_tracers
+
+        tracers = jnp.asarray(
+            read_tracers(
+                input_fp, tracer_names, mesh.n_cells, mesh.n_vert_levels
+            ).astype(dtype)
+            * np.asarray(mesh.vert.cell_level_mask, dtype)[:, None, :]
+        )
     prog = PrognosticVars(
         ssh=jnp.asarray(ssh.astype(dtype)),
         layer_thickness=jnp.asarray(h.astype(dtype)),
         normal_velocity=jnp.asarray(u.astype(dtype)),
+        tracers=tracers,
     )
     return setup, prog
+
+
+def _tracer_opts_from_config(config: GlobalConfig):
+    """Optional namelist section `tracer_transport` ->
+    (names tuple, kappa, upwind). Keys: config_tracer_names (list of
+    variable names read from the input stream), config_tracer_del2
+    [m^2/s, default 0], config_tracer_upwind (blend in [0, 1], default 1 —
+    the monotone donor-cell end; 0 is the 2nd-order centered mean)."""
+    if "tracer_transport" not in config.namelist:
+        return (), 0.0, 1.0
+    t_cfg = ConfigGet(config.namelist, "tracer_transport")
+    names = ConfigGet(t_cfg, "config_tracer_names")
+    if isinstance(names, str):
+        names = [names]
+    kappa = (
+        float(ConfigGet(t_cfg, "config_tracer_del2"))
+        if "config_tracer_del2" in t_cfg else 0.0
+    )
+    upwind = (
+        float(ConfigGet(t_cfg, "config_tracer_upwind"))
+        if "config_tracer_upwind" in t_cfg else 1.0
+    )
+    if not 0.0 <= upwind <= 1.0:
+        raise ValueError(f"config_tracer_upwind must be in [0, 1]; got {upwind}")
+    return tuple(names), kappa, upwind
 
 
 def _forcing_from_config(config: GlobalConfig, mesh: Mesh, dtype):

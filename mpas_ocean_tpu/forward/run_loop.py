@@ -25,7 +25,7 @@ from ..models.shallow_water import PrognosticVars
 from .time_integration import ForwardEuler, ocn_timestep
 
 
-@partial(jax.jit, static_argnames=("n_steps", "method", "checkpoint", "del2_coeff", "nonlinear"))
+@partial(jax.jit, static_argnames=("n_steps", "method", "checkpoint", "del2_coeff", "nonlinear", "tracer_kappa", "tracer_upwind"))
 def ocn_run_loop(
     prog: PrognosticVars,
     mesh,
@@ -36,12 +36,14 @@ def ocn_run_loop(
     del2_coeff: float = 0.0,
     nonlinear: bool = False,
     forcing=None,
+    tracer_kappa: float = 0.0,
+    tracer_upwind: float = 1.0,
 ) -> PrognosticVars:
     """Advance ``n_steps`` timesteps under one jit/scan."""
 
     def body(p, _):
         return ocn_timestep(p, mesh, dt, method, del2_coeff, nonlinear,
-                            forcing), None
+                            forcing, tracer_kappa, tracer_upwind), None
 
     if checkpoint:
         body = jax.checkpoint(body)
@@ -49,21 +51,22 @@ def ocn_run_loop(
     return final
 
 
-@partial(jax.jit, static_argnames=("n_steps", "method", "nonlinear"))
+@partial(jax.jit, static_argnames=("n_steps", "method", "nonlinear", "tracer_kappa", "tracer_upwind"))
 def ocn_run_loop_objective(
     prog: PrognosticVars, mesh, dt, n_steps: int, method=ForwardEuler,
     nonlinear: bool = False, forcing=None,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ) -> jnp.ndarray:
     """Rollout followed by the reference's test objective sum(ssh^2)
     (reference: run_loop.jl:26-45). Differentiable end to end."""
     final = ocn_run_loop(
         prog, mesh, dt, n_steps, method, checkpoint=True, nonlinear=nonlinear,
-        forcing=forcing,
+        forcing=forcing, tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
     )
     return jnp.sum(final.ssh * final.ssh)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_outputs", "method", "nonlinear"))
+@partial(jax.jit, static_argnames=("n_steps", "n_outputs", "method", "nonlinear", "tracer_kappa", "tracer_upwind"))
 def ocn_run_loop_with_outputs(
     prog: PrognosticVars,
     mesh,
@@ -73,6 +76,8 @@ def ocn_run_loop_with_outputs(
     method=ForwardEuler,
     nonlinear: bool = False,
     forcing=None,
+    tracer_kappa: float = 0.0,
+    tracer_upwind: float = 1.0,
 ):
     """Rollout that also returns the state every n_steps/n_outputs steps
     (the in-loop periodic output the reference's output alarm only stubs,
@@ -83,7 +88,8 @@ def ocn_run_loop_with_outputs(
     def outer(p, _):
         def body(q, _):
             return ocn_timestep(
-                q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing
+                q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing,
+                tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
             ), None
 
         p, _ = jax.lax.scan(body, p, length=chunk)
@@ -93,7 +99,7 @@ def ocn_run_loop_with_outputs(
     return final, outputs
 
 
-@partial(jax.jit, static_argnames=("n_steps", "every", "method", "snapshots", "nonlinear"))
+@partial(jax.jit, static_argnames=("n_steps", "every", "method", "snapshots", "nonlinear", "tracer_kappa", "tracer_upwind"))
 def ocn_run_loop_with_monitor(
     prog: PrognosticVars,
     mesh,
@@ -104,6 +110,8 @@ def ocn_run_loop_with_monitor(
     snapshots: bool = False,
     nonlinear: bool = False,
     forcing=None,
+    tracer_kappa: float = 0.0,
+    tracer_upwind: float = 1.0,
 ):
     """Rollout that also samples physics health metrics every ``every``
     steps, ON DEVICE inside the scan (total volume, total kinetic energy,
@@ -129,7 +137,8 @@ def ocn_run_loop_with_monitor(
     def outer(p, _):
         def body(q, _):
             return ocn_timestep(
-                q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing
+                q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing,
+                tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
             ), None
 
         p, _ = jax.lax.scan(body, p, length=every)
@@ -163,6 +172,14 @@ def ocn_run_loop_with_monitor(
             "max_abs_u": jnp.max(jnp.abs(p.normal_velocity)),
             "ssh_rms": jnp.sqrt(jnp.mean(p.ssh * p.ssh)),
         }
+        if p.tracers is not None:
+            # conserved per-tracer integral sum A h T (models/tracers.py);
+            # drift beyond roundoff = a broken tracer flux
+            from ..models.tracers import total_tracer_content
+
+            stats["tracer_content"] = total_tracer_content(
+                p.tracers, p.layer_thickness, mesh
+            )
         return p, (stats, p) if snapshots else stats
 
     final, out = jax.lax.scan(outer, prog, length=n_steps // every)

@@ -33,55 +33,86 @@ class RungeKutta4:
     """Tag type selecting the RK4 stepper."""
 
 
+def _tracer_concentration(content, h, cell_level_mask):
+    """T = content / h on active levels (content is h*T)."""
+    mask = cell_level_mask[:, None, :]
+    safe_h = jnp.where(mask > 0, h[:, None, :], jnp.ones_like(mask))
+    return content / safe_h * mask
+
+
 def _apply(prog: PrognosticVars, tend, dt, mesh) -> PrognosticVars:
-    """u += dt*du, h += dt*dh, ssh rederived from h."""
+    """u += dt*du, h += dt*dh, ssh rederived from h; tracers advance in
+    content form hT += dt*d(hT) then re-derive T (models/tracers.py)."""
     u = prog.normal_velocity + dt * tend.tend_normal_velocity
     h = prog.layer_thickness + dt * tend.tend_layer_thickness
+    tracers = None
+    if prog.tracers is not None:
+        content = (
+            prog.layer_thickness[:, None, :] * prog.tracers
+            + dt * tend.tend_tracer
+        )
+        tracers = _tracer_concentration(content, h, mesh.vert.cell_level_mask)
     return PrognosticVars(
-        ssh=update_ssh(h, mesh), layer_thickness=h, normal_velocity=u
+        ssh=update_ssh(h, mesh), layer_thickness=h, normal_velocity=u,
+        tracers=tracers,
     )
 
 
 def forward_euler_step(
     prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False,
-    forcing=None,
+    forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ) -> PrognosticVars:
     """One forward-Euler step (reference: time_integration.jl:150-193)."""
     diag = compute_diagnostics(prog, mesh)
-    tend = compute_tendencies(prog, diag, mesh, del2_coeff, nonlinear, forcing)
+    tend = compute_tendencies(prog, diag, mesh, del2_coeff, nonlinear, forcing,
+                              tracer_kappa, tracer_upwind)
     return _apply(prog, tend, dt, mesh)
 
 
 def rk4_step(
     prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False,
-    forcing=None,
+    forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ) -> PrognosticVars:
-    """Classical RK4 on the (normal_velocity, layer_thickness) state, with
-    ssh rederived at every stage (what the reference's dead RK4 intended)."""
+    """Classical RK4 on the (normal_velocity, layer_thickness[, h*tracer])
+    state, with ssh (and tracer concentration) rederived at every stage
+    (what the reference's dead RK4 intended)."""
+    with_tracers = prog.tracers is not None
+    clm = mesh.vert.cell_level_mask
 
     def rates(p: PrognosticVars):
         diag = compute_diagnostics(p, mesh)
-        t = compute_tendencies(p, diag, mesh, del2_coeff, nonlinear, forcing)
-        return t.tend_normal_velocity, t.tend_layer_thickness
+        t = compute_tendencies(p, diag, mesh, del2_coeff, nonlinear, forcing,
+                               tracer_kappa, tracer_upwind)
+        return t.tend_normal_velocity, t.tend_layer_thickness, t.tend_tracer
 
     u0, h0 = prog.normal_velocity, prog.layer_thickness
+    ht0 = h0[:, None, :] * prog.tracers if with_tracers else None
 
-    def stage(du, dh, a):
+    def stage(du, dh, dht, a):
         h = h0 + a * dh
+        tracers = None
+        if with_tracers:
+            tracers = _tracer_concentration(ht0 + a * dht, h, clm)
         return PrognosticVars(
             ssh=update_ssh(h, mesh),
             layer_thickness=h,
             normal_velocity=u0 + a * du,
+            tracers=tracers,
         )
 
-    k1u, k1h = rates(prog)
-    k2u, k2h = rates(stage(k1u, k1h, dt / 2.0))
-    k3u, k3h = rates(stage(k2u, k2h, dt / 2.0))
-    k4u, k4h = rates(stage(k3u, k3h, dt))
+    k1u, k1h, k1t = rates(prog)
+    k2u, k2h, k2t = rates(stage(k1u, k1h, k1t, dt / 2.0))
+    k3u, k3h, k3t = rates(stage(k2u, k2h, k2t, dt / 2.0))
+    k4u, k4h, k4t = rates(stage(k3u, k3h, k3t, dt))
 
     u = u0 + (dt / 6.0) * (k1u + 2.0 * k2u + 2.0 * k3u + k4u)
     h = h0 + (dt / 6.0) * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
-    return PrognosticVars(ssh=update_ssh(h, mesh), layer_thickness=h, normal_velocity=u)
+    tracers = None
+    if with_tracers:
+        ht = ht0 + (dt / 6.0) * (k1t + 2.0 * k2t + 2.0 * k3t + k4t)
+        tracers = _tracer_concentration(ht, h, clm)
+    return PrognosticVars(ssh=update_ssh(h, mesh), layer_thickness=h,
+                          normal_velocity=u, tracers=tracers)
 
 
 _STEPPERS = {ForwardEuler: forward_euler_step, RungeKutta4: rk4_step}
@@ -90,6 +121,7 @@ _STEPPERS = {ForwardEuler: forward_euler_step, RungeKutta4: rk4_step}
 def ocn_timestep(
     prog: PrognosticVars, mesh, dt, method=ForwardEuler, del2_coeff=0.0,
     nonlinear: bool = False, forcing=None,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ) -> PrognosticVars:
     """Advance one step with the selected stepper (reference dispatches the
     same way on a stepper tag type, time_integration.jl:2-5)."""
@@ -97,4 +129,5 @@ def ocn_timestep(
         step = _STEPPERS[method]
     except (KeyError, TypeError):
         raise ValueError(f"unknown time stepper {method!r}") from None
-    return step(prog, mesh, dt, del2_coeff, nonlinear, forcing)
+    return step(prog, mesh, dt, del2_coeff, nonlinear, forcing,
+                tracer_kappa, tracer_upwind)

@@ -43,16 +43,20 @@ def write_output(
     dt: float,
     elapsed_seconds: float,
     d_prog=None,
+    tracer_names=(),
 ) -> None:
     """Write the model state (and optional adjoint shadow state) to NetCDF.
 
     Args:
       mesh: a Mesh (host or device pytree).
       prog: PrognosticVars with ssh (nCells,), layer_thickness (nCells, K),
-        normal_velocity (nEdges, K).
+        normal_velocity (nEdges, K) and optionally tracers (nCells, nT, K).
       dt: timestep in seconds (stored as a global attribute).
       elapsed_seconds: simulation time since start, stored in `time`.
       d_prog: optional adjoint shadows, same shapes as `prog`.
+      tracer_names: variable name per tracer slot (temperature, salinity,
+        ...) — each written as (time, nCells, nVertLevels), with `d_`
+        shadows when d_prog carries tracers.
     """
     c, d, e = mesh.cells, mesh.duals, mesh.edges
     K = mesh.vert.n_vert_levels
@@ -116,6 +120,24 @@ def write_output(
             np_(prog.normal_velocity).astype(f64)[None],
         ),
     }
+    if getattr(prog, "tracers", None) is not None:
+        tr = np_(prog.tracers)
+        if len(tracer_names) != tr.shape[1]:
+            raise ValueError(
+                f"{tr.shape[1]} tracer slots but {len(tracer_names)} names"
+            )
+        for i, name in enumerate(tracer_names):
+            variables[name] = (
+                ("time", "nCells", "nVertLevels"),
+                tr[:, i].astype(f64)[None],
+            )
+        if d_prog is not None and getattr(d_prog, "tracers", None) is not None:
+            dtr = np_(d_prog.tracers)
+            for i, name in enumerate(tracer_names):
+                variables[f"d_{name}"] = (
+                    ("time", "nCells", "nVertLevels"),
+                    dtr[:, i].astype(f64)[None],
+                )
     if d_prog is not None:
         variables.update(
             {

@@ -227,14 +227,48 @@ def read_initial_state(path, n_vert_levels: int):
     return ssh, h, u
 
 
+def read_tracers(path, names, n_cells: int, n_vert_levels: int) -> np.ndarray:
+    """Read named tracer fields (temperature, salinity, ...) from an
+    input/restart-stream file into the (nCells, nT, K) tracer array
+    (models/tracers.py). Each variable may be (nCells,), (nCells, K) or
+    carry a leading Time dimension; (nCells,) replicates over levels.
+
+    (The reference stubs these state slots out, reference:
+    src/ocn/PrognosticVars.jl:20-26.)
+    """
+    ds = read_netcdf(path)
+    cols = []
+    for name in names:
+        if name not in ds:
+            raise KeyError(
+                f"tracer variable {name!r} not found in {path!r} "
+                f"(have: {sorted(k for k in ds)})"
+            )
+        a = np.asarray(ds[name])
+        if a.ndim == 3 or (a.ndim == 2 and a.shape[0] != n_cells):
+            a = a[0]  # drop leading Time
+        if a.ndim == 1:
+            a = np.repeat(a[:, None], n_vert_levels, axis=1)
+        if a.shape != (n_cells, n_vert_levels):
+            raise ValueError(
+                f"tracer {name!r} has shape {a.shape}; expected "
+                f"({n_cells},) or ({n_cells}, {n_vert_levels})"
+            )
+        cols.append(a)
+    return np.stack(cols, axis=1)
+
+
 def save_mpas_mesh(
     path,
     mesh: Mesh | HorzMesh,
     initial_state: tuple | None = None,
+    cell_fields: dict | None = None,
 ) -> None:
     """Write a mesh (+ optional (ssh, h, u) initial state) as an
     MPAS-convention NetCDF file usable as both the `mesh` and `input`
-    streams of a model config."""
+    streams of a model config. ``cell_fields`` adds named per-cell state
+    variables (tracers: temperature, salinity, ...), each (nCells,) or
+    (nCells, nVertLevels), written with a leading Time dimension."""
     if isinstance(mesh, Mesh):
         horz, vert = mesh.horz, mesh.vert
     else:
@@ -387,6 +421,18 @@ def save_mpas_mesh(
                 ),
             }
         )
+
+    if cell_fields:
+        k = variables.get("layerThickness")
+        n_lv = (
+            k[1].shape[2] if k is not None
+            else (vert.n_vert_levels if vert is not None else 1)
+        )
+        for name, field in cell_fields.items():
+            a = np.asarray(field, dtype=f64)
+            if a.ndim == 1:
+                a = np.repeat(a[:, None], n_lv, axis=1)
+            variables[name] = (("Time", "nCells", "nVertLevels"), a[None])
 
     attrs = {
         "on_a_sphere": "YES" if horz.on_sphere else "NO",

@@ -6,6 +6,13 @@ from .shallow_water import (
     compute_layer_thickness_tendency,
     compute_normal_velocity_tendency,
 )
+from .tracers import (
+    apply_tracer_update,
+    make_tracers,
+    total_tracer_content,
+    tracer_edge_value,
+    tracer_tendency,
+)
 
 __all__ = [
     "DiagnosticVars",
@@ -14,4 +21,9 @@ __all__ = [
     "compute_diagnostics",
     "compute_layer_thickness_tendency",
     "compute_normal_velocity_tendency",
+    "apply_tracer_update",
+    "make_tracers",
+    "total_tracer_content",
+    "tracer_edge_value",
+    "tracer_tendency",
 ]

@@ -38,6 +38,10 @@ class MatrixModel:
     edge_mask_lv: jax.Array  # (nEdges, K) = edge_level_mask * edge_mask
     cell_level_mask: jax.Array  # (nCells, K)
     resting_thickness_sum: jax.Array  # (nCells,)
+    # per-edge spacing, used only by the tracer upwind correction
+    # (models/tracers.tracer_edge_value re-expressed with the c2e and grad
+    # matrices this model already streams)
+    dc_edge: jax.Array | None = None  # (nEdges,)
 
     # nonlinear (vector-invariant) extension — None unless built with
     # nonlinear=True (models/shallow_water.compute_normal_velocity_tendency
@@ -115,16 +119,51 @@ class MatrixModel:
             resting_thickness_sum=jnp.asarray(
                 mesh.vert.resting_thickness_sum, dtype
             ),
+            dc_edge=jnp.asarray(mesh.horz.edges.dc_edge, dtype),
             **extra,
         )
 
 
+def _matrix_tracer_tendency(tracers, flux, h_edge, mm: MatrixModel,
+                            kappa: float, upwind: float):
+    """d(hT)/dt on the MXU: models/tracers.tracer_tendency with the cell->
+    edge mean and edge gradient applied as the c2e / grad matrices (the
+    tracer axis rides along as extra matvec columns)."""
+    nc, nt, k = tracers.shape
+    tr2 = tracers.reshape(nc, nt * k)
+    t_e = bsr_matvec(mm.c2e, tr2).reshape(-1, nt, k)
+    g = None
+    if upwind or kappa:
+        g = bsr_matvec(mm.grad, tr2).reshape(-1, nt, k)
+    if upwind:
+        half_dc = (0.5 * upwind) * mm.dc_edge[:, None, None]
+        t_e = t_e - half_dc * jnp.sign(flux[:, None, :]) * g
+    fl = flux[:, None, :] * t_e
+    if kappa:
+        fl = fl - (kappa * h_edge * mm.edge_mask_lv)[:, None, :] * g
+    ne = fl.shape[0]
+    tend = -bsr_matvec(mm.div, fl.reshape(ne, nt * k)).reshape(nc, nt, k)
+    return tend * mm.cell_level_mask[:, None, :]
+
+
+def _tracer_concentration(content, h, cell_level_mask):
+    mask = cell_level_mask[:, None, :]
+    safe_h = jnp.where(mask > 0, h[:, None, :], jnp.ones_like(mask))
+    return content / safe_h * mask
+
+
 def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,
-                       nonlinear: bool = False, forcing=None):
+                       nonlinear: bool = False, forcing=None,
+                       tracer_kappa: float = 0.0, tracer_upwind: float = 1.0):
     h, u = prog.layer_thickness, prog.normal_velocity
     h_edge = bsr_matvec(mm.c2e, h)
     flux = u * h_edge
     tend_h = -bsr_matvec(mm.div, flux) * mm.cell_level_mask
+    tend_t = None
+    if prog.tracers is not None:
+        tend_t = _matrix_tracer_tendency(
+            prog.tracers, flux, h_edge, mm, tracer_kappa, tracer_upwind
+        )
     grad_ssh = bsr_matvec(mm.grad, prog.ssh)  # (nEdges,)
     tend_u = -GRAVITY * grad_ssh[:, None]
     if nonlinear:
@@ -158,7 +197,7 @@ def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,
         from .forcing import forcing_tendency
 
         tend_u = tend_u + forcing_tendency(u, h_edge, forcing)
-    return tend_u * mm.edge_mask_lv, tend_h
+    return tend_u * mm.edge_mask_lv, tend_h, tend_t
 
 
 def _ssh_of(h, mm):
@@ -166,48 +205,76 @@ def _ssh_of(h, mm):
 
 
 def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt,
-                nonlinear: bool = False, forcing=None) -> PrognosticVars:
+                nonlinear: bool = False, forcing=None,
+                tracer_kappa: float = 0.0,
+                tracer_upwind: float = 1.0) -> PrognosticVars:
     """One forward-Euler step, all stencils as MXU matmuls."""
-    tend_u, tend_h = _matrix_tendencies(prog, mm, nonlinear, forcing)
+    tend_u, tend_h, tend_t = _matrix_tendencies(
+        prog, mm, nonlinear, forcing, tracer_kappa, tracer_upwind
+    )
     h_new = prog.layer_thickness + dt * tend_h
     u_new = prog.normal_velocity + dt * tend_u
+    tracers = None
+    if prog.tracers is not None:
+        content = prog.layer_thickness[:, None, :] * prog.tracers + dt * tend_t
+        tracers = _tracer_concentration(content, h_new, mm.cell_level_mask)
     return PrognosticVars(
-        ssh=_ssh_of(h_new, mm), layer_thickness=h_new, normal_velocity=u_new
+        ssh=_ssh_of(h_new, mm), layer_thickness=h_new, normal_velocity=u_new,
+        tracers=tracers,
     )
 
 
 def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
-                    nonlinear: bool = False, forcing=None) -> PrognosticVars:
+                    nonlinear: bool = False, forcing=None,
+                    tracer_kappa: float = 0.0,
+                    tracer_upwind: float = 1.0) -> PrognosticVars:
     """Classical RK4 on the MXU path (mirrors
     forward/time_integration.rk4_step, ssh rederived at every stage)."""
     u0, h0 = prog.normal_velocity, prog.layer_thickness
+    with_tracers = prog.tracers is not None
+    ht0 = h0[:, None, :] * prog.tracers if with_tracers else None
 
-    def stage(du, dh, a):
-        h = h0 + a * dh
-        return PrognosticVars(
-            ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u0 + a * du
+    def rates(p):
+        return _matrix_tendencies(
+            p, mm, nonlinear, forcing, tracer_kappa, tracer_upwind
         )
 
-    k1u, k1h = _matrix_tendencies(prog, mm, nonlinear, forcing)
-    k2u, k2h = _matrix_tendencies(
-        stage(k1u, k1h, dt / 2.0), mm, nonlinear, forcing)
-    k3u, k3h = _matrix_tendencies(
-        stage(k2u, k2h, dt / 2.0), mm, nonlinear, forcing)
-    k4u, k4h = _matrix_tendencies(stage(k3u, k3h, dt), mm, nonlinear, forcing)
+    def stage(du, dh, dht, a):
+        h = h0 + a * dh
+        tracers = None
+        if with_tracers:
+            tracers = _tracer_concentration(ht0 + a * dht, h, mm.cell_level_mask)
+        return PrognosticVars(
+            ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u0 + a * du,
+            tracers=tracers,
+        )
+
+    k1u, k1h, k1t = rates(prog)
+    k2u, k2h, k2t = rates(stage(k1u, k1h, k1t, dt / 2.0))
+    k3u, k3h, k3t = rates(stage(k2u, k2h, k2t, dt / 2.0))
+    k4u, k4h, k4t = rates(stage(k3u, k3h, k3t, dt))
     u = u0 + (dt / 6.0) * (k1u + 2.0 * k2u + 2.0 * k3u + k4u)
     h = h0 + (dt / 6.0) * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
-    return PrognosticVars(ssh=_ssh_of(h, mm), layer_thickness=h, normal_velocity=u)
+    tracers = None
+    if with_tracers:
+        ht = ht0 + (dt / 6.0) * (k1t + 2.0 * k2t + 2.0 * k3t + k4t)
+        tracers = _tracer_concentration(ht, h, mm.cell_level_mask)
+    return PrognosticVars(ssh=_ssh_of(h, mm), layer_thickness=h,
+                          normal_velocity=u, tracers=tracers)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "rk4", "nonlinear"))
+@partial(jax.jit, static_argnames=("n_steps", "rk4", "nonlinear",
+                                   "tracer_kappa", "tracer_upwind"))
 def matrix_run_loop(
     prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int, rk4: bool = False,
     nonlinear: bool = False, forcing=None,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ) -> PrognosticVars:
     step = matrix_rk4_step if rk4 else matrix_step
 
     def body(p, _):
-        return step(p, mm, dt, nonlinear, forcing), None
+        return step(p, mm, dt, nonlinear, forcing,
+                    tracer_kappa, tracer_upwind), None
 
     out, _ = jax.lax.scan(body, prog, length=n_steps)
     return out

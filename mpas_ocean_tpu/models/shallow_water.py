@@ -40,11 +40,17 @@ from ..utils.pytree import pytree_dataclass
 class PrognosticVars:
     """Prognostic state at one time level (reference:
     src/ocn/PrognosticVars.jl:6-57, which keeps a Vector of <=2 levels;
-    under `scan` the carry *is* the single live level)."""
+    under `scan` the carry *is* the single live level).
+
+    ``tracers`` holds the optional prognostic tracer concentrations
+    (temperature/salinity/passive fields — the slots the reference stubs
+    out, PrognosticVars.jl:20-26; see models/tracers.py). None (the
+    default) keeps every tracer-free call site unchanged."""
 
     ssh: jax.Array  # (nCells,)
     layer_thickness: jax.Array  # (nCells, K)
     normal_velocity: jax.Array  # (nEdges, K)
+    tracers: jax.Array | None = None  # (nCells, nTracers, K)
 
 
 @pytree_dataclass
@@ -62,10 +68,13 @@ class DiagnosticVars:
 @pytree_dataclass
 class TendencyVars:
     """Prognostic tendencies (reference:
-    src/ocn/Tendencies/TendencyVars.jl:7-49)."""
+    src/ocn/Tendencies/TendencyVars.jl:7-49). ``tend_tracer`` is the
+    tracer-CONTENT tendency d(hT)/dt (models/tracers.py), present only
+    when the state carries tracers."""
 
     tend_normal_velocity: jax.Array  # (nEdges, K)
     tend_layer_thickness: jax.Array  # (nCells, K)
+    tend_tracer: jax.Array | None = None  # (nCells, nTracers, K)
 
 
 def compute_diagnostics(prog: PrognosticVars, mesh) -> DiagnosticVars:
@@ -247,12 +256,23 @@ def compute_layer_thickness_tendency(
 def compute_tendencies(
     prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
     nonlinear: bool = False, forcing=None,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ) -> TendencyVars:
+    tend_tracer = None
+    if prog.tracers is not None:
+        from .tracers import tracer_tendency
+
+        tend_tracer = tracer_tendency(
+            prog.tracers, diag.thickness_flux, mesh,
+            kappa=tracer_kappa, upwind=tracer_upwind,
+            h_edge=diag.layer_thickness_edge,
+        )
     return TendencyVars(
         tend_normal_velocity=compute_normal_velocity_tendency(
             prog, diag, mesh, del2_coeff, nonlinear, forcing
         ),
         tend_layer_thickness=compute_layer_thickness_tendency(prog, diag, mesh),
+        tend_tracer=tend_tracer,
     )
 
 

@@ -135,17 +135,24 @@ def halo_exchange_ppermute(
     ssh_s, h_s, u_s = prog.ssh, prog.layer_thickness, prog.normal_velocity
     tgt = prog if apply_to is None else apply_to
     ssh, h, u = tgt.ssh, tgt.layer_thickness, tgt.normal_velocity
+    tr_s, tr = prog.tracers, tgt.tracers
+    k = h.shape[1]
     for r in rounds:
         perm = [(i, (i + r.shift) % n_parts) for i in range(n_parts)]
-        cpack = jnp.concatenate(
-            [h_s[r.cell_send], ssh_s[r.cell_send][:, None]], 1
-        )
-        crecv = jax.lax.ppermute(cpack, axis, perm)
-        h = h.at[r.cell_recv].set(crecv[:, :-1])
-        ssh = ssh.at[r.cell_recv].set(crecv[:, -1])
+        parts = [h_s[r.cell_send], ssh_s[r.cell_send][:, None]]
+        if tr_s is not None:
+            # tracers ride the same cell pack: (S, nT, K) -> (S, nT*K)
+            parts.append(tr_s[r.cell_send].reshape(r.cell_send.shape[0], -1))
+        crecv = jax.lax.ppermute(jnp.concatenate(parts, 1), axis, perm)
+        h = h.at[r.cell_recv].set(crecv[:, :k])
+        ssh = ssh.at[r.cell_recv].set(crecv[:, k])
+        if tr_s is not None:
+            inc = crecv[:, k + 1:].reshape(-1, tr.shape[1], tr.shape[2])
+            tr = tr.at[r.cell_recv].set(inc)
         erecv = jax.lax.ppermute(u_s[r.edge_send], axis, perm)
         u = u.at[r.edge_recv].set(erecv)
-    return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u)
+    return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u,
+                          tracers=tr)
 
 
 def halo_exchange_fields_ppermute(

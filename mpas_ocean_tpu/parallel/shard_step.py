@@ -73,25 +73,32 @@ def _halo_exchange(
     per-device views carry no leading parts axis). ``prog`` supplies the
     packed values (send columns index its arrays); received values
     overwrite the halo slots of ``apply_to`` (default ``prog``)."""
-    # pack owned boundary values: cells carry h (K) + ssh (1) together
-    cell_pack = jnp.concatenate(
-        [
-            prog.layer_thickness[ex.cell_send],
-            prog.ssh[ex.cell_send][:, None],
-        ],
-        axis=1,
-    )  # (Sc, K+1)
+    # pack owned boundary values: cells carry h (K) + ssh (1) [+ tracers
+    # (nT*K)] together
+    k = prog.layer_thickness.shape[1]
+    parts = [
+        prog.layer_thickness[ex.cell_send],
+        prog.ssh[ex.cell_send][:, None],
+    ]
+    if prog.tracers is not None:
+        parts.append(prog.tracers[ex.cell_send].reshape(len(ex.cell_send), -1))
+    cell_pack = jnp.concatenate(parts, axis=1)  # (Sc, K+1[+nT*K])
     edge_pack = prog.normal_velocity[ex.edge_send]  # (Se, K)
 
-    all_cells = jax.lax.all_gather(cell_pack, axis, tiled=True)  # (P*Sc, K+1)
+    all_cells = jax.lax.all_gather(cell_pack, axis, tiled=True)
     all_edges = jax.lax.all_gather(edge_pack, axis, tiled=True)  # (P*Se, K)
 
     tgt = prog if apply_to is None else apply_to
-    cell_in = all_cells[ex.cell_recv_flat]  # (Hc, K+1)
-    h = tgt.layer_thickness.at[ex.cell_halo_slots].set(cell_in[:, :-1])
-    ssh = tgt.ssh.at[ex.cell_halo_slots].set(cell_in[:, -1])
+    cell_in = all_cells[ex.cell_recv_flat]  # (Hc, K+1[+nT*K])
+    h = tgt.layer_thickness.at[ex.cell_halo_slots].set(cell_in[:, :k])
+    ssh = tgt.ssh.at[ex.cell_halo_slots].set(cell_in[:, k])
+    tr = tgt.tracers
+    if prog.tracers is not None:
+        inc = cell_in[:, k + 1:].reshape(-1, tr.shape[1], tr.shape[2])
+        tr = tr.at[ex.cell_halo_slots].set(inc)
     u = tgt.normal_velocity.at[ex.edge_halo_slots].set(all_edges[ex.edge_recv_flat])
-    return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u)
+    return PrognosticVars(ssh=ssh, layer_thickness=h, normal_velocity=u,
+                          tracers=tr)
 
 
 def _halo_exchange_fields(cell_fields, edge_fields, ex: ExchangeSpec, axis):
@@ -121,7 +128,8 @@ def _halo_exchange_fields(cell_fields, edge_fields, ex: ExchangeSpec, axis):
 
 
 def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields,
-                            forcing=None):
+                            forcing=None, tracer_kappa: float = 0.0,
+                            tracer_upwind: float = 1.0):
     """Vector-invariant tendencies on a 1-ring-halo local mesh.
 
     The PV flux at an owned edge taps derived values (thickness flux, edge
@@ -151,11 +159,25 @@ def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields,
         tend_u = tend_u + forcing_tendency(p.normal_velocity, h_edge, forcing)
     tend_u = tend_u * lmesh.edges.edge_mask[:, None]
     tend_h = -divergence_on_cell(flux, lmesh) * lmesh.vert.cell_level_mask
-    return tend_u, tend_h
+    tend_t = None
+    if p.tracers is not None:
+        # tracer stencils reach only the two cells of each owned cell's
+        # edges — inside the 1-ring halo — so the local computation is
+        # already owner-exact (same reason the linear step needs no
+        # derived-field round); the refreshed flux values at boundary
+        # edges are bitwise what this part computes itself
+        from ..models.tracers import tracer_tendency
+
+        tend_t = tracer_tendency(
+            p.tracers, flux, lmesh, kappa=tracer_kappa,
+            upwind=tracer_upwind, h_edge=h_edge,
+        )
+    return tend_u, tend_h, tend_t
 
 
 def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
-                     rates=None, forcing=None) -> PrognosticVars:
+                     rates=None, forcing=None, tracer_kappa: float = 0.0,
+                     tracer_upwind: float = 1.0) -> PrognosticVars:
     """One RK4 step inside shard_map, with a halo refresh before every
     stage-rate evaluation: each of the four stages widens the stencil by one
     ring, so per-stage exchange is required for the 1-ring halo the
@@ -173,25 +195,42 @@ def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
     if rates is None:
         def rates(p):
             diag = compute_diagnostics(p, lmesh)
-            t = compute_tendencies(p, diag, lmesh, forcing=forcing)
-            return t.tend_normal_velocity, t.tend_layer_thickness
+            t = compute_tendencies(p, diag, lmesh, forcing=forcing,
+                                   tracer_kappa=tracer_kappa,
+                                   tracer_upwind=tracer_upwind)
+            return t.tend_normal_velocity, t.tend_layer_thickness, t.tend_tracer
 
     u0, h0 = prog.normal_velocity, prog.layer_thickness
+    with_tracers = prog.tracers is not None
+    ht0 = h0[:, None, :] * prog.tracers if with_tracers else None
+    clm = lmesh.vert.cell_level_mask
 
-    def stage(du, dh, a):
+    def concentration(content, h):
+        mask = clm[:, None, :]
+        safe_h = jnp.where(mask > 0, h[:, None, :], jnp.ones_like(mask))
+        return content / safe_h * mask
+
+    def stage(du, dh, dht, a):
         h = h0 + a * dh
+        tracers = concentration(ht0 + a * dht, h) if with_tracers else None
         p = PrognosticVars(
-            ssh=update_ssh(h, lmesh), layer_thickness=h, normal_velocity=u0 + a * du
+            ssh=update_ssh(h, lmesh), layer_thickness=h,
+            normal_velocity=u0 + a * du, tracers=tracers,
         )
         return refresh(p)
 
-    k1u, k1h = rates(prog)
-    k2u, k2h = rates(stage(k1u, k1h, dt / 2.0))
-    k3u, k3h = rates(stage(k2u, k2h, dt / 2.0))
-    k4u, k4h = rates(stage(k3u, k3h, dt))
+    k1u, k1h, k1t = rates(prog)
+    k2u, k2h, k2t = rates(stage(k1u, k1h, k1t, dt / 2.0))
+    k3u, k3h, k3t = rates(stage(k2u, k2h, k2t, dt / 2.0))
+    k4u, k4h, k4t = rates(stage(k3u, k3h, k3t, dt))
     u = u0 + (dt / 6.0) * (k1u + 2.0 * k2u + 2.0 * k3u + k4u)
     h = h0 + (dt / 6.0) * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
-    return PrognosticVars(ssh=update_ssh(h, lmesh), layer_thickness=h, normal_velocity=u)
+    tracers = None
+    if with_tracers:
+        ht = ht0 + (dt / 6.0) * (k1t + 2.0 * k2t + 2.0 * k3t + k4t)
+        tracers = concentration(ht, h)
+    return PrognosticVars(ssh=update_ssh(h, lmesh), layer_thickness=h,
+                          normal_velocity=u, tracers=tracers)
 
 
 class ShardedModel:
@@ -320,10 +359,14 @@ class ShardedModel:
         ssh = np.asarray(prog.ssh)[gids_c]
         h = np.asarray(prog.layer_thickness)[gids_c]
         u = np.asarray(prog.normal_velocity)[gids_e]
+        tracers = None
+        if prog.tracers is not None:
+            tracers = jnp.asarray(np.asarray(prog.tracers)[gids_c])
         local = PrognosticVars(
             ssh=jnp.asarray(ssh),
             layer_thickness=jnp.asarray(h),
             normal_velocity=jnp.asarray(u),
+            tracers=tracers,
         )
         return self._put_tree(local)
 
@@ -339,14 +382,22 @@ class ShardedModel:
         l_ssh = np.asarray(local.ssh)
         l_h = np.asarray(local.layer_thickness)
         l_u = np.asarray(local.normal_velocity)
+        tracers = l_tr = None
+        if local.tracers is not None:
+            l_tr = np.asarray(local.tracers)
+            tracers = np.empty((n_cells,) + l_tr.shape[2:])
         for q in range(self.n_parts):
             oc = p.cell_gids[q, : p.n_owned_cells[q]]
             ssh[oc] = l_ssh[q, : p.n_owned_cells[q]]
             h[oc] = l_h[q, : p.n_owned_cells[q]]
+            if tracers is not None:
+                tracers[oc] = l_tr[q, : p.n_owned_cells[q]]
             oe = p.edge_gids[q, : p.n_owned_edges[q]]
             u[oe] = l_u[q, : p.n_owned_edges[q]]
         return PrognosticVars(
-            ssh=jnp.asarray(ssh), layer_thickness=jnp.asarray(h), normal_velocity=jnp.asarray(u)
+            ssh=jnp.asarray(ssh), layer_thickness=jnp.asarray(h),
+            normal_velocity=jnp.asarray(u),
+            tracers=None if tracers is None else jnp.asarray(tracers),
         )
 
     def _exchange_fn(self):
@@ -403,28 +454,31 @@ class ShardedModel:
 
     # -- compute --------------------------------------------------------
     def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
-            nonlinear: bool = False, forcing=None):
+            nonlinear: bool = False, forcing=None,
+            tracer_kappa: float = 0.0, tracer_upwind: float = 1.0):
         """n_steps sharded timesteps under one jit (scan inside shard_map).
         ``nonlinear=True`` runs the vector-invariant dynamics (derived-field
         halo exchange keeps the 1-ring halo exact; overlap mini-stepping is
         bypassed — its boundary mesh only carries the linear stencil).
         ``forcing``: a GLOBAL models.forcing.Forcing (scattered here);
-        forcing also bypasses the overlap mini step (the boundary mini mesh
-        carries no forcing fields)."""
+        forcing and tracers also bypass the overlap mini step (the boundary
+        mini mesh carries no forcing fields or tracer stencils)."""
         lforce = self.scatter_forcing(forcing)
         use_overlap = (
             self.overlap and method is ForwardEuler and not nonlinear
-            and forcing is None
+            and forcing is None and local.tracers is None
         )
         mini_args = (self.mini, self._ex_mini) if use_overlap else None
         return self._run_jit(
             local, self.local_mesh, self._ex_arg, mini_args, lforce,
-            float(dt), n_steps, method, nonlinear,
+            float(dt), n_steps, method, nonlinear, tracer_kappa,
+            tracer_upwind,
         )
 
-    @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method", "nonlinear"))
+    @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method", "nonlinear", "tracer_kappa", "tracer_upwind"))
     def _run_jit(self, local, lmesh, ex, mini_args, lforce, dt, n_steps,
-                 method, nonlinear=False):
+                 method, nonlinear=False, tracer_kappa=0.0,
+                 tracer_upwind=1.0):
         from .overlap import mini_forward_euler_step
 
         exchange = self._exchange_fn()
@@ -442,7 +496,8 @@ class ShardedModel:
                 mini, ex_mini = sq(mini_args)
             nl_rates = lambda p: sharded_nonlinear_rates(
                 p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex),
-                forcing=lf,
+                forcing=lf, tracer_kappa=tracer_kappa,
+                tracer_upwind=tracer_upwind,
             )
 
             def body(prog, _):
@@ -450,15 +505,26 @@ class ShardedModel:
                     prog = sharded_rk4_step(
                         prog, lmesh, dt, lambda p: exchange(p, ex),
                         rates=nl_rates if nonlinear else None, forcing=lf,
+                        tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
                     )
                     return exchange(prog, ex), None
                 if nonlinear:
-                    tu, th = nl_rates(prog)
+                    tu, th, tt = nl_rates(prog)
                     h = prog.layer_thickness + dt * th
                     u = prog.normal_velocity + dt * tu
+                    tracers = None
+                    if prog.tracers is not None:
+                        mask = lmesh.vert.cell_level_mask[:, None, :]
+                        content = (
+                            prog.layer_thickness[:, None, :] * prog.tracers
+                            + dt * tt
+                        )
+                        safe = jnp.where(mask > 0, h[:, None, :],
+                                         jnp.ones_like(mask))
+                        tracers = content / safe * mask
                     prog = PrognosticVars(
                         ssh=update_ssh(h, lmesh), layer_thickness=h,
-                        normal_velocity=u,
+                        normal_velocity=u, tracers=tracers,
                     )
                     return exchange(prog, ex), None
                 if use_overlap:
@@ -469,7 +535,9 @@ class ShardedModel:
                     )
                     full = ocn_timestep(prog, lmesh, dt, method)
                     return exchange(pack, ex_mini, apply_to=full), None
-                prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf)
+                prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf,
+                                    tracer_kappa=tracer_kappa,
+                                    tracer_upwind=tracer_upwind)
                 return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(body, local, length=n_steps)
@@ -489,7 +557,8 @@ class ShardedModel:
         )(local, lmesh, ex, mini_args, lforce)
 
     def objective(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
-                  nonlinear: bool = False, forcing=None):
+                  nonlinear: bool = False, forcing=None,
+                  tracer_kappa: float = 0.0, tracer_upwind: float = 1.0):
         """Differentiable sharded rollout + global sum(ssh^2) over owned
         cells (psum over the mesh axis)."""
         if method not in (ForwardEuler, RungeKutta4):
@@ -510,7 +579,8 @@ class ShardedModel:
             lf = sq(lforce) if lforce is not None else None
             nl_rates = lambda p: sharded_nonlinear_rates(
                 p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex),
-                forcing=lf,
+                forcing=lf, tracer_kappa=tracer_kappa,
+                tracer_upwind=tracer_upwind,
             )
 
             def body(prog, _):
@@ -518,17 +588,30 @@ class ShardedModel:
                     prog = sharded_rk4_step(
                         prog, lmesh, dt, lambda p: exchange(p, ex),
                         rates=nl_rates if nonlinear else None, forcing=lf,
+                        tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
                     )
                 elif nonlinear:
-                    tu, th = nl_rates(prog)
+                    tu, th, tt = nl_rates(prog)
                     h = prog.layer_thickness + dt * th
                     u = prog.normal_velocity + dt * tu
+                    tracers = None
+                    if prog.tracers is not None:
+                        mask = lmesh.vert.cell_level_mask[:, None, :]
+                        content = (
+                            prog.layer_thickness[:, None, :] * prog.tracers
+                            + dt * tt
+                        )
+                        safe = jnp.where(mask > 0, h[:, None, :],
+                                         jnp.ones_like(mask))
+                        tracers = content / safe * mask
                     prog = PrognosticVars(
                         ssh=update_ssh(h, lmesh), layer_thickness=h,
-                        normal_velocity=u,
+                        normal_velocity=u, tracers=tracers,
                     )
                 else:
-                    prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf)
+                    prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf,
+                                        tracer_kappa=tracer_kappa,
+                                        tracer_upwind=tracer_upwind)
                 return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(jax.checkpoint(body), local, length=n_steps)

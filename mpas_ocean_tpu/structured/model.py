@@ -31,6 +31,7 @@ class StructState:
     ssh: jax.Array  # (2, ny2, nx)
     layer_thickness: jax.Array  # (2, ny2, nx, K)
     normal_velocity: jax.Array  # (3, 2, ny2, nx, K)
+    tracers: jax.Array | None = None  # (2, ny2, nx, nT, K)
 
 
 @pytree_dataclass
@@ -53,6 +54,10 @@ class StructMesh:
     # edges keep u = 0 exactly, so their fluxes and Coriolis taps vanish and
     # the live-cell dynamics match the culled unstructured mesh to roundoff.
     edge_mask: jax.Array | None = None  # (3, 2, ny2, nx)
+    # 1 on live cells, 0 on culled slots (None = all live); the tracer
+    # update divides content by h exactly where this mask is 1, mirroring
+    # the gather path's cell_level_mask guard
+    cell_mask: jax.Array | None = None  # (2, ny2, nx)
 
     # nonlinear (vector-invariant) extension: machine-extracted vertex
     # stencils (hex_layout.py) + Coriolis parameter at vertices. Populated
@@ -185,9 +190,45 @@ def tangential_times_f(u, mesh: StructMesh):
     return jnp.stack([jnp.stack(planes) for planes in out])
 
 
+def tracer_tendency_struct(
+    tracers, flux, mesh: StructMesh, kappa: float, upwind: float, h_edge,
+):
+    """d(hT)/dt on the lattice (models/tracers.tracer_tendency as rolls).
+
+    ``tracers`` (2, ny2, nx, nT, K), ``flux``/``h_edge`` (3, 2, ny2, nx, K).
+    Wall edges (edge_mask = 0) carry zero advective flux automatically
+    (u = 0 there) and the diffusive flux is masked explicitly, matching the
+    culled gather path's edge mask."""
+    t_e = interp_cell_to_edge(tracers, mesh)  # (3, 2, ny2, nx, nT, K)
+    g = None
+    if upwind or kappa:
+        g = grad_on_edge(tracers, mesh)
+    if upwind:
+        t_e = t_e - (0.5 * upwind * mesh.dc) * jnp.sign(
+            flux[..., None, :]
+        ) * g
+    fl = flux[..., None, :] * t_e
+    if kappa:
+        diff = kappa * h_edge
+        if mesh.edge_mask is not None:
+            diff = diff * mesh.edge_mask[..., None]
+        fl = fl - diff[..., None, :] * g
+    return -div_on_cell(fl, mesh)
+
+
+def _tracer_concentration_struct(content, h, cell_mask):
+    """T = content / h on live cells (identical guard to the gather path's
+    cell_level_mask: live cells divide by h unconditionally)."""
+    if cell_mask is None:
+        return content / h[..., None, :]
+    mask = cell_mask[..., None, None]
+    safe_h = jnp.where(mask > 0, h[..., None, :], jnp.ones_like(h)[..., None, :])
+    return content / safe_h * mask
+
+
 def structured_step(
     state: StructState, mesh: StructMesh, dt, nonlinear: bool = False,
-    forcing=None,
+    forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ) -> StructState:
     """One forward-Euler step, all rolls + elementwise.
 
@@ -243,16 +284,29 @@ def structured_step(
     if mesh.edge_mask is not None:
         u = u * mesh.edge_mask[..., None]
     ssh = h.sum(-1) - mesh.resting_thickness_sum
-    return StructState(ssh=ssh, layer_thickness=h, normal_velocity=u)
+    tracers = None
+    if state.tracers is not None:
+        tend_t = tracer_tendency_struct(
+            state.tracers, flux, mesh, tracer_kappa, tracer_upwind, h_edge
+        )
+        content = (
+            state.layer_thickness[..., None, :] * state.tracers + dt * tend_t
+        )
+        tracers = _tracer_concentration_struct(content, h, mesh.cell_mask)
+    return StructState(ssh=ssh, layer_thickness=h, normal_velocity=u,
+                       tracers=tracers)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "nonlinear"))
+@partial(jax.jit, static_argnames=("n_steps", "nonlinear", "tracer_kappa",
+                                   "tracer_upwind"))
 def structured_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, forcing=None,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ):
     def body(s, _):
-        return structured_step(s, mesh, dt, nonlinear, forcing), None
+        return structured_step(s, mesh, dt, nonlinear, forcing,
+                               tracer_kappa, tracer_upwind), None
 
     out, _ = jax.lax.scan(body, state, length=n_steps)
     return out
@@ -285,6 +339,7 @@ class StructuredModel:
         dtype = np.asarray(lattice_horz.cells.area_cell).dtype
 
         edge_mask = None
+        cell_mask = None
         if parent_horz is None:
             self.cell_gids = None
             self.edge_gids = None
@@ -311,6 +366,7 @@ class StructuredModel:
             # (one live cell) and dead edges are pinned to u = 0
             interior = keep[coe].all(axis=1).astype(dtype)
             edge_mask = jnp.asarray(lay.edges_to_struct(interior))
+            cell_mask = jnp.asarray(lay.cells_to_struct(keep.astype(dtype)))
             rts_parent = np.zeros(parent_horz.n_cells, dtype=dtype)
             rts_parent[self.cell_gids] = np.asarray(vert.resting_thickness_sum)
 
@@ -332,6 +388,7 @@ class StructuredModel:
             f_edge=jnp.asarray(lay.edges_to_struct(np.asarray(lattice_horz.edges.f))),
             resting_thickness_sum=jnp.asarray(rts),
             edge_mask=edge_mask,
+            cell_mask=cell_mask,
             vertex_cell_terms=lay.vertex_cell_terms,
             edge_vertex_terms=lay.edge_vertex_terms,
             f_vertex=jnp.asarray(
@@ -372,6 +429,13 @@ class StructuredModel:
             # the wall condition (u = 0 on masked edges) is a contract of the
             # culled mesh; enforce it exactly on entry
             u = u * np.asarray(self.struct_mesh.edge_mask)[..., None]
+        tracers = None
+        if prog.tracers is not None:
+            tracers = jnp.asarray(
+                lay.cells_to_struct(
+                    self._cells_to_parent(np.asarray(prog.tracers))
+                )
+            )
         return StructState(
             ssh=jnp.asarray(
                 lay.cells_to_struct(self._cells_to_parent(np.asarray(prog.ssh)))
@@ -382,6 +446,7 @@ class StructuredModel:
                 )
             ),
             normal_velocity=jnp.asarray(u),
+            tracers=tracers,
         )
 
     def from_struct(self, state: StructState) -> PrognosticVars:
@@ -389,12 +454,18 @@ class StructuredModel:
         ssh = lay.cells_from_struct(np.asarray(state.ssh))
         h = lay.cells_from_struct(np.asarray(state.layer_thickness))
         u = lay.edges_from_struct(np.asarray(state.normal_velocity), sign=True)
+        tracers = None
+        if state.tracers is not None:
+            tracers = lay.cells_from_struct(np.asarray(state.tracers))
         if self.cell_gids is not None:
             ssh, h, u = ssh[self.cell_gids], h[self.cell_gids], u[self.edge_gids]
+            if tracers is not None:
+                tracers = tracers[self.cell_gids]
         return PrognosticVars(
             ssh=jnp.asarray(ssh),
             layer_thickness=jnp.asarray(h),
             normal_velocity=jnp.asarray(u),
+            tracers=None if tracers is None else jnp.asarray(tracers),
         )
 
     def to_struct_forcing(self, forcing):
@@ -425,7 +496,10 @@ class StructuredModel:
         )
 
     def run(self, state: StructState, dt, n_steps: int,
-            nonlinear: bool = False, forcing=None) -> StructState:
+            nonlinear: bool = False, forcing=None,
+            tracer_kappa: float = 0.0,
+            tracer_upwind: float = 1.0) -> StructState:
         return structured_run_loop(
-            state, self.struct_mesh, dt, n_steps, nonlinear, forcing
+            state, self.struct_mesh, dt, n_steps, nonlinear, forcing,
+            tracer_kappa, tracer_upwind,
         )

@@ -458,7 +458,7 @@ def _tiled_step_kernel(
     for j in range(q):
         rows_j = rows + 2 * (q - 1 - j)
         win = lambda t: tuple(x[j : full - j] for x in t)
-        ssh, h, u = _step_slab(
+        ssh, h, u, _ = _step_slab(
             ssh, h, u, win(f_full), win(rts_full),
             dt, inv_dc, s_div, terms, rows_j,
             win(masks_full) if masked else None,

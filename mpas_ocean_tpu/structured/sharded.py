@@ -73,12 +73,17 @@ def _apply_forcing(u_i, he_i, forc, c):
 
 
 def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
-               masks=None, forc=None):
+               masks=None, forc=None, tr=None, tropts=(0.0, 1.0), cmask=None):
     """One forward-Euler step on a halo-padded slab; returns interior-only
-    planes. Mirrors pallas_model._step_planes with halo reads instead of
-    periodic wraps (same coefficients, same order). ``masks`` (halo-padded
-    like f_edge, or None) pins wall/dead-edge velocity to zero. ``forc``
-    (see _apply_forcing; fields halo-padded) adds the momentum forcing."""
+    planes (ssh, h, u, tracers-or-None). Mirrors pallas_model._step_planes
+    with halo reads instead of periodic wraps (same coefficients, same
+    order). ``masks`` (halo-padded like f_edge, or None) pins
+    wall/dead-edge velocity to zero. ``forc`` (see _apply_forcing; fields
+    halo-padded) adds the momentum forcing. ``tr`` (2-tuple of halo-padded
+    (R+2, nx, nT, K) planes) advects tracers (models/tracers.py, slab
+    form) with ``tropts = (kappa, upwind)``; ``cmask`` (2-tuple of padded
+    (R+2, nx, 1) live-cell masks) guards the content/h division on culled
+    lattices."""
     # thickness flux evaluated on padded rows [0, rows+1): the divergence
     # needs flux at the interior rows AND one row below (_INCOMING dm=-1
     # taps); the flux itself reads h up to one row above, so the single
@@ -143,7 +148,55 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
             )
     if masks is not None:
         u_new = [u_new[c] * _interior(masks[c], rows) for c in range(6)]
-    return tuple(ssh_new), tuple(h_new), tuple(u_new)
+
+    t_new = None
+    if tr is not None:
+        kappa, upwind = tropts
+        # tracer edge flux G on padded rows [0, rows+1), same row window as
+        # fluxp; T_e = mean - (upwind/2) sign(F) (T_n - T_p) — the dc/dc of
+        # the unstructured formulation cancels on the uniform lattice
+        gfl = {}
+        for fam in (E, NE, NW):
+            for p in (0, 1):
+                pin, dm, di = _NEIGHBOR[(fam, p)]
+                tn = _roll_nx(tr[pin][dm : dm + rows + 1], di)
+                tp = tr[p][: rows + 1]
+                te = 0.5 * (tn + tp)
+                F = fluxp[(fam, p)][..., None, :]
+                if upwind:
+                    te = te - (0.5 * upwind) * jnp.sign(F) * (tn - tp)
+                g = F * te
+                if kappa:
+                    diff = kappa * hep[(fam, p)]
+                    if masks is not None:
+                        diff = diff * masks[fam * 2 + p][: rows + 1]
+                    g = g - diff[..., None, :] * ((tn - tp) * inv_dc)
+                gfl[(fam, p)] = g
+        t_new = []
+        for p in (0, 1):
+            total = (
+                gfl[(E, p)][1 : 1 + rows]
+                + gfl[(NE, p)][1 : 1 + rows]
+                + gfl[(NW, p)][1 : 1 + rows]
+            )
+            for ch, dm, di in _INCOMING[p]:
+                fam_in, p_in = divmod(ch, 2)
+                total = total - _roll_nx(
+                    gfl[(fam_in, p_in)][1 + dm : 1 + dm + rows], di
+                )
+            content = (
+                _interior(h[p], rows)[..., None, :] * _interior(tr[p], rows)
+                - (dt * s_div) * total
+            )
+            hn = h_new[p][..., None, :]
+            if cmask is not None:
+                cm = _interior(cmask[p], rows)[..., None, :]
+                safe = jnp.where(cm > 0, hn, jnp.ones_like(hn))
+                t_new.append(content / safe * cm)
+            else:
+                t_new.append(content / hn)
+        t_new = tuple(t_new)
+    return tuple(ssh_new), tuple(h_new), tuple(u_new), t_new
 
 
 def _derived_slab(h, u, mesh_sc, rows):
@@ -226,9 +279,12 @@ def _derived_slab(h, u, mesh_sc, rows):
 
 
 def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
-                          terms, rows, forc=None):
+                          terms, rows, forc=None, tr=None,
+                          tropts=(0.0, 1.0)):
     """Stage B of the nonlinear slab step: with 1-ring-padded prognostic
-    AND derived slabs, produce the new interior rows. Same math/order as
+    AND derived slabs, produce the new interior rows (+ tracers when ``tr``
+    is given — the tracer flux reads the PADDED exchanged thickness flux,
+    so one derived round covers it). Same math/order as
     structured/model.structured_step(nonlinear=True)."""
     h_new, ssh_new = [], []
     for p in (0, 1):
@@ -296,7 +352,46 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                 _interior(u[c], rows), he_i, forc_i, c
             )
         u_new.append(un)
-    return tuple(ssh_new), tuple(h_new), tuple(u_new)
+
+    t_new = None
+    if tr is not None:
+        kappa, upwind = tropts
+        gfl = {}
+        for fam in (E, NE, NW):
+            for p in (0, 1):
+                pin, dm, di = _NEIGHBOR[(fam, p)]
+                tn = _roll_nx(tr[pin][dm : dm + rows + 1], di)
+                tp = tr[p][: rows + 1]
+                te = 0.5 * (tn + tp)
+                # flux planes are PADDED here: padded row r = window row r
+                F = flux[fam * 2 + p][: rows + 1][..., None, :]
+                if upwind:
+                    te = te - (0.5 * upwind) * jnp.sign(F) * (tn - tp)
+                g = F * te
+                if kappa:
+                    hn = _roll_nx(h[pin][dm : dm + rows + 1], di)
+                    hep = 0.5 * (hn + h[p][: rows + 1])
+                    g = g - (kappa * hep)[..., None, :] * ((tn - tp) * inv_dc)
+                gfl[(fam, p)] = g
+        t_new = []
+        for p in (0, 1):
+            total = (
+                gfl[(E, p)][1 : 1 + rows]
+                + gfl[(NE, p)][1 : 1 + rows]
+                + gfl[(NW, p)][1 : 1 + rows]
+            )
+            for ch, dm, di in _INCOMING[p]:
+                fam_in, p_in = divmod(ch, 2)
+                total = total - _roll_nx(
+                    gfl[(fam_in, p_in)][1 + dm : 1 + dm + rows], di
+                )
+            content = (
+                _interior(h[p], rows)[..., None, :] * _interior(tr[p], rows)
+                - (dt * s_div) * total
+            )
+            t_new.append(content / h_new[p][..., None, :])
+        t_new = tuple(t_new)
+    return tuple(ssh_new), tuple(h_new), tuple(u_new), t_new
 
 
 def _with_halo(interior, axis_name: str, n_parts: int):
@@ -372,6 +467,11 @@ class ShardedStructuredModel:
                 4, ny2, struct_mesh.nx, 1
             )
             self._fv_local = self._put(self._slab(fv))
+        if struct_mesh.cell_mask is None:
+            self._cmask_local = None
+        else:
+            cm = np.asarray(struct_mesh.cell_mask)[..., None]
+            self._cmask_local = self._put(self._slab(cm))
 
     def _put(self, host_array):
         """Place a host-global array onto the device mesh — via device_put
@@ -384,11 +484,14 @@ class ShardedStructuredModel:
             arr.shape, self._sharding, lambda idx: arr[idx]
         )
 
-    def _slab(self, x):
+    def _slab(self, x, m_axis=None):
         """(planes..., ny2, nx, ...) -> (P, planes..., R+2, nx, ...) with
-        periodic halo rows (host-side numpy)."""
+        periodic halo rows (host-side numpy). ``m_axis`` overrides the
+        default single-trailing-axis assumption (tracer slabs trail
+        (nT, K))."""
         ny2 = self.smesh.ny2
-        m_axis = x.ndim - 3  # (..., ny2, nx, trailing)
+        if m_axis is None:
+            m_axis = x.ndim - 3  # (..., ny2, nx, trailing)
         out = []
         for q in range(self.n_parts):
             rows = [(q * self.rows - 1) % ny2] + list(
@@ -404,11 +507,17 @@ class ShardedStructuredModel:
         ssh = np.asarray(state.ssh)[..., None]  # (2, ny2, nx, 1)
         h = np.asarray(state.layer_thickness)
         u = np.asarray(state.normal_velocity).reshape(6, self.smesh.ny2, nx, k)
-        return {
+        out = {
             "ssh": self._put(self._slab(ssh)),
             "h": self._put(self._slab(h)),
             "u": self._put(self._slab(u)),
         }
+        if state.tracers is not None:
+            # (2, ny2, nx, nT, K) slabs -> (P, 2, R+2, nx, nT, K)
+            out["t"] = self._put(
+                self._slab(np.asarray(state.tracers), m_axis=1)
+            )
+        return out
 
     def gather(self, local) -> StructState:
         """Stacked slabs -> global structured state (interior rows only)."""
@@ -422,10 +531,14 @@ class ShardedStructuredModel:
         h = unslab(local["h"])
         u = unslab(local["u"])
         k = h.shape[-1]
+        tracers = None
+        if "t" in local:
+            tracers = jnp.asarray(unslab(local["t"]))
         return StructState(
             ssh=jnp.asarray(ssh),
             layer_thickness=jnp.asarray(h),
             normal_velocity=jnp.asarray(u.reshape(3, 2, ny2, nx, k)),
+            tracers=tracers,
         )
 
     def overlap_stats(self, n_vert_levels: int, itemsize: int = 4) -> dict:
@@ -454,7 +567,8 @@ class ShardedStructuredModel:
         def fn(loc):
             s = sum(
                 jnp.sum(jax.tree.map(lambda a: a[0], loc[k])[:, 1:-1])
-                for k in ("ssh", "h", "u")
+                for k in ("ssh", "h", "u", "t")
+                if k in loc
             )
             return jax.lax.psum(s, axes)
 
@@ -489,7 +603,8 @@ class ShardedStructuredModel:
         }
 
     def run(self, local, dt, n_steps: int, nonlinear: bool = False,
-            forcing=None):
+            forcing=None, tracer_kappa: float = 0.0,
+            tracer_upwind: float = 1.0):
         if nonlinear:
             sm = self.smesh
             if sm.edge_mask is not None:
@@ -515,14 +630,17 @@ class ShardedStructuredModel:
             local, self._f_local, self._rts_local, self._mask_local,
             self._fv_local if nonlinear else None,
             self.scatter_forcing(forcing),
-            float(dt), n_steps, nonlinear,
+            self._cmask_local if "t" in local else None,
+            float(dt), n_steps, nonlinear, tracer_kappa, tracer_upwind,
         )
 
     @partial(
-        jax.jit, static_argnames=("self", "dt", "n_steps", "nonlinear")
+        jax.jit, static_argnames=("self", "dt", "n_steps", "nonlinear",
+                                  "tracer_kappa", "tracer_upwind")
     )
     def _run_jit(self, local, f_local, rts_local, mask_local, fv_local,
-                 forcel, dt, n_steps, nonlinear=False):
+                 forcel, cmask_local, dt, n_steps, nonlinear=False,
+                 tracer_kappa=0.0, tracer_upwind=1.0):
         axis, n_parts, rows = self.axes, self.n_parts, self.rows
         overlap = self.overlap
         terms = self.smesh.coriolis_terms
@@ -538,9 +656,17 @@ class ShardedStructuredModel:
         vc_terms = sm.vertex_cell_terms
         ev_terms = sm.edge_vertex_terms
 
-        def device_fn(local, f_loc, rts_loc, mask_loc, fv_loc, forcel):
+        with_tracers = "t" in local
+        tropts = (tracer_kappa, tracer_upwind)
+
+        def device_fn(local, f_loc, rts_loc, mask_loc, fv_loc, forcel,
+                      cmask_loc):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, f_loc, rts_loc = sq(local), sq(f_loc), sq(rts_loc)
+            cmask = None
+            if cmask_loc is not None:
+                cm = sq(cmask_loc)
+                cmask = tuple(cm[p] for p in range(2))
             f_edge = tuple(f_loc[c] for c in range(6))
             rts = tuple(rts_loc[p] for p in range(2))
             if forcel is not None:
@@ -569,15 +695,21 @@ class ShardedStructuredModel:
                 ssh = tuple(carry["ssh"][p] for p in range(2))
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
-                ssh_i, h_i, u_i = _step_slab(
+                tr = (
+                    tuple(carry["t"][p] for p in range(2))
+                    if with_tracers else None
+                )
+                ssh_i, h_i, u_i, t_i = _step_slab(
                     ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
-                    masks, forc,
+                    masks, forc, tr, tropts, cmask,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
                     "h": _with_halo(jnp.stack(h_i), axis, n_parts),
                     "u": _with_halo(jnp.stack(u_i), axis, n_parts),
                 }
+                if with_tracers:
+                    new["t"] = _with_halo(jnp.stack(t_i), axis, n_parts)
                 return new, None
 
             def body_overlap(carry, _):
@@ -587,6 +719,10 @@ class ShardedStructuredModel:
                 ssh = tuple(carry["ssh"][p] for p in range(2))
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
+                tr = (
+                    tuple(carry["t"][p] for p in range(2))
+                    if with_tracers else None
+                )
 
                 def run_rows(lo, n):
                     """Step padded rows [lo, lo+n+2) -> n new interior rows."""
@@ -600,37 +736,38 @@ class ShardedStructuredModel:
                     return _step_slab(
                         sub(ssh), sub(h), sub(u), sub(f_edge), sub(rts),
                         dt, inv_dc, s_div, terms, n, msub, fsub,
+                        sub(tr) if tr is not None else None, tropts,
+                        sub(cmask) if cmask is not None else None,
                     )
 
                 top = run_rows(0, 1)           # new local row 0
                 bot = run_rows(rows - 1, 1)    # new local row R-1
                 down = [(i, (i + 1) % n_parts) for i in range(n_parts)]
                 up = [(i, (i - 1) % n_parts) for i in range(n_parts)]
+                n_fields = 4 if with_tracers else 3
                 # my new row R-1 -> next device's padded row 0; my new row 0
                 # -> previous device's padded row R+1 (same wiring as
                 # _with_halo, issued before the interior is computed)
                 recv_top = [
-                    jax.lax.ppermute(jnp.stack(planes), axis, down)
-                    for planes in bot
+                    jax.lax.ppermute(jnp.stack(bot[i]), axis, down)
+                    for i in range(n_fields)
                 ]
                 recv_bot = [
-                    jax.lax.ppermute(jnp.stack(planes), axis, up)
-                    for planes in top
+                    jax.lax.ppermute(jnp.stack(top[i]), axis, up)
+                    for i in range(n_fields)
                 ]
                 mid = run_rows(1, rows - 2)    # new local rows 1..R-2
 
-                def asm(i, t, m, b):
+                def asm(i):
                     return jnp.concatenate(
-                        [recv_top[i], jnp.stack(t), jnp.stack(m),
-                         jnp.stack(b), recv_bot[i]],
+                        [recv_top[i], jnp.stack(top[i]), jnp.stack(mid[i]),
+                         jnp.stack(bot[i]), recv_bot[i]],
                         axis=1,
                     )
 
-                new = {
-                    "ssh": asm(0, top[0], mid[0], bot[0]),
-                    "h": asm(1, top[1], mid[1], bot[1]),
-                    "u": asm(2, top[2], mid[2], bot[2]),
-                }
+                new = {"ssh": asm(0), "h": asm(1), "u": asm(2)}
+                if with_tracers:
+                    new["t"] = asm(3)
                 return new, None
 
             def body_nonlinear(carry, _):
@@ -643,21 +780,28 @@ class ShardedStructuredModel:
                 ssh = tuple(carry["ssh"][p] for p in range(2))
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
+                tr = (
+                    tuple(carry["t"][p] for p in range(2))
+                    if with_tracers else None
+                )
                 flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows)
                 packed = jnp.stack(flux + ke + q_e)  # (14, rows, nx, K)
                 padded = _with_halo(packed, axis, n_parts)
-                ssh_i, h_i, u_i = _apply_slab_nonlinear(
+                ssh_i, h_i, u_i, t_i = _apply_slab_nonlinear(
                     ssh, h, u,
                     tuple(padded[c] for c in range(6)),
                     (padded[6], padded[7]),
                     tuple(padded[8 + c] for c in range(6)),
                     rts, dt, inv_dc, s_div, terms, rows, forc,
+                    tr, tropts,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
                     "h": _with_halo(jnp.stack(h_i), axis, n_parts),
                     "u": _with_halo(jnp.stack(u_i), axis, n_parts),
                 }
+                if with_tracers:
+                    new["t"] = _with_halo(jnp.stack(t_i), axis, n_parts)
                 return new, None
 
             if nonlinear:
@@ -673,9 +817,11 @@ class ShardedStructuredModel:
         mspec = jax.tree.map(lambda _: P(self.axes), mask_local)
         vspec = jax.tree.map(lambda _: P(self.axes), fv_local)
         wspec = jax.tree.map(lambda _: P(self.axes), forcel)
+        cspec = jax.tree.map(lambda _: P(self.axes), cmask_local)
         return shard_map(
             device_fn,
             mesh=self.device_mesh,
-            in_specs=(specs, fspec, rspec, mspec, vspec, wspec),
+            in_specs=(specs, fspec, rspec, mspec, vspec, wspec, cspec),
             out_specs=specs,
-        )(local, f_local, rts_local, mask_local, fv_local, forcel)
+        )(local, f_local, rts_local, mask_local, fv_local, forcel,
+          cmask_local)

@@ -69,6 +69,9 @@ def make_igw_case(
     f0: float = 1e-4,
     nonlinear: bool = False,
     forcing: dict | None = None,
+    tracers: bool = False,
+    tracer_del2: float = 0.0,
+    tracer_upwind: float = 1.0,
 ) -> str:
     """Generate an inertial-gravity-wave case directory; returns the config
     path. Box size follows the polaris case the reference artifacts encode:
@@ -89,7 +92,18 @@ def make_igw_case(
     )
     mesh = Mesh(horz=horz, vert=vert)
     state = igw.initial_state(horz, n_vert_levels)
-    save_mpas_mesh(os.path.join(case_dir, "initial_state.nc"), mesh, state)
+    cell_fields = None
+    if tracers:
+        # idealized T/S: zonally varying temperature, uniform salinity —
+        # enough structure to exercise advection/diffusion and enough
+        # symmetry that the uniform-salinity invariant is checkable
+        x = np.asarray(horz.cells.x)
+        cell_fields = {
+            "temperature": 10.0 + 2.0 * np.sin(2 * np.pi * x / (nx * dc)),
+            "salinity": np.full(horz.n_cells, 35.0),
+        }
+    save_mpas_mesh(os.path.join(case_dir, "initial_state.nc"), mesh, state,
+                   cell_fields=cell_fields)
 
     # the dt the reference's heuristic will choose (init.jl:117-119)
     dt = float(np.floor(2.0 * (dc / 1e3) * dc / 200e3))
@@ -106,6 +120,15 @@ def make_igw_case(
         for key, value in forcing.items():
             lines.append(f"    {key}: {value}")
         forcing_section = "\n".join(lines) + "\n"
+    if tracers:
+        # optional namelist `tracer_transport` section (forward/init.py
+        # _tracer_opts_from_config)
+        forcing_section += (
+            "  tracer_transport:\n"
+            "    config_tracer_names: [temperature, salinity]\n"
+            f"    config_tracer_del2: {tracer_del2}\n"
+            f"    config_tracer_upwind: {tracer_upwind}\n"
+        )
     config = CONFIG_TEMPLATE.format(
         forcing_section=forcing_section,
         run_duration=mpas_interval(duration_seconds),
