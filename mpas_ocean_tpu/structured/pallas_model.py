@@ -64,11 +64,18 @@ def _shift(x, dm: int, di: int):
 
 
 def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
-                 nl=None):
+                 nl=None, tr=None, tropts=(0.0, 1.0), cmask=None):
     """One forward-Euler step on parity-plane lists.
 
     ssh[p]: (ny2, nx, 1); h[p]: (ny2, nx, K); u[fam*2+p]: (ny2, nx, K);
-    f_edge[c] and rts[p] are (ny2, nx, 1). Returns (ssh', h', u') tuples.
+    f_edge[c] and rts[p] are (ny2, nx, 1). Returns (ssh', h', u', tr')
+    tuples (tr' is None without tracers).
+
+    ``tr`` holds tracer planes indexed [t*2 + p], each (ny2, nx, K) — one
+    pair of parity planes per tracer, so every tracer rides the SAME lane
+    layout as h and reuses the step's flux planes (models/tracers.py math,
+    static ``tropts = (kappa, upwind)``). ``cmask`` (2-list of (ny2, nx, 1)
+    live-cell masks) guards the content/h division on culled lattices.
 
     ``nl`` is None for the reference's linear core, or
     (f_vert, vc_terms, ev_terms, s_ke, s_curl) — vertex-Coriolis planes
@@ -87,11 +94,13 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
     Pure jnp — runs inside the Pallas kernel (and in interpret mode on CPU).
     """
     # thickness flux on edges: u * 0.5 (h_self + h_neighbor)
-    flux = []
+    flux, hep = [], []
     for fam in (E, NE, NW):
         for p in (0, 1):
             pin, dm, di = _NEIGHBOR[(fam, p)]
-            flux.append(u[fam * 2 + p] * (0.5 * (_shift(h[pin], dm, di) + h[p])))
+            he = 0.5 * (_shift(h[pin], dm, di) + h[p])
+            hep.append(he)
+            flux.append(u[fam * 2 + p] * he)
 
     # flux divergence -> thickness update -> ssh diagnostic
     h_new, ssh_new = [], []
@@ -177,7 +186,46 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
     if masks is not None:
         # wall/dead edges stay at exactly zero velocity (channel configs)
         u_new = [u_new[c] * masks[c] for c in range(6)]
-    return tuple(ssh_new), tuple(h_new), tuple(u_new)
+
+    tr_new = None
+    if tr is not None:
+        kappa, upwind = tropts
+        tr_new = []
+        for t in range(len(tr) // 2):
+            # tracer edge flux per edge channel (models/tracers.py; the
+            # dc/dc of the unstructured upwind correction cancels on the
+            # uniform lattice, same as the slab path)
+            gfl = []
+            for fam in (E, NE, NW):
+                for p in (0, 1):
+                    pin, dm, di = _NEIGHBOR[(fam, p)]
+                    c = fam * 2 + p
+                    tn = _shift(tr[t * 2 + pin], dm, di)
+                    tp = tr[t * 2 + p]
+                    te = 0.5 * (tn + tp)
+                    if upwind:
+                        te = te - (0.5 * upwind) * jnp.sign(flux[c]) * (tn - tp)
+                    g = flux[c] * te
+                    if kappa:
+                        diff = kappa * hep[c]
+                        if masks is not None:
+                            diff = diff * masks[c]
+                        g = g - diff * ((tn - tp) * inv_dc)
+                    gfl.append(g)
+            for p in (0, 1):
+                tot = gfl[E * 2 + p] + gfl[NE * 2 + p] + gfl[NW * 2 + p]
+                for ch, dm, di in _INCOMING[p]:
+                    tot = tot - _shift(gfl[ch], dm, di)
+                content = h[p] * tr[t * 2 + p] - (dt * s_div) * tot
+                if cmask is not None:
+                    safe = jnp.where(
+                        cmask[p] > 0, h_new[p], jnp.ones_like(h_new[p])
+                    )
+                    tr_new.append(content / safe * cmask[p])
+                else:
+                    tr_new.append(content / h_new[p])
+        tr_new = tuple(tr_new)
+    return tuple(ssh_new), tuple(h_new), tuple(u_new), tr_new
 
 
 def _nl_pack(scal_ref, fvert_ref, nl_terms):
@@ -192,7 +240,8 @@ def _nl_pack(scal_ref, fvert_ref, nl_terms):
 
 def _rollout_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref, *rest,
-    terms, n_steps, masked, nl_terms=None,
+    terms, n_steps, masked, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
+    cell_masked=False,
 ):
     """In-place rollout: inputs are ALIASED to outputs, the state lives in
     the (VMEM) out refs and each iteration reads and rewrites them. The
@@ -208,7 +257,18 @@ def _rollout_kernel(
         fvert_ref, *rest = rest
     else:
         fvert_ref = None
-    ssh_out, h_out, u_out = rest
+    if n_tracers:
+        if cell_masked:
+            cmask_ref, *rest = rest
+            cmask = tuple(cmask_ref[p] for p in range(2))
+        else:
+            cmask = None
+        _tr_in, *rest = rest  # aliased to tr_out (read through the out ref)
+        ssh_out, h_out, u_out, tr_out = rest
+    else:
+        cmask = None
+        ssh_out, h_out, u_out = rest
+        tr_out = None
     dt = scal_ref[0, 0]
     inv_dc = scal_ref[0, 1]
     s_div = scal_ref[0, 2]
@@ -221,34 +281,47 @@ def _rollout_kernel(
         ssh = tuple(ssh_out[p] for p in range(2))
         h = tuple(h_out[p] for p in range(2))
         u = tuple(u_out[c] for c in range(6))
-        ssh_n, h_n, u_n = _step_planes(
-            ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks, nl
+        tr = (
+            tuple(tr_out[i] for i in range(2 * n_tracers))
+            if n_tracers else None
+        )
+        ssh_n, h_n, u_n, tr_n = _step_planes(
+            ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks, nl,
+            tr, tropts, cmask,
         )
         for p in range(2):
             ssh_out[p] = ssh_n[p]
             h_out[p] = h_n[p]
         for c in range(6):
             u_out[c] = u_n[c]
+        for i in range(2 * n_tracers):
+            tr_out[i] = tr_n[i]
         return token
 
     jax.lax.fori_loop(0, n_steps, body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "interpret", "terms", "nl_terms")
+    jax.jit, static_argnames=("n_steps", "interpret", "terms", "nl_terms",
+                              "tropts")
 )
 def _pallas_rollout(
-    ssh, h, u, f_edge, rts, scal, mask=None, f_vert=None,
-    *, terms, n_steps, interpret, nl_terms=None,
+    ssh, h, u, f_edge, rts, scal, mask=None, f_vert=None, tracers=None,
+    cmask=None, *, terms, n_steps, interpret, nl_terms=None,
+    tropts=(0.0, 1.0),
 ):
     masked = mask is not None
+    n_tracers = 0 if tracers is None else tracers.shape[0] // 2
+    cell_masked = cmask is not None
     kernel = functools.partial(
         _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked,
-        nl_terms=nl_terms,
+        nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
+        cell_masked=cell_masked,
     )
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     flops_step = step_flop_count(
-        ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None
+        ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None,
+        n_tracers=n_tracers,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = (scal, ssh, h, u, f_edge, rts)
@@ -256,19 +329,28 @@ def _pallas_rollout(
         operands += (mask,)
     if nl_terms is not None:
         operands += (f_vert,)
+    out_shape = [
+        jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
+        jax.ShapeDtypeStruct(h.shape, h.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+    ]
+    aliases = {1: 0, 2: 1, 3: 2}
+    if n_tracers:
+        if cell_masked:
+            operands += (cmask,)
+        operands += (tracers,)
+        aliases[len(operands) - 1] = 3
+        out_shape.append(jax.ShapeDtypeStruct(tracers.shape, tracers.dtype))
+    state_bytes = sum(o.size * o.dtype.itemsize for o in out_shape)
     return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
-            jax.ShapeDtypeStruct(h.shape, h.dtype),
-            jax.ShapeDtypeStruct(u.shape, u.dtype),
-        ),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [vmem] * (len(operands) - 1),
-        out_specs=(vmem, vmem, vmem),
+        out_specs=(vmem,) * len(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=flops_step * n_steps,
-            bytes_accessed=(ssh.size + h.size + u.size) * 2 * ssh.dtype.itemsize,
+            bytes_accessed=2 * state_bytes,
             transcendentals=0,
         ),
         # the rollout state lives entirely in VMEM; the default 16 MB scoped
@@ -276,14 +358,14 @@ def _pallas_rollout(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
 
 
 def step_flop_count(
     ny2: int, nx: int, k: int, n_terms: int, masked: bool = False,
-    nonlinear: bool = False,
+    nonlinear: bool = False, n_tracers: int = 0,
 ) -> int:
     """Accurate FLOP count of one structured step (each Coriolis term is a
     single-plane FMA — an earlier estimate multiplied the term count by all
@@ -303,6 +385,9 @@ def step_flop_count(
         per_site += 6 + 12 + 12 + 14 + 24 + 8 + 18 + 6 + 4 * n_terms + 18
     else:
         per_site += 2 * n_terms
+    # per tracer: 6 edge channels x (mean 2 + upwind 4 + flux mul 1 +
+    # diffusion ~5) + divergence 10 + content 6 + divide 4
+    per_site += n_tracers * 92
     return per_site * ny2 * nx * k
 
 
@@ -326,17 +411,20 @@ def _scal(mesh: StructMesh, dt, dtype):
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def vmem_estimate(ny2: int, nx: int, k: int, itemsize: int = 4) -> int:
+def vmem_estimate(ny2: int, nx: int, k: int, itemsize: int = 4,
+                  n_tracers: int = 0) -> int:
     """Rough VMEM need of the fused kernel: 8 state planes + ~24 worth of
     live temporaries (the 64x64x100 config compiles to a ~32-plane stack),
-    each lane-padded to a multiple of 128 levels."""
+    each lane-padded to a multiple of 128 levels. Each tracer adds 2 state
+    planes + ~10 planes of live edge-flux temporaries."""
     k_pad = -(-k // 128) * 128
     plane = ny2 * nx * k_pad * itemsize
-    return 32 * plane
+    return (32 + 12 * n_tracers) * plane
 
 
-def fits_in_vmem(mesh: StructMesh, k: int, itemsize: int = 4) -> bool:
-    return vmem_estimate(mesh.ny2, mesh.nx, k, itemsize) <= _VMEM_BUDGET
+def fits_in_vmem(mesh: StructMesh, k: int, itemsize: int = 4,
+                 n_tracers: int = 0) -> bool:
+    return vmem_estimate(mesh.ny2, mesh.nx, k, itemsize, n_tracers) <= _VMEM_BUDGET
 
 
 def _nl_setup(mesh: StructMesh, dtype, nonlinear: bool):
@@ -358,25 +446,64 @@ def _nl_setup(mesh: StructMesh, dtype, nonlinear: bool):
     return (mesh.vertex_cell_terms, mesh.edge_vertex_terms), f_vert
 
 
+def _tr_planes(tracers, ny2, nx, k):
+    """(2, ny2, nx, nT, K) -> (nT*2, ny2, nx, K) plane stack [t*2 + p]."""
+    return jnp.moveaxis(tracers, 3, 0).reshape(-1, ny2, nx, k)
+
+
+def _tr_unplanes(planes, ny2, nx, k):
+    return jnp.moveaxis(planes.reshape(-1, 2, ny2, nx, k), 0, 3)
+
+
+def _tracer_setup(state: StructState, mesh: StructMesh, dtype,
+                  tracer_kappa, tracer_upwind):
+    """(tracer plane operand, cell-mask operand, static tropts)."""
+    if state.tracers is None:
+        return None, None, (0.0, 1.0)
+    ny2, nx = mesh.ny2, mesh.nx
+    k = state.layer_thickness.shape[-1]
+    tr = _tr_planes(state.tracers, ny2, nx, k)
+    cmask = (
+        None
+        if mesh.cell_mask is None
+        else mesh.cell_mask[..., None].astype(dtype)
+    )
+    # round the blend/diffusivity in the field dtype so in-kernel scalar
+    # products match the roll path's
+    npdt = np.dtype(dtype)
+    tropts = (
+        float(np.asarray(tracer_kappa).astype(npdt)),
+        float(np.asarray(tracer_upwind).astype(npdt)),
+    )
+    return tr, cmask, tropts
+
+
 def pallas_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
-    nonlinear: bool = False,
+    nonlinear: bool = False, tracer_kappa: float = 0.0,
+    tracer_upwind: float = 1.0,
 ) -> StructState:
     """Run n_steps of the structured model in ONE fused on-chip kernel.
 
     The whole prognostic state must fit in VMEM (~64x64 cells x 100 levels
     per core); for larger meshes use model.structured_run_loop (HBM-
     streaming rolls) or the BSR matrix path. ``nonlinear=True`` fuses the
-    vector-invariant momentum equation (periodic lattices only)."""
+    vector-invariant momentum equation (periodic lattices only). Tracers
+    (state.tracers, models/tracers.py) fuse into the same kernel — each
+    tracer is one more pair of VMEM parity planes advected by the step's
+    flux."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_ = state.layer_thickness.shape[-1]
-    if not interpret and not fits_in_vmem(mesh, k_, state.layer_thickness.dtype.itemsize):
+    n_tr = 0 if state.tracers is None else state.tracers.shape[3]
+    if not interpret and not fits_in_vmem(
+        mesh, k_, state.layer_thickness.dtype.itemsize, n_tr
+    ):
         raise ValueError(
             f"mesh too large for the fused-VMEM rollout "
-            f"(~{vmem_estimate(mesh.ny2, mesh.nx, k_) >> 20} MB needed, "
-            f"{_VMEM_BUDGET >> 20} MB budget); use structured_run_loop or "
-            "the MatrixModel path"
+            f"(~{vmem_estimate(mesh.ny2, mesh.nx, k_, n_tracers=n_tr) >> 20}"
+            f" MB needed, {_VMEM_BUDGET >> 20} MB budget); use "
+            "structured_run_loop or the MatrixModel path"
         )
     ny2, nx = mesh.ny2, mesh.nx
     k = state.layer_thickness.shape[-1]
@@ -394,15 +521,22 @@ def pallas_run_loop(
         else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
     )
     nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
-    ssh_f, h_f, u_f = _pallas_rollout(
-        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask, f_vert,
-        terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
-        nl_terms=nl_terms,
+    tr, cmask, tropts = _tracer_setup(
+        state, mesh, dtype, tracer_kappa, tracer_upwind
     )
+    out = _pallas_rollout(
+        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask, f_vert,
+        tr, cmask,
+        terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
+        nl_terms=nl_terms, tropts=tropts,
+    )
+    ssh_f, h_f, u_f = out[:3]
+    tracers = _tr_unplanes(out[3], ny2, nx, k) if n_tr else None
     return StructState(
         ssh=ssh_f[..., 0],
         layer_thickness=h_f,
         normal_velocity=u_f.reshape(3, 2, ny2, nx, k),
+        tracers=tracers,
     )
 
 
@@ -675,27 +809,35 @@ def pallas_tiled_run_loop(
 
 def structured_auto_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
-    nonlinear: bool = False,
+    nonlinear: bool = False, tracer_kappa: float = 0.0,
+    tracer_upwind: float = 1.0,
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
     the state fits, tiled per-step kernel otherwise; roll model on CPU.
-    Nonlinear beyond-VMEM meshes use the HBM-streaming roll model (the
-    tiled kernel's 1-row halos cannot cover the deeper PV-flux stencil)."""
+    Nonlinear or tracer-carrying beyond-VMEM meshes use the HBM-streaming
+    roll model (the tiled kernel's 1-row halos cover neither the deeper
+    PV-flux stencil nor the tracer planes yet)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    k = state.layer_thickness.shape[-1]
+    n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     if interpret:
         from .model import structured_run_loop
 
-        return structured_run_loop(state, mesh, dt, n_steps, nonlinear)
-    k = state.layer_thickness.shape[-1]
-    if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize):
+        return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
+                                   tracer_kappa=tracer_kappa,
+                                   tracer_upwind=tracer_upwind)
+    if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize, n_tr):
         return pallas_run_loop(
-            state, mesh, dt, n_steps, interpret=False, nonlinear=nonlinear
+            state, mesh, dt, n_steps, interpret=False, nonlinear=nonlinear,
+            tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
         )
-    if nonlinear:
+    if nonlinear or n_tr:
         from .model import structured_run_loop
 
-        return structured_run_loop(state, mesh, dt, n_steps, nonlinear)
+        return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
+                                   tracer_kappa=tracer_kappa,
+                                   tracer_upwind=tracer_upwind)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False, q=2)
 
 
@@ -719,10 +861,13 @@ def structured_auto_run_loop(
 def _adjoint_segment_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     gs_ref, gh_ref, gu_ref, *rest, terms, b, masked, nl_terms=None,
+    n_tracers=0, tropts=(0.0, 1.0), cell_masked=False,
 ):
     """Reverse one b-step segment: inputs are the segment-start primal state
     and the cotangent at the segment end; outputs the cotangent at the
-    segment start plus the segment's d(dt) contribution."""
+    segment start plus the segment's d(dt) contribution. Tracers ride as
+    one more state slot — the adjoint step is the same in-kernel jax.vjp of
+    _step_planes, so the tracer transpose stencils fuse like the rest."""
     if masked:
         mask_ref, *rest = rest
         masks = tuple(mask_ref[c] for c in range(6))
@@ -732,7 +877,16 @@ def _adjoint_segment_kernel(
         fvert_ref, *rest = rest
     else:
         fvert_ref = None
-    gs_out, gh_out, gu_out, ddt_out = rest
+    cmask = None
+    if n_tracers:
+        if cell_masked:
+            cmask_ref, *rest = rest
+            cmask = tuple(cmask_ref[p] for p in range(2))
+        tr_ref, gt_ref, *rest = rest
+        gs_out, gh_out, gu_out, gt_out, ddt_out = rest
+    else:
+        tr_ref = gt_ref = gt_out = None
+        gs_out, gh_out, gu_out, ddt_out = rest
     dt = scal_ref[0, 0]
     inv_dc = scal_ref[0, 1]
     s_div = scal_ref[0, 2]
@@ -741,9 +895,10 @@ def _adjoint_segment_kernel(
     rts = tuple(rts_ref[p] for p in range(2))
 
     def step_fn(s, t):
-        ssh, h, u = s
+        ssh, h, u, tr = s
         return _step_planes(
-            ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks, nl
+            ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks, nl,
+            tr, tropts, cmask,
         )
 
     # forward recompute: b primal states live in VMEM (b is chosen so they
@@ -752,6 +907,7 @@ def _adjoint_segment_kernel(
         tuple(ssh_ref[p] for p in range(2)),
         tuple(h_ref[p] for p in range(2)),
         tuple(u_ref[c] for c in range(6)),
+        tuple(tr_ref[i] for i in range(2 * n_tracers)) if n_tracers else None,
     )]
     for _ in range(b - 1):
         states.append(step_fn(states[-1], dt))
@@ -760,6 +916,7 @@ def _adjoint_segment_kernel(
         tuple(gs_ref[p] for p in range(2)),
         tuple(gh_ref[p] for p in range(2)),
         tuple(gu_ref[c] for c in range(6)),
+        tuple(gt_ref[i] for i in range(2 * n_tracers)) if n_tracers else None,
     )
     ddt = jnp.zeros((), dt.dtype)
     for j in range(b - 1, -1, -1):
@@ -771,23 +928,32 @@ def _adjoint_segment_kernel(
         gh_out[p] = cot[1][p]
     for c in range(6):
         gu_out[c] = cot[2][c]
+    for i in range(2 * n_tracers):
+        gt_out[i] = cot[3][i]
     ddt_out[...] = ddt[None, None]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("terms", "b", "interpret", "nl_terms")
+    jax.jit, static_argnames=("terms", "b", "interpret", "nl_terms", "tropts")
 )
 def _adjoint_segment(
-    ckpt, cot, f_edge, rts, scal, mask, f_vert=None,
-    *, terms, b, interpret, nl_terms=None,
+    ckpt, cot, f_edge, rts, scal, mask, f_vert=None, cmask=None,
+    *, terms, b, interpret, nl_terms=None, tropts=(0.0, 1.0),
 ):
-    """One fused reverse-segment call: (ckpt, cot_end) -> (cot_start, ddt)."""
-    ssh, h, u = ckpt
-    gs, gh, gu = cot
+    """One fused reverse-segment call: (ckpt, cot_end) -> (cot_start, ddt).
+    ``ckpt``/``cot`` are (ssh, h, u) or (ssh, h, u, tracer planes)."""
+    ssh, h, u = ckpt[:3]
+    gs, gh, gu = cot[:3]
+    with_tr = len(ckpt) == 4
+    tr = ckpt[3] if with_tr else None
+    gt = cot[3] if with_tr else None
+    n_tracers = tr.shape[0] // 2 if with_tr else 0
     masked = mask is not None
+    cell_masked = cmask is not None
     kernel = functools.partial(
         _adjoint_segment_kernel, terms=terms, b=b, masked=masked,
-        nl_terms=nl_terms,
+        nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
+        cell_masked=cell_masked,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = (scal, ssh, h, u, f_edge, rts, gs, gh, gu)
@@ -795,34 +961,49 @@ def _adjoint_segment(
         operands += (mask,)
     if nl_terms is not None:
         operands += (f_vert,)
+    out_shape = [
+        jax.ShapeDtypeStruct(gs.shape, gs.dtype),
+        jax.ShapeDtypeStruct(gh.shape, gh.dtype),
+        jax.ShapeDtypeStruct(gu.shape, gu.dtype),
+    ]
+    aliases = {6: 0, 7: 1, 8: 2}
+    if with_tr:
+        if cell_masked:
+            operands += (cmask,)
+        operands += (tr, gt)
+        aliases[len(operands) - 1] = 3
+        out_shape.append(jax.ShapeDtypeStruct(gt.shape, gt.dtype))
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), scal.dtype))
     n_in = len(operands)
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     flops_step = step_flop_count(
-        ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None
+        ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None,
+        n_tracers=n_tracers,
+    )
+    cot_bytes = sum(
+        g.size * g.dtype.itemsize for g in ((gs, gh, gu) + ((gt,) if with_tr else ()))
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(gs.shape, gs.dtype),
-            jax.ShapeDtypeStruct(gh.shape, gh.dtype),
-            jax.ShapeDtypeStruct(gu.shape, gu.dtype),
-            jax.ShapeDtypeStruct((1, 1), scal.dtype),
-        ),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [vmem] * (n_in - 1),
-        out_specs=(vmem, vmem, vmem, vmem),
+        out_specs=(vmem,) * len(out_shape),
         cost_estimate=pl.CostEstimate(
             # recompute b forward steps + ~2x for the transposed stencils
             flops=3 * flops_step * b,
-            bytes_accessed=2 * (gs.size + gh.size + gu.size) * gs.dtype.itemsize,
+            bytes_accessed=2 * cot_bytes,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_ADJ_VMEM_BUDGET
         ),
-        input_output_aliases={6: 0, 7: 1, 8: 2},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
+    if with_tr:
+        gs2, gh2, gu2, gt2, ddt = out
+        return (gs2, gh2, gu2, gt2), ddt[0, 0]
     gs2, gh2, gu2, ddt = out
     return (gs2, gh2, gu2), ddt[0, 0]
 
@@ -836,7 +1017,7 @@ _ADJ_VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
-                  nonlinear: bool = False):
+                  nonlinear: bool = False, n_tracers: int = 0):
     """Pick (b, m): segments of b steps reversed in-VMEM, grouped m segments
     per outer checkpoint. b: largest divisor of n_steps whose b resident
     primal states + working set fit the VMEM budget; m: divisor of
@@ -850,7 +1031,10 @@ def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
     # the nonlinear step carries ~2x the per-step vjp residuals (KE, PV,
     # kite planes), so budget twice the per-step footprint
     per_step = 44 if nonlinear else 22
-    b_max = int((_ADJ_VMEM_BUDGET / plane - 44) // per_step)
+    # each tracer: 2 more resident planes per state + ~12 planes of vjp
+    # residuals (edge fluxes, upwind signs, the divide)
+    per_step += 14 * n_tracers
+    b_max = int((_ADJ_VMEM_BUDGET / plane - 44 - 4 * n_tracers) // per_step)
     if b_max < 1:
         return None
     b = max(d for d in range(1, min(b_max, n_steps) + 1) if n_steps % d == 0)
@@ -865,11 +1049,13 @@ def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("terms", "n_steps", "big", "interpret", "nl_terms"),
+    static_argnames=("terms", "n_steps", "big", "interpret", "nl_terms",
+                     "tropts"),
 )
 def _pallas_forward_ckpts(
-    ssh0, h0, u0, f_edge, rts, scal, mask=None, f_vert=None,
-    *, terms, n_steps, big, interpret, nl_terms=None,
+    ssh0, h0, u0, f_edge, rts, scal, mask=None, f_vert=None, tracers0=None,
+    cmask=None, *, terms, n_steps, big, interpret, nl_terms=None,
+    tropts=(0.0, 1.0),
 ):
     """Fused forward in ``big``-step segments, emitting the state at the
     start of each segment (the outer checkpoints the reverse sweep needs).
@@ -877,51 +1063,56 @@ def _pallas_forward_ckpts(
     interleaved with HBM checkpoint writes."""
     n_out = n_steps // big
     assert n_out * big == n_steps, (n_steps, big)
+    with_tr = tracers0 is not None
 
     def fwd_outer(c, _):
-        s_, h_, u_ = c
         o = _pallas_rollout(
-            s_, h_, u_, f_edge, rts, scal, mask, f_vert,
+            c[0], c[1], c[2], f_edge, rts, scal, mask, f_vert,
+            c[3] if with_tr else None, cmask,
             terms=terms, n_steps=big, interpret=interpret, nl_terms=nl_terms,
+            tropts=tropts,
         )
-        return o, c  # emit the group's START state
+        return tuple(o), c  # emit the group's START state
 
-    final, outer_ckpts = jax.lax.scan(fwd_outer, (ssh0, h0, u0), length=n_out)
+    init = (ssh0, h0, u0) + ((tracers0,) if with_tr else ())
+    final, outer_ckpts = jax.lax.scan(fwd_outer, init, length=n_out)
     return final, outer_ckpts
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("terms", "b", "m", "interpret", "nl_terms"),
+    static_argnames=("terms", "b", "m", "interpret", "nl_terms", "tropts"),
 )
 def _pallas_adjoint_from_ckpts(
-    outer_ckpts, f_edge, rts, scal, gs, gh, gu, mask=None, f_vert=None,
-    *, terms, b, m, interpret, nl_terms=None,
+    outer_ckpts, f_edge, rts, scal, cot0, mask=None, f_vert=None, cmask=None,
+    *, terms, b, m, interpret, nl_terms=None, tropts=(0.0, 1.0),
 ):
     """Reverse sweep given the outer checkpoints: per outer group (reversed),
     rebuild the m inner checkpoints with the fused forward kernel, then
     reverse-scan the fused adjoint segment kernel over them.
-    Returns ((cot_ssh, cot_h, cot_u), d_dt)."""
+    ``cot0`` is (gs, gh, gu[, gt]); returns (cot_start tuple, d_dt)."""
+    with_tr = len(cot0) == 4
 
     def rev_outer(carry, ckpt):
         cot, ddt = carry
 
         def fwd_inner(c, _):
-            s_, h_, u_ = c
             o = _pallas_rollout(
-                s_, h_, u_, f_edge, rts, scal, mask, f_vert,
+                c[0], c[1], c[2], f_edge, rts, scal, mask, f_vert,
+                c[3] if with_tr else None, cmask,
                 terms=terms, n_steps=b, interpret=interpret,
-                nl_terms=nl_terms,
+                nl_terms=nl_terms, tropts=tropts,
             )
-            return o, c
+            return tuple(o), c
 
         _, inner_ckpts = jax.lax.scan(fwd_inner, ckpt, length=m)
 
         def rev_inner(carry2, ick):
             cot2, ddt2 = carry2
             cot2, ddt_j = _adjoint_segment(
-                ick, cot2, f_edge, rts, scal, mask, f_vert,
+                ick, cot2, f_edge, rts, scal, mask, f_vert, cmask,
                 terms=terms, b=b, interpret=interpret, nl_terms=nl_terms,
+                tropts=tropts,
             )
             return (cot2, ddt2 + ddt_j), None
 
@@ -931,7 +1122,7 @@ def _pallas_adjoint_from_ckpts(
         return (cot, ddt), None
 
     (cot, ddt), _ = jax.lax.scan(
-        rev_outer, ((gs, gh, gu), jnp.zeros((), scal.dtype)),
+        rev_outer, (tuple(cot0), jnp.zeros((), scal.dtype)),
         outer_ckpts, reverse=True,
     )
     return cot, ddt
@@ -950,17 +1141,21 @@ def _adjoint_aux(mesh: StructMesh, dt, dtype):
     return f_edge, rts, _scal(mesh, dt, dtype), mask
 
 
-def _cot_from_planes(gs, gh, gu, ny2, nx, k):
+def _cot_from_planes(cot, ny2, nx, k):
+    gs, gh, gu = cot[:3]
+    tracers = _tr_unplanes(cot[3], ny2, nx, k) if len(cot) == 4 else None
     return StructState(
         ssh=gs[..., 0],
         layer_thickness=gh,
         normal_velocity=gu.reshape(3, 2, ny2, nx, k),
+        tracers=tracers,
     )
 
 
 def pallas_adjoint_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int, g: StructState,
     *, plan=None, interpret=None, nonlinear: bool = False,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
 ):
     """Fused-kernel VJP of an n-step rollout: given the rollout's input
     ``state`` and an output cotangent ``g``, returns (d_state, d_dt) — the
@@ -971,37 +1166,46 @@ def pallas_adjoint_rollout(
     ny2, nx = mesh.ny2, mesh.nx
     k = state.layer_thickness.shape[-1]
     dtype = state.layer_thickness.dtype
+    n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     if plan is None:
-        plan = _adjoint_plan(n_steps, ny2, nx, k, dtype.itemsize, nonlinear)
+        plan = _adjoint_plan(n_steps, ny2, nx, k, dtype.itemsize, nonlinear,
+                             n_tr)
     if plan is None:
         raise ValueError("state too large for the fused adjoint segments")
     b, m = plan
     f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
     nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
+    tr, cmask, tropts = _tracer_setup(
+        state, mesh, dtype, tracer_kappa, tracer_upwind
+    )
     _, ckpts = _pallas_forward_ckpts(
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
-        f_edge, rts, scal, mask, f_vert,
+        f_edge, rts, scal, mask, f_vert, tr, cmask,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
-        interpret=bool(interpret), nl_terms=nl_terms,
+        interpret=bool(interpret), nl_terms=nl_terms, tropts=tropts,
     )
-    (gs, gh, gu), ddt = _pallas_adjoint_from_ckpts(
-        ckpts, f_edge, rts, scal,
+    cot0 = (
         g.ssh[..., None].astype(dtype),
         g.layer_thickness.astype(dtype),
         g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
-        mask, f_vert,
-        terms=mesh.coriolis_terms, b=b, m=m, interpret=bool(interpret),
-        nl_terms=nl_terms,
     )
-    d_state = _cot_from_planes(gs, gh, gu, ny2, nx, k)
+    if n_tr:
+        cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
+    cot, ddt = _pallas_adjoint_from_ckpts(
+        ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask,
+        terms=mesh.coriolis_terms, b=b, m=m, interpret=bool(interpret),
+        nl_terms=nl_terms, tropts=tropts,
+    )
+    d_state = _cot_from_planes(cot, ny2, nx, k)
     return d_state, ddt.astype(jnp.asarray(dt).dtype)
 
 
 def _checkpointed_roll_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
-    nonlinear: bool = False,
+    nonlinear: bool = False, tracer_kappa: float = 0.0,
+    tracer_upwind: float = 1.0,
 ) -> StructState:
     """Roll-model rollout with two-level (sqrt) checkpointing: reverse-mode
     memory is O(sqrt(n) * state) instead of O(n * intermediates). Used as
@@ -1012,7 +1216,9 @@ def _checkpointed_roll_rollout(
     a, rem = divmod(n_steps, b)
 
     step = jax.checkpoint(
-        lambda s, _: (structured_step(s, mesh, dt, nonlinear), None)
+        lambda s, _: (structured_step(s, mesh, dt, nonlinear,
+                                      tracer_kappa=tracer_kappa,
+                                      tracer_upwind=tracer_upwind), None)
     )
 
     def chunk(s, _):
@@ -1026,10 +1232,11 @@ def _checkpointed_roll_rollout(
     return state
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def pallas_rollout_diff(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
-    nonlinear: bool = False,
+    nonlinear: bool = False, tracer_kappa: float = 0.0,
+    tracer_upwind: float = 1.0,
 ) -> StructState:
     """n-step structured rollout, FAST forward and differentiable: the
     primal runs the fused/tiled Pallas kernel (VMEM-resident loop), the VJP
@@ -1038,7 +1245,8 @@ def pallas_rollout_diff(
     (reference: test/enzyme/test_Enzyme_end2end.jl:78-92) at the fused
     path's forward speed."""
     return structured_auto_run_loop(
-        state, mesh, dt, n_steps, nonlinear=nonlinear
+        state, mesh, dt, n_steps, nonlinear=nonlinear,
+        tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
     )
 
 
@@ -1047,67 +1255,87 @@ def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
     """(b, m) when the fused adjoint applies on this backend/size, else None."""
     k = state.layer_thickness.shape[-1]
     itemsize = state.layer_thickness.dtype.itemsize
-    if jax.default_backend() != "tpu" or not fits_in_vmem(mesh, k, itemsize):
+    n_tr = 0 if state.tracers is None else state.tracers.shape[3]
+    if jax.default_backend() != "tpu" or not fits_in_vmem(
+        mesh, k, itemsize, n_tr
+    ):
         return None
-    return _adjoint_plan(n_steps, mesh.ny2, mesh.nx, k, itemsize, nonlinear)
+    return _adjoint_plan(n_steps, mesh.ny2, mesh.nx, k, itemsize, nonlinear,
+                         n_tr)
 
 
-def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False):
+def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
+                 tracer_kappa=0.0, tracer_upwind=1.0):
     plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
     if plan is None:
-        return pallas_rollout_diff(state, mesh, dt, n_steps, nonlinear), (
-            None, state, mesh, dt,
+        out = pallas_rollout_diff(
+            state, mesh, dt, n_steps, nonlinear, tracer_kappa, tracer_upwind
         )
+        return out, (None, state, mesh, dt)
     # fast path: run the forward in fused big-step segments, SAVING the
     # outer checkpoints as residuals — the reverse sweep then skips one
     # whole forward rebuild (bitwise-identical final state)
     b, m = plan
     ny2, nx = mesh.ny2, mesh.nx
     k = state.layer_thickness.shape[-1]
+    n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     dtype = state.layer_thickness.dtype
     f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
     nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
-    (ssh_f, h_f, u_f), ckpts = _pallas_forward_ckpts(
+    tr, cmask, tropts = _tracer_setup(
+        state, mesh, dtype, tracer_kappa, tracer_upwind
+    )
+    final, ckpts = _pallas_forward_ckpts(
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
-        f_edge, rts, scal, mask, f_vert,
+        f_edge, rts, scal, mask, f_vert, tr, cmask,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
-        interpret=False, nl_terms=nl_terms,
+        interpret=False, nl_terms=nl_terms, tropts=tropts,
     )
     out = StructState(
-        ssh=ssh_f[..., 0],
-        layer_thickness=h_f,
-        normal_velocity=u_f.reshape(3, 2, ny2, nx, k),
+        ssh=final[0][..., 0],
+        layer_thickness=final[1],
+        normal_velocity=final[2].reshape(3, 2, ny2, nx, k),
+        tracers=_tr_unplanes(final[3], ny2, nx, k) if n_tr else None,
     )
     return out, (ckpts, state, mesh, dt)
 
 
-def _rollout_bwd(n_steps, nonlinear, res, g):
+def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
     ckpts, state, mesh, dt = res
     if ckpts is not None:
         plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
         b, m = plan
         ny2, nx = mesh.ny2, mesh.nx
         k = state.layer_thickness.shape[-1]
+        n_tr = 0 if state.tracers is None else state.tracers.shape[3]
         dtype = state.layer_thickness.dtype
         f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
         nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
-        (gs, gh, gu), ddt = _pallas_adjoint_from_ckpts(
-            ckpts, f_edge, rts, scal,
+        _, cmask, tropts = _tracer_setup(
+            state, mesh, dtype, tracer_kappa, tracer_upwind
+        )
+        cot0 = (
             g.ssh[..., None].astype(dtype),
             g.layer_thickness.astype(dtype),
             g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
-            mask, f_vert,
-            terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
-            nl_terms=nl_terms,
         )
-        d_state = _cot_from_planes(gs, gh, gu, ny2, nx, k)
+        if n_tr:
+            cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
+        cot, ddt = _pallas_adjoint_from_ckpts(
+            ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask,
+            terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
+            nl_terms=nl_terms, tropts=tropts,
+        )
+        d_state = _cot_from_planes(cot, ny2, nx, k)
         d_dt = ddt.astype(jnp.asarray(dt).dtype)
         return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt
     # fallback (CPU / beyond-VMEM meshes): sqrt-checkpointed roll reverse
     _, vjp = jax.vjp(
-        lambda s, t: _checkpointed_roll_rollout(s, mesh, t, n_steps, nonlinear),
+        lambda s, t: _checkpointed_roll_rollout(
+            s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind
+        ),
         state, dt,
     )
     d_state, d_dt = vjp(g)
@@ -1117,20 +1345,29 @@ def _rollout_bwd(n_steps, nonlinear, res, g):
 pallas_rollout_diff.defvjp(_rollout_fwd, _rollout_bwd)
 
 
-@jax.custom_vjp
-def pallas_step(state: StructState, mesh: StructMesh, dt) -> StructState:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_step(state: StructState, mesh: StructMesh, dt,
+                tracer_kappa: float = 0.0,
+                tracer_upwind: float = 1.0) -> StructState:
     """One fused-kernel step, differentiable: Pallas forward, roll-model
     backward (equal math, so the VJP is exact)."""
-    return pallas_run_loop(state, mesh, dt, 1)
+    return pallas_run_loop(state, mesh, dt, 1, tracer_kappa=tracer_kappa,
+                           tracer_upwind=tracer_upwind)
 
 
-def _step_fwd(state, mesh, dt):
-    return pallas_step(state, mesh, dt), (state, mesh, dt)
+def _step_fwd(state, mesh, dt, tracer_kappa=0.0, tracer_upwind=1.0):
+    return pallas_step(state, mesh, dt, tracer_kappa, tracer_upwind), (
+        state, mesh, dt,
+    )
 
 
-def _step_bwd(res, g):
+def _step_bwd(tracer_kappa, tracer_upwind, res, g):
     state, mesh, dt = res
-    _, vjp = jax.vjp(lambda s, t: structured_step(s, mesh, t), state, dt)
+    _, vjp = jax.vjp(
+        lambda s, t: structured_step(s, mesh, t, tracer_kappa=tracer_kappa,
+                                     tracer_upwind=tracer_upwind),
+        state, dt,
+    )
     d_state, d_dt = vjp(g)
     d_mesh = jax.tree.map(jnp.zeros_like, mesh)
     return d_state, d_mesh, d_dt

@@ -279,6 +279,109 @@ def test_tracer_gradient_vs_fd(tracer_setup):
         np.testing.assert_allclose(float(g[i, 0, 1]), fd, rtol=1e-6, atol=1e-10)
 
 
+def test_pallas_fused_parity(tracer_setup):
+    """The fused Pallas rollout advects tracers as extra VMEM parity planes
+    (interpret mode on CPU); matches the gather path at roundoff, linear
+    and nonlinear."""
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import pallas_run_loop
+
+    mesh, prog = tracer_setup
+    sm = StructuredModel(mesh, 16, 16)
+    st = sm.to_struct(prog)
+    for nl in (False, True):
+        a = ocn_run_loop(prog, mesh, DT, 8, nonlinear=nl, tracer_kappa=5.0,
+                         tracer_upwind=0.7)
+        out = pallas_run_loop(st, sm.struct_mesh, DT, 8, interpret=True,
+                              nonlinear=nl, tracer_kappa=5.0,
+                              tracer_upwind=0.7)
+        b = sm.from_struct(out)
+        np.testing.assert_allclose(
+            np.asarray(a.tracers), np.asarray(b.tracers), atol=2e-10
+        )
+
+
+def test_pallas_fused_channel_parity(channel_setup, hex16):
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import pallas_run_loop
+
+    mesh, keep, prog = channel_setup
+    sm = StructuredModel(mesh, 16, 16, parent_horz=hex16, keep_cells=keep)
+    a = ocn_run_loop(prog, mesh, DT, 8, tracer_kappa=5.0)
+    out = pallas_run_loop(sm.to_struct(prog), sm.struct_mesh, DT, 8,
+                          interpret=True, tracer_kappa=5.0)
+    b = sm.from_struct(out)
+    np.testing.assert_allclose(
+        np.asarray(a.tracers), np.asarray(b.tracers), atol=2e-10
+    )
+
+
+def test_pallas_adjoint_segments_with_tracers(tracer_setup):
+    """The fused adjoint-segment kernels reverse the tracer planes too
+    (in-kernel jax.vjp of the extended step); matches the roll-model VJP."""
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _checkpointed_roll_rollout,
+        pallas_adjoint_rollout,
+    )
+
+    mesh, prog = tracer_setup
+    sm = StructuredModel(mesh, 16, 16)
+    st = sm.to_struct(prog)
+    n = 6
+
+    def roll_obj(s):
+        out = _checkpointed_roll_rollout(
+            s, sm.struct_mesh, DT, n, tracer_kappa=5.0, tracer_upwind=1.0
+        )
+        return jnp.sum(out.tracers ** 2) + jnp.sum(out.ssh ** 2)
+
+    g_ref = jax.grad(roll_obj)(st)
+    out = _checkpointed_roll_rollout(
+        st, sm.struct_mesh, DT, n, tracer_kappa=5.0, tracer_upwind=1.0
+    )
+    g_out = out.replace(
+        ssh=2 * out.ssh,
+        layer_thickness=jnp.zeros_like(out.layer_thickness),
+        normal_velocity=jnp.zeros_like(out.normal_velocity),
+        tracers=2 * out.tracers,
+    )
+    d_state, _ = pallas_adjoint_rollout(
+        st, sm.struct_mesh, DT, n, g_out, plan=(2, 3), interpret=True,
+        tracer_kappa=5.0, tracer_upwind=1.0,
+    )
+    for name in ("ssh", "layer_thickness", "normal_velocity", "tracers"):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(d_state, name))
+        np.testing.assert_allclose(b, a, atol=1e-10 * max(1.0, np.abs(a).max()))
+
+
+def test_pallas_step_grad_with_tracers(tracer_setup):
+    from mpas_ocean_tpu.structured.model import StructuredModel, structured_step
+    from mpas_ocean_tpu.structured.pallas_model import pallas_step
+
+    mesh, prog = tracer_setup
+    sm = StructuredModel(mesh, 16, 16)
+    st = sm.to_struct(prog)
+
+    def f_pallas(s):
+        out = pallas_step(s, sm.struct_mesh, DT, 5.0, 1.0)
+        return jnp.sum(out.tracers ** 2)
+
+    def f_roll(s):
+        out = structured_step(s, sm.struct_mesh, DT, tracer_kappa=5.0,
+                              tracer_upwind=1.0)
+        return jnp.sum(out.tracers ** 2)
+
+    ga = jax.grad(f_pallas)(st)
+    gb = jax.grad(f_roll)(st)
+    for name in ("ssh", "layer_thickness", "normal_velocity", "tracers"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ga, name)), np.asarray(getattr(gb, name)),
+            atol=1e-11,
+        )
+
+
 def test_driver_tracer_config(tmp_path):
     """Config-driven tracers end to end: namelist `tracer_transport` section
     -> initial T/S read from the input stream -> advected in the rollout ->
