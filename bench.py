@@ -144,6 +144,32 @@ def measure_pallas(device, sm, prog, dt, steps, reps,
     return _time_fn(run, reps)
 
 
+def measure_pallas_tracers(device, mesh, sm, prog, dt, steps, reps) -> float:
+    """Fused rollout carrying two active tracers (temperature/salinity) as
+    extra VMEM parity planes — the subsystem the reference stubs out
+    (reference: src/ocn/PrognosticVars.jl:20-26). Donor-cell upwinding."""
+    from mpas_ocean_tpu.models.tracers import make_tracers
+    from mpas_ocean_tpu.structured.pallas_model import pallas_run_loop
+
+    x = np.asarray(mesh.horz.cells.x)
+    tr = make_tracers(
+        mesh,
+        [10.0 + 2.0 * np.sin(2 * np.pi * x / (x.max() + 1)),
+         np.full(mesh.n_cells, 35.0)],
+        dtype=prog.layer_thickness.dtype,
+    )
+    st = jax.device_put(sm.to_struct(prog.replace(tracers=tr)), device)
+    smesh = jax.device_put(sm.struct_mesh, device)
+
+    def run():
+        out = pallas_run_loop(
+            st, smesh, dt, steps, interpret=False, tracer_upwind=1.0
+        )
+        return float(out.ssh.sum()) + float(out.tracers[..., 0, :1].sum())
+
+    return _time_fn(run, reps)
+
+
 def build_kelvin(dtype=np.float32):
     """The reference's literal perf configuration: coastal Kelvin wave
     channel, 64x64, 100 levels (reference: README.MD:45-50). Returns the
@@ -405,8 +431,11 @@ def main():
         adj_spstep = t_adj / adj_steps
         t_nl = measure_pallas(accel, sm, prog, dt, STEPS, 1, nonlinear=True)
         nl_gps = n_gridpoints * STEPS / t_nl
+        t_tr = measure_pallas_tracers(accel, mesh, sm, prog, dt, STEPS, 1)
+        tr_gps = n_gridpoints * STEPS / t_tr
     else:
         large_gps = large_spstep = adj_spstep = nl_gps = float("nan")
+        tr_gps = float("nan")
 
     # static halo-overlap profile of an 8-part decomposition of this mesh
     # (single real chip here; the sharded tests execute the same code on 8
@@ -462,6 +491,7 @@ def main():
                     "large_mesh_config": "256x256 hex, 100 levels (HBM-streaming tiled path)",
                     "adjoint_rollout_seconds_per_step": adj_spstep,
                     "nonlinear_fused_gridpoints_per_sec": nl_gps,
+                    "tracer2_fused_gridpoints_per_sec": tr_gps,
                     "roofline": {
                         "vpu_peak_tflops_measured": vpu_peak / 1e12,
                         "hbm_peak_gbps_measured": hbm_peak / 1e9,

@@ -297,16 +297,103 @@ def structured_step(
                        tracers=tracers)
 
 
+def structured_rk4_step(
+    state: StructState, mesh: StructMesh, dt, nonlinear: bool = False,
+    forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+) -> StructState:
+    """Classical RK4 on the lattice (mirrors
+    forward/time_integration.rk4_step stage for stage: ssh and tracer
+    concentration rederived at every stage, tracers advanced in content
+    form)."""
+    with_tracers = state.tracers is not None
+
+    # tendencies computed directly (same pieces as structured_step)
+    def tend(s: StructState):
+        h_edge = interp_cell_to_edge(s.layer_thickness, mesh)
+        flux = s.normal_velocity * h_edge
+        tend_h = -div_on_cell(flux, mesh)
+        grad_ssh = grad_on_edge(s.ssh, mesh)
+        tend_u = -GRAVITY * grad_ssh[..., None]
+        if nonlinear:
+            ke = kinetic_energy_cell(s.normal_velocity, mesh)
+            tend_u = tend_u - grad_on_edge(ke, mesh)
+            zeta = curl_on_vertex(s.normal_velocity, mesh)
+            h_v = cell_to_vertex_kite(s.layer_thickness, mesh)
+            q_v = (mesh.f_vertex[..., None] + zeta) / h_v
+            q_e = vertex_to_edge_mean(q_v, mesh)
+            half = jnp.asarray(0.5, q_e.dtype)
+            tend_u = tend_u + half * (
+                q_e * tangential_weights_only(flux, mesh)
+                + tangential_weights_only(flux * q_e, mesh)
+            )
+        else:
+            tend_u = tend_u + tangential_times_f(s.normal_velocity, mesh)
+        if forcing is not None:
+            from ..models.forcing import forcing_tendency
+
+            tend_u = tend_u + forcing_tendency(s.normal_velocity, h_edge, forcing)
+        if mesh.edge_mask is not None:
+            tend_u = tend_u * mesh.edge_mask[..., None]
+        tend_t = None
+        if with_tracers:
+            tend_t = tracer_tendency_struct(
+                s.tracers, flux, mesh, tracer_kappa, tracer_upwind, h_edge
+            )
+        return tend_u, tend_h, tend_t
+
+    if nonlinear and mesh.edge_mask is not None:
+        raise NotImplementedError(
+            "nonlinear structured dynamics require a fully periodic lattice"
+        )
+    u0, h0 = state.normal_velocity, state.layer_thickness
+    ht0 = h0[..., None, :] * state.tracers if with_tracers else None
+
+    def stage(du, dh, dht, a):
+        h = h0 + a * dh
+        tracers = None
+        if with_tracers:
+            tracers = _tracer_concentration_struct(
+                ht0 + a * dht, h, mesh.cell_mask
+            )
+        u = u0 + a * du
+        if mesh.edge_mask is not None:
+            u = u * mesh.edge_mask[..., None]
+        return StructState(
+            ssh=h.sum(-1) - mesh.resting_thickness_sum,
+            layer_thickness=h, normal_velocity=u, tracers=tracers,
+        )
+
+    k1u, k1h, k1t = tend(state)
+    k2u, k2h, k2t = tend(stage(k1u, k1h, k1t, dt / 2.0))
+    k3u, k3h, k3t = tend(stage(k2u, k2h, k2t, dt / 2.0))
+    k4u, k4h, k4t = tend(stage(k3u, k3h, k3t, dt))
+    u = u0 + (dt / 6.0) * (k1u + 2.0 * k2u + 2.0 * k3u + k4u)
+    h = h0 + (dt / 6.0) * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
+    if mesh.edge_mask is not None:
+        u = u * mesh.edge_mask[..., None]
+    tracers = None
+    if with_tracers:
+        ht = ht0 + (dt / 6.0) * (k1t + 2.0 * k2t + 2.0 * k3t + k4t)
+        tracers = _tracer_concentration_struct(ht, h, mesh.cell_mask)
+    return StructState(
+        ssh=h.sum(-1) - mesh.resting_thickness_sum,
+        layer_thickness=h, normal_velocity=u, tracers=tracers,
+    )
+
+
 @partial(jax.jit, static_argnames=("n_steps", "nonlinear", "tracer_kappa",
-                                   "tracer_upwind"))
+                                   "tracer_upwind", "rk4"))
 def structured_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, forcing=None,
     tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    rk4: bool = False,
 ):
+    step = structured_rk4_step if rk4 else structured_step
+
     def body(s, _):
-        return structured_step(s, mesh, dt, nonlinear, forcing,
-                               tracer_kappa, tracer_upwind), None
+        return step(s, mesh, dt, nonlinear, forcing,
+                    tracer_kappa, tracer_upwind), None
 
     out, _ = jax.lax.scan(body, state, length=n_steps)
     return out
@@ -498,8 +585,8 @@ class StructuredModel:
     def run(self, state: StructState, dt, n_steps: int,
             nonlinear: bool = False, forcing=None,
             tracer_kappa: float = 0.0,
-            tracer_upwind: float = 1.0) -> StructState:
+            tracer_upwind: float = 1.0, rk4: bool = False) -> StructState:
         return structured_run_loop(
             state, self.struct_mesh, dt, n_steps, nonlinear, forcing,
-            tracer_kappa, tracer_upwind,
+            tracer_kappa, tracer_upwind, rk4,
         )

@@ -107,3 +107,38 @@ def test_rejects_non_hex_order():
     mesh = Mesh(horz=horz, vert=vert).to_device()
     with pytest.raises(ValueError):
         StructuredModel(mesh, 4, 16)  # wrong lattice dims
+
+
+def test_rk4_rollout_equivalence(setup):
+    """Roll-path RK4 (structured_rk4_step) matches the gather-path RK4
+    stage for stage."""
+    from mpas_ocean_tpu.forward.time_integration import RungeKutta4
+
+    mesh, sm, prog = setup
+    ref = ocn_run_loop(prog, mesh, 5.0, 10, method=RungeKutta4)
+    out = sm.from_struct(sm.run(sm.to_struct(prog), 5.0, 10, rk4=True))
+    np.testing.assert_allclose(
+        np.asarray(ref.normal_velocity),
+        np.asarray(out.normal_velocity),
+        atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.layer_thickness),
+        np.asarray(out.layer_thickness),
+        atol=1e-13,
+    )
+
+
+def test_rk4_nonlinear_rollout_equivalence(setup):
+    from mpas_ocean_tpu.forward.time_integration import RungeKutta4
+
+    mesh, sm, prog = setup
+    ref = ocn_run_loop(prog, mesh, 5.0, 8, method=RungeKutta4, nonlinear=True)
+    out = sm.from_struct(
+        sm.run(sm.to_struct(prog), 5.0, 8, nonlinear=True, rk4=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.normal_velocity),
+        np.asarray(out.normal_velocity),
+        atol=1e-14,
+    )
