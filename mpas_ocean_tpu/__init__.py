@@ -68,6 +68,12 @@ from .models.shallow_water import (
 )
 from .models.matrix_model import MatrixModel, matrix_run_loop, matrix_step
 from .models.tracers import make_tracers, total_tracer_content, tracer_tendency
+from .models.stratification import (
+    Stratification,
+    baroclinic_wave_speeds,
+    make_stratification,
+    montgomery_potential,
+)
 from .models.forcing import Forcing, forcing_tendency, make_forcing
 from .forward.time_integration import ForwardEuler, RungeKutta4, ocn_timestep
 from .forward.run_loop import ocn_run_loop, ocn_run_loop_objective
@@ -106,6 +112,10 @@ __all__ = [
     "pv_flux_tendency",
     "MatrixModel",
     "make_tracers",
+    "Stratification",
+    "baroclinic_wave_speeds",
+    "make_stratification",
+    "montgomery_potential",
     "total_tracer_content",
     "tracer_tendency",
     "matrix_run_loop",

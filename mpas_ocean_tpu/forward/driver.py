@@ -82,6 +82,7 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
                 nonlinear=setup.nonlinear, forcing=setup.forcing,
                 tracer_kappa=setup.tracer_kappa,
                 tracer_upwind=setup.tracer_upwind,
+                strat=setup.strat,
             )
         else:
             prog, series = ocn_run_loop_with_monitor(
@@ -89,6 +90,7 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
                 nonlinear=setup.nonlinear, forcing=setup.forcing,
                 tracer_kappa=setup.tracer_kappa,
                 tracer_upwind=setup.tracer_upwind,
+                strat=setup.strat,
             )
         jax.block_until_ready(prog)
         write_jsonl(monitor, series, dt, every)
@@ -102,6 +104,7 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
             nonlinear=setup.nonlinear, forcing=setup.forcing,
             tracer_kappa=setup.tracer_kappa,
             tracer_upwind=setup.tracer_upwind,
+            strat=setup.strat,
         )
     else:
         prog = ocn_run_loop(
@@ -109,6 +112,7 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
             nonlinear=setup.nonlinear, forcing=setup.forcing,
             tracer_kappa=setup.tracer_kappa,
             tracer_upwind=setup.tracer_upwind,
+            strat=setup.strat,
         )
     jax.block_until_ready(prog)
     elapsed = _time.perf_counter() - t0
@@ -171,6 +175,7 @@ def ocn_run_with_ad(config_fp, dtype=np.float64, use_config_dt: bool = False):
             nonlinear=setup.nonlinear, forcing=setup.forcing,
             tracer_kappa=setup.tracer_kappa,
             tracer_upwind=setup.tracer_upwind,
+            strat=setup.strat,
         )
         return jnp.sum(final.ssh * final.ssh), final
 

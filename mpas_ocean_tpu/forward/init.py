@@ -51,6 +51,10 @@ class ModelSetup:
     tracer_names: tuple = ()
     tracer_kappa: float = 0.0
     tracer_upwind: float = 1.0
+    # layered baroclinic stratification (models/stratification.py) from the
+    # optional namelist section `stratification` — BEYOND the reference,
+    # whose K levels never interact (pressure_gradient.jl:45-65)
+    strat: object = None
 
 
 def ocn_setup_mesh(config: GlobalConfig, dtype=np.float64) -> Mesh:
@@ -119,8 +123,9 @@ def ocn_init(config_fp, dtype=np.float64):
     )
     forcing = _forcing_from_config(config, mesh, dtype)
     tracer_names, tracer_kappa, tracer_upwind = _tracer_opts_from_config(config)
+    strat = _strat_from_config(config, mesh, dtype)
     setup = ModelSetup(config, mesh, clock, integrator, nonlinear, forcing,
-                       tracer_names, tracer_kappa, tracer_upwind)
+                       tracer_names, tracer_kappa, tracer_upwind, strat)
 
     tm_cfg = ConfigGet(config.namelist, "time_management")
     if ConfigGet(tm_cfg, "config_do_restart"):
@@ -151,6 +156,31 @@ def ocn_init(config_fp, dtype=np.float64):
         tracers=tracers,
     )
     return setup, prog
+
+
+def _strat_from_config(config: GlobalConfig, mesh: Mesh, dtype):
+    """Optional namelist section `stratification` ->
+    models.stratification.Stratification (or None when absent). Keys:
+    config_layer_densities (list of K densities, top first, kg/m^3),
+    config_density0 (reference density, default 1026)."""
+    if "stratification" not in config.namelist:
+        return None
+    from ..models.forcing import RHO0
+    from ..models.stratification import make_stratification
+
+    s_cfg = ConfigGet(config.namelist, "stratification")
+    rho = ConfigGet(s_cfg, "config_layer_densities")
+    rho = [float(r) for r in (rho if isinstance(rho, list) else [rho])]
+    if len(rho) != mesh.n_vert_levels:
+        raise ValueError(
+            f"config_layer_densities has {len(rho)} entries but the mesh "
+            f"carries {mesh.n_vert_levels} levels"
+        )
+    rho0 = (
+        float(ConfigGet(s_cfg, "config_density0"))
+        if "config_density0" in s_cfg else RHO0
+    )
+    return make_stratification(rho, rho0=rho0, dtype=dtype)
 
 
 def _tracer_opts_from_config(config: GlobalConfig):

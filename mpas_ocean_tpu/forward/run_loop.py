@@ -38,12 +38,13 @@ def ocn_run_loop(
     forcing=None,
     tracer_kappa: float = 0.0,
     tracer_upwind: float = 1.0,
+    strat=None,
 ) -> PrognosticVars:
     """Advance ``n_steps`` timesteps under one jit/scan."""
 
     def body(p, _):
         return ocn_timestep(p, mesh, dt, method, del2_coeff, nonlinear,
-                            forcing, tracer_kappa, tracer_upwind), None
+                            forcing, tracer_kappa, tracer_upwind, strat), None
 
     if checkpoint:
         body = jax.checkpoint(body)
@@ -55,13 +56,14 @@ def ocn_run_loop(
 def ocn_run_loop_objective(
     prog: PrognosticVars, mesh, dt, n_steps: int, method=ForwardEuler,
     nonlinear: bool = False, forcing=None,
-    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
 ) -> jnp.ndarray:
     """Rollout followed by the reference's test objective sum(ssh^2)
     (reference: run_loop.jl:26-45). Differentiable end to end."""
     final = ocn_run_loop(
         prog, mesh, dt, n_steps, method, checkpoint=True, nonlinear=nonlinear,
         forcing=forcing, tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+        strat=strat,
     )
     return jnp.sum(final.ssh * final.ssh)
 
@@ -78,6 +80,7 @@ def ocn_run_loop_with_outputs(
     forcing=None,
     tracer_kappa: float = 0.0,
     tracer_upwind: float = 1.0,
+    strat=None,
 ):
     """Rollout that also returns the state every n_steps/n_outputs steps
     (the in-loop periodic output the reference's output alarm only stubs,
@@ -90,6 +93,7 @@ def ocn_run_loop_with_outputs(
             return ocn_timestep(
                 q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing,
                 tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+                strat=strat,
             ), None
 
         p, _ = jax.lax.scan(body, p, length=chunk)
@@ -112,6 +116,7 @@ def ocn_run_loop_with_monitor(
     forcing=None,
     tracer_kappa: float = 0.0,
     tracer_upwind: float = 1.0,
+    strat=None,
 ):
     """Rollout that also samples physics health metrics every ``every``
     steps, ON DEVICE inside the scan (total volume, total kinetic energy,
@@ -139,6 +144,7 @@ def ocn_run_loop_with_monitor(
             return ocn_timestep(
                 q, mesh, dt, method, nonlinear=nonlinear, forcing=forcing,
                 tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+                strat=strat,
             ), None
 
         p, _ = jax.lax.scan(body, p, length=every)

@@ -61,17 +61,19 @@ def _apply(prog: PrognosticVars, tend, dt, mesh) -> PrognosticVars:
 def forward_euler_step(
     prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False,
     forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    strat=None,
 ) -> PrognosticVars:
     """One forward-Euler step (reference: time_integration.jl:150-193)."""
     diag = compute_diagnostics(prog, mesh)
     tend = compute_tendencies(prog, diag, mesh, del2_coeff, nonlinear, forcing,
-                              tracer_kappa, tracer_upwind)
+                              tracer_kappa, tracer_upwind, strat)
     return _apply(prog, tend, dt, mesh)
 
 
 def rk4_step(
     prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False,
     forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    strat=None,
 ) -> PrognosticVars:
     """Classical RK4 on the (normal_velocity, layer_thickness[, h*tracer])
     state, with ssh (and tracer concentration) rederived at every stage
@@ -82,7 +84,7 @@ def rk4_step(
     def rates(p: PrognosticVars):
         diag = compute_diagnostics(p, mesh)
         t = compute_tendencies(p, diag, mesh, del2_coeff, nonlinear, forcing,
-                               tracer_kappa, tracer_upwind)
+                               tracer_kappa, tracer_upwind, strat)
         return t.tend_normal_velocity, t.tend_layer_thickness, t.tend_tracer
 
     u0, h0 = prog.normal_velocity, prog.layer_thickness
@@ -121,7 +123,7 @@ _STEPPERS = {ForwardEuler: forward_euler_step, RungeKutta4: rk4_step}
 def ocn_timestep(
     prog: PrognosticVars, mesh, dt, method=ForwardEuler, del2_coeff=0.0,
     nonlinear: bool = False, forcing=None,
-    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
 ) -> PrognosticVars:
     """Advance one step with the selected stepper (reference dispatches the
     same way on a stepper tag type, time_integration.jl:2-5)."""
@@ -130,4 +132,4 @@ def ocn_timestep(
     except (KeyError, TypeError):
         raise ValueError(f"unknown time stepper {method!r}") from None
     return step(prog, mesh, dt, del2_coeff, nonlinear, forcing,
-                tracer_kappa, tracer_upwind)
+                tracer_kappa, tracer_upwind, strat)

@@ -6,6 +6,12 @@ from .shallow_water import (
     compute_layer_thickness_tendency,
     compute_normal_velocity_tendency,
 )
+from .stratification import (
+    Stratification,
+    baroclinic_wave_speeds,
+    make_stratification,
+    montgomery_potential,
+)
 from .tracers import (
     apply_tracer_update,
     make_tracers,
@@ -21,6 +27,10 @@ __all__ = [
     "compute_diagnostics",
     "compute_layer_thickness_tendency",
     "compute_normal_velocity_tendency",
+    "Stratification",
+    "baroclinic_wave_speeds",
+    "make_stratification",
+    "montgomery_potential",
     "apply_tracer_update",
     "make_tracers",
     "total_tracer_content",

@@ -154,7 +154,8 @@ def _tracer_concentration(content, h, cell_level_mask):
 
 def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,
                        nonlinear: bool = False, forcing=None,
-                       tracer_kappa: float = 0.0, tracer_upwind: float = 1.0):
+                       tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+                       strat=None):
     h, u = prog.layer_thickness, prog.normal_velocity
     h_edge = bsr_matvec(mm.c2e, h)
     flux = u * h_edge
@@ -164,8 +165,16 @@ def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,
         tend_t = _matrix_tracer_tendency(
             prog.tracers, flux, h_edge, mm, tracer_kappa, tracer_upwind
         )
-    grad_ssh = bsr_matvec(mm.grad, prog.ssh)  # (nEdges,)
-    tend_u = -GRAVITY * grad_ssh[:, None]
+    if strat is None:
+        grad_ssh = bsr_matvec(mm.grad, prog.ssh)  # (nEdges,)
+        tend_u = -GRAVITY * grad_ssh[:, None]
+    else:
+        # layered baroclinic pressure: Montgomery potential per layer
+        # (models/stratification.py) through the same grad matrix
+        from .stratification import montgomery_potential
+
+        phi = montgomery_potential(prog.ssh, h, strat)
+        tend_u = -bsr_matvec(mm.grad, phi)
     if nonlinear:
         if mm.tang is None:
             raise ValueError(
@@ -207,10 +216,10 @@ def _ssh_of(h, mm):
 def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt,
                 nonlinear: bool = False, forcing=None,
                 tracer_kappa: float = 0.0,
-                tracer_upwind: float = 1.0) -> PrognosticVars:
+                tracer_upwind: float = 1.0, strat=None) -> PrognosticVars:
     """One forward-Euler step, all stencils as MXU matmuls."""
     tend_u, tend_h, tend_t = _matrix_tendencies(
-        prog, mm, nonlinear, forcing, tracer_kappa, tracer_upwind
+        prog, mm, nonlinear, forcing, tracer_kappa, tracer_upwind, strat
     )
     h_new = prog.layer_thickness + dt * tend_h
     u_new = prog.normal_velocity + dt * tend_u
@@ -227,7 +236,7 @@ def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt,
 def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
                     nonlinear: bool = False, forcing=None,
                     tracer_kappa: float = 0.0,
-                    tracer_upwind: float = 1.0) -> PrognosticVars:
+                    tracer_upwind: float = 1.0, strat=None) -> PrognosticVars:
     """Classical RK4 on the MXU path (mirrors
     forward/time_integration.rk4_step, ssh rederived at every stage)."""
     u0, h0 = prog.normal_velocity, prog.layer_thickness
@@ -236,7 +245,7 @@ def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
 
     def rates(p):
         return _matrix_tendencies(
-            p, mm, nonlinear, forcing, tracer_kappa, tracer_upwind
+            p, mm, nonlinear, forcing, tracer_kappa, tracer_upwind, strat
         )
 
     def stage(du, dh, dht, a):
@@ -268,13 +277,13 @@ def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
 def matrix_run_loop(
     prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int, rk4: bool = False,
     nonlinear: bool = False, forcing=None,
-    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
 ) -> PrognosticVars:
     step = matrix_rk4_step if rk4 else matrix_step
 
     def body(p, _):
         return step(p, mm, dt, nonlinear, forcing,
-                    tracer_kappa, tracer_upwind), None
+                    tracer_kappa, tracer_upwind, strat), None
 
     out, _ = jax.lax.scan(body, prog, length=n_steps)
     return out

@@ -175,7 +175,7 @@ def del2_tendency(normal_velocity: jnp.ndarray, mesh, coeff) -> jnp.ndarray:
 
 def compute_normal_velocity_tendency(
     prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
-    nonlinear: bool = False, forcing=None,
+    nonlinear: bool = False, forcing=None, strat=None,
 ) -> jnp.ndarray:
     """du/dt = -g * grad(ssh) + Coriolis/advection [+ del2 mixing]
     [+ wind / bottom-drag / Rayleigh forcing].
@@ -195,9 +195,18 @@ def compute_normal_velocity_tendency(
     energy-conserving scheme (Ringler et al. 2010) MPAS-Ocean itself uses.
     """
     edges = mesh.edges
-    # pressure gradient: tend -= g * (ssh[c2]-ssh[c1])/dc, all active levels
-    grad_ssh = gradient_on_edge(prog.ssh, mesh)  # (nEdges,)
-    tend = -GRAVITY * grad_ssh[:, None] * mesh.vert.edge_level_mask
+    if strat is None:
+        # pressure gradient: tend -= g * (ssh[c2]-ssh[c1])/dc, all levels
+        grad_ssh = gradient_on_edge(prog.ssh, mesh)  # (nEdges,)
+        tend = -GRAVITY * grad_ssh[:, None] * mesh.vert.edge_level_mask
+    else:
+        # layered baroclinic pressure: per-layer Montgomery potential
+        # (models/stratification.py) — a K x K lane matmul feeding the same
+        # edge gradient; equal densities reduce to the branch above
+        from .stratification import montgomery_potential
+
+        phi = montgomery_potential(prog.ssh, prog.layer_thickness, strat)
+        tend = -gradient_on_edge(phi, mesh) * mesh.vert.edge_level_mask
 
     if nonlinear:
         # kinetic-energy gradient: tend -= grad(K), K per cell and level
@@ -256,7 +265,7 @@ def compute_layer_thickness_tendency(
 def compute_tendencies(
     prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
     nonlinear: bool = False, forcing=None,
-    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
 ) -> TendencyVars:
     tend_tracer = None
     if prog.tracers is not None:
@@ -269,7 +278,7 @@ def compute_tendencies(
         )
     return TendencyVars(
         tend_normal_velocity=compute_normal_velocity_tendency(
-            prog, diag, mesh, del2_coeff, nonlinear, forcing
+            prog, diag, mesh, del2_coeff, nonlinear, forcing, strat
         ),
         tend_layer_thickness=compute_layer_thickness_tendency(prog, diag, mesh),
         tend_tracer=tend_tracer,

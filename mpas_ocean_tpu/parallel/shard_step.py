@@ -129,7 +129,7 @@ def _halo_exchange_fields(cell_fields, edge_fields, ex: ExchangeSpec, axis):
 
 def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields,
                             forcing=None, tracer_kappa: float = 0.0,
-                            tracer_upwind: float = 1.0):
+                            tracer_upwind: float = 1.0, strat=None):
     """Vector-invariant tendencies on a 1-ring-halo local mesh.
 
     The PV flux at an owned edge taps derived values (thickness flux, edge
@@ -150,7 +150,13 @@ def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields,
     (ke,), (flux, q_e) = refresh_fields((ke,), (flux, q_e))
 
     elm = lmesh.vert.edge_level_mask
-    tend_u = -GRAVITY * gradient_on_edge(p.ssh, lmesh)[:, None] * elm
+    if strat is None:
+        tend_u = -GRAVITY * gradient_on_edge(p.ssh, lmesh)[:, None] * elm
+    else:
+        from ..models.stratification import montgomery_potential
+
+        phi = montgomery_potential(p.ssh, p.layer_thickness, strat)
+        tend_u = -gradient_on_edge(phi, lmesh) * elm
     tend_u = tend_u - gradient_on_edge(ke, lmesh) * elm
     tend_u = tend_u + pv_flux_tendency(q_e, flux, lmesh) * elm
     if forcing is not None:
@@ -177,7 +183,7 @@ def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields,
 
 def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
                      rates=None, forcing=None, tracer_kappa: float = 0.0,
-                     tracer_upwind: float = 1.0) -> PrognosticVars:
+                     tracer_upwind: float = 1.0, strat=None) -> PrognosticVars:
     """One RK4 step inside shard_map, with a halo refresh before every
     stage-rate evaluation: each of the four stages widens the stencil by one
     ring, so per-stage exchange is required for the 1-ring halo the
@@ -197,7 +203,7 @@ def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
             diag = compute_diagnostics(p, lmesh)
             t = compute_tendencies(p, diag, lmesh, forcing=forcing,
                                    tracer_kappa=tracer_kappa,
-                                   tracer_upwind=tracer_upwind)
+                                   tracer_upwind=tracer_upwind, strat=strat)
             return t.tend_normal_velocity, t.tend_layer_thickness, t.tend_tracer
 
     u0, h0 = prog.normal_velocity, prog.layer_thickness
@@ -426,6 +432,21 @@ class ShardedModel:
     def _ex_arg(self):
         return self.rounds if self.exchange == "ppermute" else self.ex
 
+    def scatter_strat(self, strat):
+        """Replicate the (tiny) stratification matrices as (P, ...) stacks
+        so the shard_map squeeze recovers them per device."""
+        if strat is None:
+            return None
+        from ..models.stratification import Stratification
+
+        rep = lambda a: jnp.asarray(
+            np.broadcast_to(np.asarray(a), (self.n_parts,) + np.shape(a))
+        )
+        return self._put_tree(Stratification(
+            phi_weights=rep(strat.phi_weights),
+            densities=rep(strat.densities),
+        ))
+
     def scatter_forcing(self, forcing):
         """Global models.forcing.Forcing -> per-part local layout (edge
         fields gathered by edge_gids, scalars replicated as a (P,) stack so
@@ -455,7 +476,8 @@ class ShardedModel:
     # -- compute --------------------------------------------------------
     def run(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
             nonlinear: bool = False, forcing=None,
-            tracer_kappa: float = 0.0, tracer_upwind: float = 1.0):
+            tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+            strat=None):
         """n_steps sharded timesteps under one jit (scan inside shard_map).
         ``nonlinear=True`` runs the vector-invariant dynamics (derived-field
         halo exchange keeps the 1-ring halo exact; overlap mini-stepping is
@@ -464,19 +486,20 @@ class ShardedModel:
         forcing and tracers also bypass the overlap mini step (the boundary
         mini mesh carries no forcing fields or tracer stencils)."""
         lforce = self.scatter_forcing(forcing)
+        lstrat = self.scatter_strat(strat)
         use_overlap = (
             self.overlap and method is ForwardEuler and not nonlinear
-            and forcing is None and local.tracers is None
+            and forcing is None and local.tracers is None and strat is None
         )
         mini_args = (self.mini, self._ex_mini) if use_overlap else None
         return self._run_jit(
-            local, self.local_mesh, self._ex_arg, mini_args, lforce,
+            local, self.local_mesh, self._ex_arg, mini_args, lforce, lstrat,
             float(dt), n_steps, method, nonlinear, tracer_kappa,
             tracer_upwind,
         )
 
     @partial(jax.jit, static_argnames=("self", "dt", "n_steps", "method", "nonlinear", "tracer_kappa", "tracer_upwind"))
-    def _run_jit(self, local, lmesh, ex, mini_args, lforce, dt, n_steps,
+    def _run_jit(self, local, lmesh, ex, mini_args, lforce, lstrat, dt, n_steps,
                  method, nonlinear=False, tracer_kappa=0.0,
                  tracer_upwind=1.0):
         from .overlap import mini_forward_euler_step
@@ -487,17 +510,18 @@ class ShardedModel:
             raise ValueError(f"unknown sharded time stepper {method!r}")
         use_overlap = mini_args is not None
 
-        def device_fn(local, lmesh, ex, mini_args, lforce):
+        def device_fn(local, lmesh, ex, mini_args, lforce, lstrat):
             # leaves arrive as (1, ...) blocks of the parts axis
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, lmesh, ex = sq(local), sq(lmesh), sq(ex)
             lf = sq(lforce) if lforce is not None else None
+            ls = sq(lstrat) if lstrat is not None else None
             if use_overlap:
                 mini, ex_mini = sq(mini_args)
             nl_rates = lambda p: sharded_nonlinear_rates(
                 p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex),
                 forcing=lf, tracer_kappa=tracer_kappa,
-                tracer_upwind=tracer_upwind,
+                tracer_upwind=tracer_upwind, strat=ls,
             )
 
             def body(prog, _):
@@ -506,6 +530,7 @@ class ShardedModel:
                         prog, lmesh, dt, lambda p: exchange(p, ex),
                         rates=nl_rates if nonlinear else None, forcing=lf,
                         tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+                        strat=ls,
                     )
                     return exchange(prog, ex), None
                 if nonlinear:
@@ -537,7 +562,7 @@ class ShardedModel:
                     return exchange(pack, ex_mini, apply_to=full), None
                 prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf,
                                     tracer_kappa=tracer_kappa,
-                                    tracer_upwind=tracer_upwind)
+                                    tracer_upwind=tracer_upwind, strat=ls)
                 return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(body, local, length=n_steps)
@@ -552,18 +577,21 @@ class ShardedModel:
                 self._in_specs(ex),
                 self._in_specs(mini_args),
                 self._in_specs(lforce),
+                self._in_specs(lstrat),
             ),
             out_specs=self._in_specs(local),
-        )(local, lmesh, ex, mini_args, lforce)
+        )(local, lmesh, ex, mini_args, lforce, lstrat)
 
     def objective(self, local: PrognosticVars, dt, n_steps: int, method=ForwardEuler,
                   nonlinear: bool = False, forcing=None,
-                  tracer_kappa: float = 0.0, tracer_upwind: float = 1.0):
+                  tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+                  strat=None):
         """Differentiable sharded rollout + global sum(ssh^2) over owned
         cells (psum over the mesh axis)."""
         if method not in (ForwardEuler, RungeKutta4):
             raise ValueError(f"unknown sharded time stepper {method!r}")
         lforce = self.scatter_forcing(forcing)
+        lstrat = self.scatter_strat(strat)
         p = self.part
         owned_mask = (
             np.arange(p.cell_gids.shape[1])[None, :] < p.n_owned_cells[:, None]
@@ -573,14 +601,15 @@ class ShardedModel:
         exchange = self._exchange_fn()
         exchange_fields = self._exchange_fields_fn()
 
-        def device_fn(local, lmesh, ex, mask, lforce):
+        def device_fn(local, lmesh, ex, mask, lforce, lstrat):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, lmesh, ex, mask = sq(local), sq(lmesh), sq(ex), sq(mask)
             lf = sq(lforce) if lforce is not None else None
+            ls = sq(lstrat) if lstrat is not None else None
             nl_rates = lambda p: sharded_nonlinear_rates(
                 p, lmesh, lambda cf, ef: exchange_fields(cf, ef, ex),
                 forcing=lf, tracer_kappa=tracer_kappa,
-                tracer_upwind=tracer_upwind,
+                tracer_upwind=tracer_upwind, strat=ls,
             )
 
             def body(prog, _):
@@ -589,6 +618,7 @@ class ShardedModel:
                         prog, lmesh, dt, lambda p: exchange(p, ex),
                         rates=nl_rates if nonlinear else None, forcing=lf,
                         tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+                        strat=ls,
                     )
                 elif nonlinear:
                     tu, th, tt = nl_rates(prog)
@@ -611,7 +641,7 @@ class ShardedModel:
                 else:
                     prog = ocn_timestep(prog, lmesh, dt, method, forcing=lf,
                                         tracer_kappa=tracer_kappa,
-                                        tracer_upwind=tracer_upwind)
+                                        tracer_upwind=tracer_upwind, strat=ls)
                 return exchange(prog, ex), None
 
             out, _ = jax.lax.scan(jax.checkpoint(body), local, length=n_steps)
@@ -628,7 +658,8 @@ class ShardedModel:
                 self._in_specs(ex_arg),
                 self._spec_parts,
                 self._in_specs(lforce),
+                self._in_specs(lstrat),
             ),
             out_specs=P(),
         )
-        return fn(local, self.local_mesh, ex_arg, owned_mask, lforce)
+        return fn(local, self.local_mesh, ex_arg, owned_mask, lforce, lstrat)

@@ -229,6 +229,7 @@ def _tracer_concentration_struct(content, h, cell_mask):
 def structured_step(
     state: StructState, mesh: StructMesh, dt, nonlinear: bool = False,
     forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    strat=None,
 ) -> StructState:
     """One forward-Euler step, all rolls + elementwise.
 
@@ -242,8 +243,17 @@ def structured_step(
     flux = state.normal_velocity * h_edge
     tend_h = -div_on_cell(flux, mesh)
 
-    grad_ssh = grad_on_edge(state.ssh, mesh)  # (3, 2, ny2, nx)
-    tend_u = -GRAVITY * grad_ssh[..., None]
+    if strat is None:
+        grad_ssh = grad_on_edge(state.ssh, mesh)  # (3, 2, ny2, nx)
+        tend_u = -GRAVITY * grad_ssh[..., None]
+    else:
+        # layered baroclinic pressure (models/stratification.py): the
+        # K x K Montgomery matmul rides the lane axis, then the same
+        # roll gradient
+        from ..models.stratification import montgomery_potential
+
+        phi = montgomery_potential(state.ssh, state.layer_thickness, strat)
+        tend_u = -grad_on_edge(phi, mesh)
     if nonlinear:
         if mesh.edge_mask is not None:
             raise NotImplementedError(
@@ -300,6 +310,7 @@ def structured_step(
 def structured_rk4_step(
     state: StructState, mesh: StructMesh, dt, nonlinear: bool = False,
     forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    strat=None,
 ) -> StructState:
     """Classical RK4 on the lattice (mirrors
     forward/time_integration.rk4_step stage for stage: ssh and tracer
@@ -312,8 +323,14 @@ def structured_rk4_step(
         h_edge = interp_cell_to_edge(s.layer_thickness, mesh)
         flux = s.normal_velocity * h_edge
         tend_h = -div_on_cell(flux, mesh)
-        grad_ssh = grad_on_edge(s.ssh, mesh)
-        tend_u = -GRAVITY * grad_ssh[..., None]
+        if strat is None:
+            grad_ssh = grad_on_edge(s.ssh, mesh)
+            tend_u = -GRAVITY * grad_ssh[..., None]
+        else:
+            from ..models.stratification import montgomery_potential
+
+            phi = montgomery_potential(s.ssh, s.layer_thickness, strat)
+            tend_u = -grad_on_edge(phi, mesh)
         if nonlinear:
             ke = kinetic_energy_cell(s.normal_velocity, mesh)
             tend_u = tend_u - grad_on_edge(ke, mesh)
@@ -387,13 +404,13 @@ def structured_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, forcing=None,
     tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
-    rk4: bool = False,
+    rk4: bool = False, strat=None,
 ):
     step = structured_rk4_step if rk4 else structured_step
 
     def body(s, _):
         return step(s, mesh, dt, nonlinear, forcing,
-                    tracer_kappa, tracer_upwind), None
+                    tracer_kappa, tracer_upwind, strat), None
 
     out, _ = jax.lax.scan(body, state, length=n_steps)
     return out
@@ -585,8 +602,9 @@ class StructuredModel:
     def run(self, state: StructState, dt, n_steps: int,
             nonlinear: bool = False, forcing=None,
             tracer_kappa: float = 0.0,
-            tracer_upwind: float = 1.0, rk4: bool = False) -> StructState:
+            tracer_upwind: float = 1.0, rk4: bool = False,
+            strat=None) -> StructState:
         return structured_run_loop(
             state, self.struct_mesh, dt, n_steps, nonlinear, forcing,
-            tracer_kappa, tracer_upwind, rk4,
+            tracer_kappa, tracer_upwind, rk4, strat,
         )

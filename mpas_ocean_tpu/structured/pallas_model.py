@@ -64,7 +64,8 @@ def _shift(x, dm: int, di: int):
 
 
 def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
-                 nl=None, tr=None, tropts=(0.0, 1.0), cmask=None):
+                 nl=None, tr=None, tropts=(0.0, 1.0), cmask=None,
+                 strat_w=None):
     """One forward-Euler step on parity-plane lists.
 
     ssh[p]: (ny2, nx, 1); h[p]: (ny2, nx, K); u[fam*2+p]: (ny2, nx, K);
@@ -112,12 +113,27 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
         h_new.append(hp)
         ssh_new.append(jnp.sum(hp, axis=-1, keepdims=True) - rts[p])
 
-    # ssh gradient on edges (2-D planes; broadcast over levels at the end)
+    # pressure gradient on edges: 2-D ssh planes (barotropic, broadcast
+    # over levels at the end), or per-layer Montgomery potentials when
+    # stratified (models/stratification.py — the K x K lane matmul runs on
+    # the MXU from VMEM; leading dims collapse is layout-preserving)
+    if strat_w is None:
+        pg_field, pg_scale = ssh, -GRAVITY * dt
+    else:
+        pg_field = []
+        for p in (0, 1):
+            hw = jnp.dot(
+                h[p].reshape(-1, h[p].shape[-1]), strat_w,
+                preferred_element_type=h[p].dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(h[p].shape)
+            pg_field.append(GRAVITY * ssh[p] + hw)
+        pg_scale = -dt
     grad2 = []
     for fam in (E, NE, NW):
         for p in (0, 1):
             pin, dm, di = _NEIGHBOR[(fam, p)]
-            grad2.append((_shift(ssh[pin], dm, di) - ssh[p]) * inv_dc)
+            grad2.append((_shift(pg_field[pin], dm, di) - pg_field[p]) * inv_dc)
 
     if nl is None:
         # TRiSK Coriolis: 60 static roll-multiply-adds of u*f (Mosaic CSEs
@@ -181,7 +197,7 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
         acc = [0.5 * (qe[c] * tf[c] + tfq[c]) - gke[c] for c in range(6)]
 
     u_new = [
-        u[c] + dt * acc[c] + (-GRAVITY * dt) * grad2[c] for c in range(6)
+        u[c] + dt * acc[c] + pg_scale * grad2[c] for c in range(6)
     ]
     if masks is not None:
         # wall/dead edges stay at exactly zero velocity (channel configs)
@@ -241,7 +257,7 @@ def _nl_pack(scal_ref, fvert_ref, nl_terms):
 def _rollout_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref, *rest,
     terms, n_steps, masked, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
-    cell_masked=False,
+    cell_masked=False, stratified=False,
 ):
     """In-place rollout: inputs are ALIASED to outputs, the state lives in
     the (VMEM) out refs and each iteration reads and rewrites them. The
@@ -257,6 +273,11 @@ def _rollout_kernel(
         fvert_ref, *rest = rest
     else:
         fvert_ref = None
+    if stratified:
+        sw_ref, *rest = rest
+        strat_w = sw_ref[...]
+    else:
+        strat_w = None
     if n_tracers:
         if cell_masked:
             cmask_ref, *rest = rest
@@ -287,7 +308,7 @@ def _rollout_kernel(
         )
         ssh_n, h_n, u_n, tr_n = _step_planes(
             ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks, nl,
-            tr, tropts, cmask,
+            tr, tropts, cmask, strat_w,
         )
         for p in range(2):
             ssh_out[p] = ssh_n[p]
@@ -307,7 +328,7 @@ def _rollout_kernel(
 )
 def _pallas_rollout(
     ssh, h, u, f_edge, rts, scal, mask=None, f_vert=None, tracers=None,
-    cmask=None, *, terms, n_steps, interpret, nl_terms=None,
+    cmask=None, strat_w=None, *, terms, n_steps, interpret, nl_terms=None,
     tropts=(0.0, 1.0),
 ):
     masked = mask is not None
@@ -316,7 +337,7 @@ def _pallas_rollout(
     kernel = functools.partial(
         _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked,
         nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
-        cell_masked=cell_masked,
+        cell_masked=cell_masked, stratified=strat_w is not None,
     )
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     flops_step = step_flop_count(
@@ -329,6 +350,8 @@ def _pallas_rollout(
         operands += (mask,)
     if nl_terms is not None:
         operands += (f_vert,)
+    if strat_w is not None:
+        operands += (strat_w,)
     out_shape = [
         jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
         jax.ShapeDtypeStruct(h.shape, h.dtype),
@@ -478,10 +501,14 @@ def _tracer_setup(state: StructState, mesh: StructMesh, dtype,
     return tr, cmask, tropts
 
 
+def _strat_w(strat, dtype):
+    return None if strat is None else strat.phi_weights.astype(dtype)
+
+
 def pallas_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0,
+    tracer_upwind: float = 1.0, strat=None,
 ) -> StructState:
     """Run n_steps of the structured model in ONE fused on-chip kernel.
 
@@ -526,7 +553,7 @@ def pallas_run_loop(
     )
     out = _pallas_rollout(
         ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask, f_vert,
-        tr, cmask,
+        tr, cmask, _strat_w(strat, dtype),
         terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
         nl_terms=nl_terms, tropts=tropts,
     )
@@ -810,7 +837,7 @@ def pallas_tiled_run_loop(
 def structured_auto_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0,
+    tracer_upwind: float = 1.0, strat=None,
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
     the state fits, tiled per-step kernel otherwise; roll model on CPU.
@@ -826,18 +853,19 @@ def structured_auto_run_loop(
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
                                    tracer_kappa=tracer_kappa,
-                                   tracer_upwind=tracer_upwind)
+                                   tracer_upwind=tracer_upwind, strat=strat)
     if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize, n_tr):
         return pallas_run_loop(
             state, mesh, dt, n_steps, interpret=False, nonlinear=nonlinear,
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+            strat=strat,
         )
-    if nonlinear or n_tr:
+    if nonlinear or n_tr or strat is not None:
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
                                    tracer_kappa=tracer_kappa,
-                                   tracer_upwind=tracer_upwind)
+                                   tracer_upwind=tracer_upwind, strat=strat)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False, q=2)
 
 
@@ -861,7 +889,7 @@ def structured_auto_run_loop(
 def _adjoint_segment_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     gs_ref, gh_ref, gu_ref, *rest, terms, b, masked, nl_terms=None,
-    n_tracers=0, tropts=(0.0, 1.0), cell_masked=False,
+    n_tracers=0, tropts=(0.0, 1.0), cell_masked=False, stratified=False,
 ):
     """Reverse one b-step segment: inputs are the segment-start primal state
     and the cotangent at the segment end; outputs the cotangent at the
@@ -877,6 +905,11 @@ def _adjoint_segment_kernel(
         fvert_ref, *rest = rest
     else:
         fvert_ref = None
+    if stratified:
+        sw_ref, *rest = rest
+        strat_w = sw_ref[...]
+    else:
+        strat_w = None
     cmask = None
     if n_tracers:
         if cell_masked:
@@ -898,7 +931,7 @@ def _adjoint_segment_kernel(
         ssh, h, u, tr = s
         return _step_planes(
             ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks, nl,
-            tr, tropts, cmask,
+            tr, tropts, cmask, strat_w,
         )
 
     # forward recompute: b primal states live in VMEM (b is chosen so they
@@ -937,7 +970,7 @@ def _adjoint_segment_kernel(
     jax.jit, static_argnames=("terms", "b", "interpret", "nl_terms", "tropts")
 )
 def _adjoint_segment(
-    ckpt, cot, f_edge, rts, scal, mask, f_vert=None, cmask=None,
+    ckpt, cot, f_edge, rts, scal, mask, f_vert=None, cmask=None, strat_w=None,
     *, terms, b, interpret, nl_terms=None, tropts=(0.0, 1.0),
 ):
     """One fused reverse-segment call: (ckpt, cot_end) -> (cot_start, ddt).
@@ -953,7 +986,7 @@ def _adjoint_segment(
     kernel = functools.partial(
         _adjoint_segment_kernel, terms=terms, b=b, masked=masked,
         nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
-        cell_masked=cell_masked,
+        cell_masked=cell_masked, stratified=strat_w is not None,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = (scal, ssh, h, u, f_edge, rts, gs, gh, gu)
@@ -961,6 +994,8 @@ def _adjoint_segment(
         operands += (mask,)
     if nl_terms is not None:
         operands += (f_vert,)
+    if strat_w is not None:
+        operands += (strat_w,)
     out_shape = [
         jax.ShapeDtypeStruct(gs.shape, gs.dtype),
         jax.ShapeDtypeStruct(gh.shape, gh.dtype),
@@ -1054,8 +1089,8 @@ def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
 )
 def _pallas_forward_ckpts(
     ssh0, h0, u0, f_edge, rts, scal, mask=None, f_vert=None, tracers0=None,
-    cmask=None, *, terms, n_steps, big, interpret, nl_terms=None,
-    tropts=(0.0, 1.0),
+    cmask=None, strat_w=None, *, terms, n_steps, big, interpret,
+    nl_terms=None, tropts=(0.0, 1.0),
 ):
     """Fused forward in ``big``-step segments, emitting the state at the
     start of each segment (the outer checkpoints the reverse sweep needs).
@@ -1068,7 +1103,7 @@ def _pallas_forward_ckpts(
     def fwd_outer(c, _):
         o = _pallas_rollout(
             c[0], c[1], c[2], f_edge, rts, scal, mask, f_vert,
-            c[3] if with_tr else None, cmask,
+            c[3] if with_tr else None, cmask, strat_w,
             terms=terms, n_steps=big, interpret=interpret, nl_terms=nl_terms,
             tropts=tropts,
         )
@@ -1085,7 +1120,8 @@ def _pallas_forward_ckpts(
 )
 def _pallas_adjoint_from_ckpts(
     outer_ckpts, f_edge, rts, scal, cot0, mask=None, f_vert=None, cmask=None,
-    *, terms, b, m, interpret, nl_terms=None, tropts=(0.0, 1.0),
+    strat_w=None, *, terms, b, m, interpret, nl_terms=None,
+    tropts=(0.0, 1.0),
 ):
     """Reverse sweep given the outer checkpoints: per outer group (reversed),
     rebuild the m inner checkpoints with the fused forward kernel, then
@@ -1099,7 +1135,7 @@ def _pallas_adjoint_from_ckpts(
         def fwd_inner(c, _):
             o = _pallas_rollout(
                 c[0], c[1], c[2], f_edge, rts, scal, mask, f_vert,
-                c[3] if with_tr else None, cmask,
+                c[3] if with_tr else None, cmask, strat_w,
                 terms=terms, n_steps=b, interpret=interpret,
                 nl_terms=nl_terms, tropts=tropts,
             )
@@ -1110,7 +1146,7 @@ def _pallas_adjoint_from_ckpts(
         def rev_inner(carry2, ick):
             cot2, ddt2 = carry2
             cot2, ddt_j = _adjoint_segment(
-                ick, cot2, f_edge, rts, scal, mask, f_vert, cmask,
+                ick, cot2, f_edge, rts, scal, mask, f_vert, cmask, strat_w,
                 terms=terms, b=b, interpret=interpret, nl_terms=nl_terms,
                 tropts=tropts,
             )
@@ -1155,7 +1191,7 @@ def _cot_from_planes(cot, ny2, nx, k):
 def pallas_adjoint_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int, g: StructState,
     *, plan=None, interpret=None, nonlinear: bool = False,
-    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
 ):
     """Fused-kernel VJP of an n-step rollout: given the rollout's input
     ``state`` and an output cotangent ``g``, returns (d_state, d_dt) — the
@@ -1178,11 +1214,12 @@ def pallas_adjoint_rollout(
     tr, cmask, tropts = _tracer_setup(
         state, mesh, dtype, tracer_kappa, tracer_upwind
     )
+    sw = _strat_w(strat, dtype)
     _, ckpts = _pallas_forward_ckpts(
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
-        f_edge, rts, scal, mask, f_vert, tr, cmask,
+        f_edge, rts, scal, mask, f_vert, tr, cmask, sw,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
         interpret=bool(interpret), nl_terms=nl_terms, tropts=tropts,
     )
@@ -1194,7 +1231,7 @@ def pallas_adjoint_rollout(
     if n_tr:
         cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
     cot, ddt = _pallas_adjoint_from_ckpts(
-        ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask,
+        ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw,
         terms=mesh.coriolis_terms, b=b, m=m, interpret=bool(interpret),
         nl_terms=nl_terms, tropts=tropts,
     )
@@ -1205,7 +1242,7 @@ def pallas_adjoint_rollout(
 def _checkpointed_roll_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0,
+    tracer_upwind: float = 1.0, strat=None,
 ) -> StructState:
     """Roll-model rollout with two-level (sqrt) checkpointing: reverse-mode
     memory is O(sqrt(n) * state) instead of O(n * intermediates). Used as
@@ -1218,7 +1255,8 @@ def _checkpointed_roll_rollout(
     step = jax.checkpoint(
         lambda s, _: (structured_step(s, mesh, dt, nonlinear,
                                       tracer_kappa=tracer_kappa,
-                                      tracer_upwind=tracer_upwind), None)
+                                      tracer_upwind=tracer_upwind,
+                                      strat=strat), None)
     )
 
     def chunk(s, _):
@@ -1236,7 +1274,7 @@ def _checkpointed_roll_rollout(
 def pallas_rollout_diff(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0,
+    tracer_upwind: float = 1.0, strat=None,
 ) -> StructState:
     """n-step structured rollout, FAST forward and differentiable: the
     primal runs the fused/tiled Pallas kernel (VMEM-resident loop), the VJP
@@ -1246,7 +1284,7 @@ def pallas_rollout_diff(
     path's forward speed."""
     return structured_auto_run_loop(
         state, mesh, dt, n_steps, nonlinear=nonlinear,
-        tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+        tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind, strat=strat,
     )
 
 
@@ -1265,13 +1303,14 @@ def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
 
 
 def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
-                 tracer_kappa=0.0, tracer_upwind=1.0):
+                 tracer_kappa=0.0, tracer_upwind=1.0, strat=None):
     plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
     if plan is None:
         out = pallas_rollout_diff(
-            state, mesh, dt, n_steps, nonlinear, tracer_kappa, tracer_upwind
+            state, mesh, dt, n_steps, nonlinear, tracer_kappa, tracer_upwind,
+            strat,
         )
-        return out, (None, state, mesh, dt)
+        return out, (None, state, mesh, dt, strat)
     # fast path: run the forward in fused big-step segments, SAVING the
     # outer checkpoints as residuals — the reverse sweep then skips one
     # whole forward rebuild (bitwise-identical final state)
@@ -1289,7 +1328,7 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
-        f_edge, rts, scal, mask, f_vert, tr, cmask,
+        f_edge, rts, scal, mask, f_vert, tr, cmask, _strat_w(strat, dtype),
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
         interpret=False, nl_terms=nl_terms, tropts=tropts,
     )
@@ -1299,11 +1338,14 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
         normal_velocity=final[2].reshape(3, 2, ny2, nx, k),
         tracers=_tr_unplanes(final[3], ny2, nx, k) if n_tr else None,
     )
-    return out, (ckpts, state, mesh, dt)
+    return out, (ckpts, state, mesh, dt, strat)
 
 
 def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
-    ckpts, state, mesh, dt = res
+    ckpts, state, mesh, dt, strat = res
+    d_strat = (
+        None if strat is None else jax.tree.map(jnp.zeros_like, strat)
+    )
     if ckpts is not None:
         plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
         b, m = plan
@@ -1316,6 +1358,7 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
         _, cmask, tropts = _tracer_setup(
             state, mesh, dtype, tracer_kappa, tracer_upwind
         )
+        sw = _strat_w(strat, dtype)
         cot0 = (
             g.ssh[..., None].astype(dtype),
             g.layer_thickness.astype(dtype),
@@ -1324,22 +1367,23 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
         if n_tr:
             cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
         cot, ddt = _pallas_adjoint_from_ckpts(
-            ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask,
+            ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw,
             terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
             nl_terms=nl_terms, tropts=tropts,
         )
         d_state = _cot_from_planes(cot, ny2, nx, k)
         d_dt = ddt.astype(jnp.asarray(dt).dtype)
-        return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt
+        return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat
     # fallback (CPU / beyond-VMEM meshes): sqrt-checkpointed roll reverse
     _, vjp = jax.vjp(
         lambda s, t: _checkpointed_roll_rollout(
-            s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind
+            s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind,
+            strat,
         ),
         state, dt,
     )
     d_state, d_dt = vjp(g)
-    return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt
+    return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat
 
 
 pallas_rollout_diff.defvjp(_rollout_fwd, _rollout_bwd)
@@ -1348,29 +1392,34 @@ pallas_rollout_diff.defvjp(_rollout_fwd, _rollout_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def pallas_step(state: StructState, mesh: StructMesh, dt,
                 tracer_kappa: float = 0.0,
-                tracer_upwind: float = 1.0) -> StructState:
+                tracer_upwind: float = 1.0, strat=None) -> StructState:
     """One fused-kernel step, differentiable: Pallas forward, roll-model
     backward (equal math, so the VJP is exact)."""
     return pallas_run_loop(state, mesh, dt, 1, tracer_kappa=tracer_kappa,
-                           tracer_upwind=tracer_upwind)
+                           tracer_upwind=tracer_upwind, strat=strat)
 
 
-def _step_fwd(state, mesh, dt, tracer_kappa=0.0, tracer_upwind=1.0):
-    return pallas_step(state, mesh, dt, tracer_kappa, tracer_upwind), (
-        state, mesh, dt,
+def _step_fwd(state, mesh, dt, tracer_kappa=0.0, tracer_upwind=1.0,
+              strat=None):
+    return pallas_step(state, mesh, dt, tracer_kappa, tracer_upwind, strat), (
+        state, mesh, dt, strat,
     )
 
 
 def _step_bwd(tracer_kappa, tracer_upwind, res, g):
-    state, mesh, dt = res
+    state, mesh, dt, strat = res
     _, vjp = jax.vjp(
         lambda s, t: structured_step(s, mesh, t, tracer_kappa=tracer_kappa,
-                                     tracer_upwind=tracer_upwind),
+                                     tracer_upwind=tracer_upwind,
+                                     strat=strat),
         state, dt,
     )
     d_state, d_dt = vjp(g)
     d_mesh = jax.tree.map(jnp.zeros_like, mesh)
-    return d_state, d_mesh, d_dt
+    d_strat = (
+        None if strat is None else jax.tree.map(jnp.zeros_like, strat)
+    )
+    return d_state, d_mesh, d_dt, d_strat
 
 
 pallas_step.defvjp(_step_fwd, _step_bwd)

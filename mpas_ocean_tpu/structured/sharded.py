@@ -73,7 +73,8 @@ def _apply_forcing(u_i, he_i, forc, c):
 
 
 def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
-               masks=None, forc=None, tr=None, tropts=(0.0, 1.0), cmask=None):
+               masks=None, forc=None, tr=None, tropts=(0.0, 1.0), cmask=None,
+               strat_w=None):
     """One forward-Euler step on a halo-padded slab; returns interior-only
     planes (ssh, h, u, tracers-or-None). Mirrors pallas_model._step_planes
     with halo reads instead of periodic wraps (same coefficients, same
@@ -115,11 +116,26 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
         h_new.append(hp)
         ssh_new.append(jnp.sum(hp, axis=-1, keepdims=True) - _interior(rts[p], rows))
 
+    if strat_w is None:
+        pg_field, pg_scale = ssh, -GRAVITY * dt
+    else:
+        # layered baroclinic pressure: Montgomery potential on the padded
+        # planes (models/stratification.py), then the same slab gradient
+        pg_field = tuple(
+            GRAVITY * ssh[p] + jnp.matmul(
+                h[p], strat_w, precision=jax.lax.Precision.HIGHEST
+            )
+            for p in (0, 1)
+        )
+        pg_scale = -dt
     grad2 = []
     for fam in (E, NE, NW):
         for p in (0, 1):
             pin, dm, di = _NEIGHBOR[(fam, p)]
-            grad2.append((_sh(ssh[pin], dm, di, rows) - _interior(ssh[p], rows)) * inv_dc)
+            grad2.append(
+                (_sh(pg_field[pin], dm, di, rows)
+                 - _interior(pg_field[p], rows)) * inv_dc
+            )
 
     uf = [u[c] * f_edge[c] for c in range(6)]
     acc = [None] * 6
@@ -129,7 +145,7 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
         acc[c] = contrib if acc[c] is None else acc[c] + contrib
 
     u_new = [
-        _interior(u[c], rows) + dt * acc[c] + (-GRAVITY * dt) * grad2[c]
+        _interior(u[c], rows) + dt * acc[c] + pg_scale * grad2[c]
         for c in range(6)
     ]
     if forc is not None:
@@ -280,7 +296,7 @@ def _derived_slab(h, u, mesh_sc, rows):
 
 def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                           terms, rows, forc=None, tr=None,
-                          tropts=(0.0, 1.0)):
+                          tropts=(0.0, 1.0), strat_w=None):
     """Stage B of the nonlinear slab step: with 1-ring-padded prognostic
     AND derived slabs, produce the new interior rows (+ tracers when ``tr``
     is given — the tracer flux reads the PADDED exchanged thickness flux,
@@ -312,7 +328,16 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                 )
         return out
 
-    grad_ssh = grad(ssh)
+    if strat_w is None:
+        grad_ssh, pg_scale = grad(ssh), -GRAVITY * dt
+    else:
+        phi = tuple(
+            GRAVITY * ssh[p] + jnp.matmul(
+                h[p], strat_w, precision=jax.lax.Precision.HIGHEST
+            )
+            for p in (0, 1)
+        )
+        grad_ssh, pg_scale = grad(phi), -dt
     grad_ke = grad(ke)
 
     def tangential(x):  # sum_j w_j x[eoe_j], interior rows
@@ -333,7 +358,7 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
         un = (
             _interior(u[c], rows)
             + dt * (pv - grad_ke[c])
-            + (-GRAVITY * dt) * grad_ssh[c]
+            + pg_scale * grad_ssh[c]
         )
         if forc is not None:
             fam, p = divmod(c, 2)
@@ -604,7 +629,7 @@ class ShardedStructuredModel:
 
     def run(self, local, dt, n_steps: int, nonlinear: bool = False,
             forcing=None, tracer_kappa: float = 0.0,
-            tracer_upwind: float = 1.0):
+            tracer_upwind: float = 1.0, strat=None):
         if nonlinear:
             sm = self.smesh
             if sm.edge_mask is not None:
@@ -626,11 +651,15 @@ class ShardedStructuredModel:
             assert all(t[4] in (-1, 0) for t in sm.edge_vertex_terms), (
                 "edge-vertex stencil reaches outside rows {-1, 0}"
             )
+        lstrat = None
+        if strat is not None:
+            w = np.asarray(strat.phi_weights)
+            lstrat = self._put(np.broadcast_to(w, (self.n_parts,) + w.shape))
         return self._run_jit(
             local, self._f_local, self._rts_local, self._mask_local,
             self._fv_local if nonlinear else None,
             self.scatter_forcing(forcing),
-            self._cmask_local if "t" in local else None,
+            self._cmask_local if "t" in local else None, lstrat,
             float(dt), n_steps, nonlinear, tracer_kappa, tracer_upwind,
         )
 
@@ -639,8 +668,8 @@ class ShardedStructuredModel:
                                   "tracer_kappa", "tracer_upwind")
     )
     def _run_jit(self, local, f_local, rts_local, mask_local, fv_local,
-                 forcel, cmask_local, dt, n_steps, nonlinear=False,
-                 tracer_kappa=0.0, tracer_upwind=1.0):
+                 forcel, cmask_local, strat_local, dt, n_steps,
+                 nonlinear=False, tracer_kappa=0.0, tracer_upwind=1.0):
         axis, n_parts, rows = self.axes, self.n_parts, self.rows
         overlap = self.overlap
         terms = self.smesh.coriolis_terms
@@ -660,9 +689,10 @@ class ShardedStructuredModel:
         tropts = (tracer_kappa, tracer_upwind)
 
         def device_fn(local, f_loc, rts_loc, mask_loc, fv_loc, forcel,
-                      cmask_loc):
+                      cmask_loc, strat_loc):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local, f_loc, rts_loc = sq(local), sq(f_loc), sq(rts_loc)
+            strat_w = sq(strat_loc).astype(dtype) if strat_loc is not None else None
             cmask = None
             if cmask_loc is not None:
                 cm = sq(cmask_loc)
@@ -701,7 +731,7 @@ class ShardedStructuredModel:
                 )
                 ssh_i, h_i, u_i, t_i = _step_slab(
                     ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
-                    masks, forc, tr, tropts, cmask,
+                    masks, forc, tr, tropts, cmask, strat_w,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
@@ -737,7 +767,7 @@ class ShardedStructuredModel:
                         sub(ssh), sub(h), sub(u), sub(f_edge), sub(rts),
                         dt, inv_dc, s_div, terms, n, msub, fsub,
                         sub(tr) if tr is not None else None, tropts,
-                        sub(cmask) if cmask is not None else None,
+                        sub(cmask) if cmask is not None else None, strat_w,
                     )
 
                 top = run_rows(0, 1)           # new local row 0
@@ -793,7 +823,7 @@ class ShardedStructuredModel:
                     (padded[6], padded[7]),
                     tuple(padded[8 + c] for c in range(6)),
                     rts, dt, inv_dc, s_div, terms, rows, forc,
-                    tr, tropts,
+                    tr, tropts, strat_w,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
@@ -818,10 +848,11 @@ class ShardedStructuredModel:
         vspec = jax.tree.map(lambda _: P(self.axes), fv_local)
         wspec = jax.tree.map(lambda _: P(self.axes), forcel)
         cspec = jax.tree.map(lambda _: P(self.axes), cmask_local)
+        sspec = jax.tree.map(lambda _: P(self.axes), strat_local)
         return shard_map(
             device_fn,
             mesh=self.device_mesh,
-            in_specs=(specs, fspec, rspec, mspec, vspec, wspec, cspec),
+            in_specs=(specs, fspec, rspec, mspec, vspec, wspec, cspec, sspec),
             out_specs=specs,
         )(local, f_local, rts_local, mask_local, fv_local, forcel,
-          cmask_local)
+          cmask_local, strat_local)

@@ -72,6 +72,7 @@ def make_igw_case(
     tracers: bool = False,
     tracer_del2: float = 0.0,
     tracer_upwind: float = 1.0,
+    layer_densities=None,
 ) -> str:
     """Generate an inertial-gravity-wave case directory; returns the config
     path. Box size follows the polaris case the reference artifacts encode:
@@ -128,6 +129,14 @@ def make_igw_case(
             "    config_tracer_names: [temperature, salinity]\n"
             f"    config_tracer_del2: {tracer_del2}\n"
             f"    config_tracer_upwind: {tracer_upwind}\n"
+        )
+    if layer_densities is not None:
+        # optional namelist `stratification` section (layered baroclinic
+        # dynamics, forward/init.py _strat_from_config)
+        dens = ", ".join(str(float(r)) for r in layer_densities)
+        forcing_section += (
+            "  stratification:\n"
+            f"    config_layer_densities: [{dens}]\n"
         )
     config = CONFIG_TEMPLATE.format(
         forcing_section=forcing_section,
