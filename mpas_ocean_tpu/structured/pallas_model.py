@@ -581,23 +581,47 @@ def pallas_run_loop(
 def _tiled_step_kernel(
     ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
-    terms, rows, consts, masked, q,
+    terms, rows, consts, masked, q, n_tracers=0, tropts=(0.0, 1.0),
+    cell_masked=False, stratified=False,
 ):
     """``q``-step temporal blocking: the tile carries q halo rows per side
     and advances q timesteps per kernel invocation, shrinking the valid
     window by one row per side per step — q-fold fewer HBM passes over the
-    state for O(q^2) extra boundary-row compute (q(q-1) of q*rows rows)."""
+    state for O(q^2) extra boundary-row compute (q(q-1) of q*rows rows).
+    Tracers ride as extra plane groups with the same halo scheme; the
+    stratified Montgomery matmul runs per window (models/stratification.py)."""
     from .sharded import _step_slab
 
     def pad(center, top, bot, c):
         return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
 
     if masked:
-        m_ref, m_t, m_b, ssh_out, h_out, u_out = rest
+        m_ref, m_t, m_b, *rest = rest
         masks_full = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
     else:
-        ssh_out, h_out, u_out = rest
         masks_full = None
+    if n_tracers:
+        t_ref, t_t, t_b, *rest = rest
+        tr_full = tuple(
+            pad(t_ref, t_t, t_b, i) for i in range(2 * n_tracers)
+        )
+    else:
+        tr_full = None
+    if cell_masked:
+        cm_ref, cm_t, cm_b, *rest = rest
+        cm_full = tuple(pad(cm_ref, cm_t, cm_b, p) for p in range(2))
+    else:
+        cm_full = None
+    if stratified:
+        sw_ref, *rest = rest
+        strat_w = sw_ref[...]
+    else:
+        strat_w = None
+    if n_tracers:
+        ssh_out, h_out, u_out, t_out = rest
+    else:
+        ssh_out, h_out, u_out = rest
+        t_out = None
 
     # scalars are compile-time constants: an SMEM scalar input would need a
     # rank-2 index map under the tile grid, which Mosaic fails to legalize
@@ -615,35 +639,45 @@ def _tiled_step_kernel(
     f_full = tuple(pad(f_ref, f_t, f_b, c) for c in range(6))
     rts_full = tuple(pad(rts_ref, rts_t, rts_b, p) for p in range(2))
 
+    tr = tr_full
     full = rows + 2 * q
     for j in range(q):
         rows_j = rows + 2 * (q - 1 - j)
+        # constant fields get windowed; STATE (ssh/h/u/tr) arrives already
+        # at the window size from the previous iteration's interior output
         win = lambda t: tuple(x[j : full - j] for x in t)
-        ssh, h, u, _ = _step_slab(
+        ssh, h, u, tr = _step_slab(
             ssh, h, u, win(f_full), win(rts_full),
             dt, inv_dc, s_div, terms, rows_j,
             win(masks_full) if masked else None,
+            None, tr, tropts,
+            win(cm_full) if cell_masked else None, strat_w,
         )
     for p in range(2):
         ssh_out[p] = ssh[p]
         h_out[p] = h[p]
     for c in range(6):
         u_out[c] = u[c]
+    for i in range(2 * n_tracers):
+        t_out[i] = tr[i]
 
 
-def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1) -> int:
+def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
+                   n_tracers: int = 0) -> int:
     """Largest divisor of ny2 whose tile fits the VMEM budget.
 
     Cost model: ~80 plane-tiles of (rt + 2q, nx, k_pad) — 18 input + 10
     output block planes double-buffered by the pipeline, plus ~24 planes of
-    step temporaries. Trailing-singleton fields pad to a full 128-lane
-    tile, so they count at the same k_pad as the 3-D fields."""
+    step temporaries; each tracer adds ~14 more (2 in + 2 out
+    double-buffered + flux temporaries). Trailing-singleton fields pad to a
+    full 128-lane tile, so they count at the same k_pad as the 3-D fields."""
     k_pad = -(-k // 128) * 128
+    planes = 80 + 14 * n_tracers
     for t in range(1, ny2 + 1):
         if ny2 % t:
             continue
         rt = ny2 // t
-        if 80 * (rt + 2 * q) * nx * k_pad * itemsize <= int(0.9 * _VMEM_BUDGET):
+        if planes * (rt + 2 * q) * nx * k_pad * itemsize <= int(0.9 * _VMEM_BUDGET):
             return rt
     return 1
 
@@ -651,20 +685,25 @@ def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "terms", "row_tile", "n_steps", "interpret", "consts", "q"
+        "terms", "row_tile", "n_steps", "interpret", "consts", "q", "tropts"
     ),
 )
 def _pallas_tiled_rollout(
-    ssh, h, u, f_edge, rts, mask=None, *,
-    terms, row_tile, n_steps, interpret, consts, q=1,
+    ssh, h, u, f_edge, rts, mask=None, tracers=None, cmask=None,
+    strat_w=None, *,
+    terms, row_tile, n_steps, interpret, consts, q=1, tropts=(0.0, 1.0),
 ):
     masked = mask is not None
+    n_tracers = 0 if tracers is None else tracers.shape[0] // 2
+    cell_masked = cmask is not None
+    stratified = strat_w is not None
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
     n_tiles = ny2 // rt
     kernel = functools.partial(
         _tiled_step_kernel, terms=terms, rows=rt, consts=consts,
-        masked=masked, q=q,
+        masked=masked, q=q, n_tracers=n_tracers, tropts=tropts,
+        cell_masked=cell_masked, stratified=stratified,
     )
 
     def halos(x):
@@ -698,6 +737,8 @@ def _pallas_tiled_rollout(
     rts_t, rts_b = halos(rts)
     if masked:
         m_t, m_b = halos(mask)
+    if cell_masked:
+        cm_t, cm_b = halos(cmask)
 
     # index-map zeros derived from t (t * 0): literal 0s trace as i64 while
     # the grid index is i32, and Mosaic refuses mixed-type index-map results
@@ -720,69 +761,105 @@ def _pallas_tiled_rollout(
             halo_spec(6, 1), halo_spec(2, 1),
         ]
 
+    out_shape = [
+        jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
+        jax.ShapeDtypeStruct(h.shape, h.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+    ]
+    out_specs = [
+        center_spec(2, rt, 1),
+        center_spec(2, rt, k),
+        center_spec(6, rt, k),
+    ]
+    in_specs = [
+        center_spec(2, rt, 1),   # ssh
+        center_spec(2, rt, k),   # h
+        center_spec(6, rt, k),   # u
+        center_spec(6, rt, 1),   # f
+        center_spec(2, rt, 1),   # rts
+    ] + group() + group()        # top halos, bottom halos
+    aliases = {0: 0, 1: 1, 2: 2}
+    if masked:
+        in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+    if n_tracers:
+        nt2 = 2 * n_tracers
+        # tracer center operand position (for the alias map): count the
+        # operands laid down so far
+        tr_pos = len(in_specs)
+        in_specs += [center_spec(nt2, rt, k), halo_spec(nt2, k),
+                     halo_spec(nt2, k)]
+        aliases[tr_pos] = 3
+        out_shape.append(jax.ShapeDtypeStruct(tracers.shape, tracers.dtype))
+        out_specs.append(center_spec(nt2, rt, k))
+    if cell_masked:
+        in_specs += [center_spec(2, rt, 1), halo_spec(2, 1), halo_spec(2, 1)]
+    if stratified:
+        in_specs += [pl.BlockSpec(strat_w.shape,
+                                  lambda t: (t * 0, t * 0),
+                                  memory_space=pltpu.VMEM)]
+
     step_call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        out_shape=(
-            jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
-            jax.ShapeDtypeStruct(h.shape, h.dtype),
-            jax.ShapeDtypeStruct(u.shape, u.dtype),
-        ),
-        in_specs=[
-            center_spec(2, rt, 1),   # ssh
-            center_spec(2, rt, k),   # h
-            center_spec(6, rt, k),   # u
-            center_spec(6, rt, 1),   # f
-            center_spec(2, rt, 1),   # rts
-        ]
-        + group() + group()          # top halos, bottom halos
-        + ([center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
-           if masked else []),
-        out_specs=(
-            center_spec(2, rt, 1),
-            center_spec(2, rt, k),
-            center_spec(6, rt, k),
-        ),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET
         ),
         # each tile reads its own center block and writes its own: in-place
         # is safe, and donation avoids a whole-state copy per scan step
-        input_output_aliases={0: 0, 1: 1, 2: 2},
+        input_output_aliases=aliases,
         interpret=interpret,
     )
 
     assert n_steps % q == 0
 
     def body(carry, _):
-        ssh_c, h_c, u_c = carry
+        if n_tracers:
+            ssh_c, h_c, u_c, t_c = carry
+        else:
+            ssh_c, h_c, u_c = carry
         ssh_t, ssh_b = halos(ssh_c)
         h_t, h_b = halos(h_c)
         u_t, u_b = halos(u_c)
         args = (
             ssh_c, h_c, u_c, f_edge, rts,
             ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
-        ) + ((mask, m_t, m_b) if masked else ())
+        )
+        if masked:
+            args += (mask, m_t, m_b)
+        if n_tracers:
+            t_t, t_b = halos(t_c)
+            args += (t_c, t_t, t_b)
+        if cell_masked:
+            args += (cmask, cm_t, cm_b)
+        if stratified:
+            args += (strat_w,)
         out = step_call(*args)
-        return out, None
+        return tuple(out), None
 
-    (ssh_f, h_f, u_f), _ = jax.lax.scan(body, (ssh, h, u), length=n_steps // q)
-    return ssh_f, h_f, u_f
+    init = (ssh, h, u) + ((tracers,) if n_tracers else ())
+    final, _ = jax.lax.scan(body, init, length=n_steps // q)
+    return final
 
 
 def pallas_tiled_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     *, row_tile: int | None = None, interpret=None, q: int | None = None,
+    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
 ) -> StructState:
     """Fused-step rollout for meshes of ANY size: one Pallas call per q
     timesteps, gridded over row tiles with q-row halos (temporal blocking —
     q-fold fewer HBM passes over the state for O(q^2) extra boundary-row
     compute; measured 4.5 -> 7.1 Gp/s at q=2 on a 256x256x100 mesh on v5e;
-    q >= 4 overflows the scoped-VMEM budget at that size)."""
+    q >= 4 overflows the scoped-VMEM budget at that size). Tracers and
+    layered stratification ride the same tiles."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ny2, nx = mesh.ny2, mesh.nx
     k = state.layer_thickness.shape[-1]
+    n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     dtype = state.layer_thickness.dtype
     if q is None:
         q = 1
@@ -790,7 +867,7 @@ def pallas_tiled_run_loop(
     while n_steps % q:
         q -= 1
     if row_tile is None:
-        row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize, q)
+        row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize, q, n_tr)
     if ny2 % row_tile:
         raise ValueError(f"row_tile {row_tile} must divide ny2={ny2}")
     if row_tile + 2 * q > ny2:
@@ -807,6 +884,10 @@ def pallas_tiled_run_loop(
         if mesh.edge_mask is None
         else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
     )
+    tr, cmask, tropts = _tracer_setup(
+        state, mesh, dtype, tracer_kappa, tracer_upwind
+    )
+    cmask = None if cmask is None else cmask.reshape(2, ny2, nx, 1)
     # round the constants in the field dtype (so e.g. 1/dc is the f32
     # quotient, not the f32 cast of the f64 quotient)
     npdt = np.dtype(dtype)
@@ -822,15 +903,18 @@ def pallas_tiled_run_loop(
             ).astype(npdt)
         ),
     )
-    ssh_f, h_f, u_f = _pallas_tiled_rollout(
-        ssh, h, u, f_edge, rts, mask,
+    out = _pallas_tiled_rollout(
+        ssh, h, u, f_edge, rts, mask, tr, cmask, _strat_w(strat, dtype),
         terms=mesh.coriolis_terms, row_tile=int(row_tile),
         n_steps=n_steps, interpret=bool(interpret), consts=consts, q=int(q),
+        tropts=tropts,
     )
+    ssh_f, h_f, u_f = out[:3]
     return StructState(
         ssh=ssh_f[..., 0],
         layer_thickness=h_f,
         normal_velocity=u_f.reshape(3, 2, ny2, nx, k),
+        tracers=_tr_unplanes(out[3], ny2, nx, k) if n_tr else None,
     )
 
 
@@ -840,10 +924,10 @@ def structured_auto_run_loop(
     tracer_upwind: float = 1.0, strat=None,
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
-    the state fits, tiled per-step kernel otherwise; roll model on CPU.
-    Nonlinear or tracer-carrying beyond-VMEM meshes use the HBM-streaming
-    roll model (the tiled kernel's 1-row halos cover neither the deeper
-    PV-flux stencil nor the tracer planes yet)."""
+    the state fits, tiled per-step kernel otherwise (tracers and layered
+    stratification included); roll model on CPU. Nonlinear beyond-VMEM
+    meshes use the HBM-streaming roll model (the tiled kernel's q-row
+    halos cannot cover the deeper PV-flux stencil)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = state.layer_thickness.shape[-1]
@@ -860,13 +944,17 @@ def structured_auto_run_loop(
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
             strat=strat,
         )
-    if nonlinear or n_tr or strat is not None:
+    if nonlinear:
+        # the tiled kernel's q-row halos cannot cover the deeper PV-flux
+        # stencil; stream the roll model instead
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
                                    tracer_kappa=tracer_kappa,
                                    tracer_upwind=tracer_upwind, strat=strat)
-    return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False, q=2)
+    return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False,
+                                 q=2, tracer_kappa=tracer_kappa,
+                                 tracer_upwind=tracer_upwind, strat=strat)
 
 
 # ---------------------------------------------------------------------------

@@ -80,11 +80,11 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
     with halo reads instead of periodic wraps (same coefficients, same
     order). ``masks`` (halo-padded like f_edge, or None) pins
     wall/dead-edge velocity to zero. ``forc`` (see _apply_forcing; fields
-    halo-padded) adds the momentum forcing. ``tr`` (2-tuple of halo-padded
-    (R+2, nx, nT, K) planes) advects tracers (models/tracers.py, slab
-    form) with ``tropts = (kappa, upwind)``; ``cmask`` (2-tuple of padded
-    (R+2, nx, 1) live-cell masks) guards the content/h division on culled
-    lattices."""
+    halo-padded) adds the momentum forcing. ``tr`` (list of halo-padded
+    (R+2, nx, K) planes indexed [t*2 + p], matching pallas_model.
+    _step_planes) advects tracers (models/tracers.py, slab form) with
+    ``tropts = (kappa, upwind)``; ``cmask`` (2-tuple of padded (R+2, nx, 1)
+    live-cell masks) guards the content/h division on culled lattices."""
     # thickness flux evaluated on padded rows [0, rows+1): the divergence
     # needs flux at the interior rows AND one row below (_INCOMING dm=-1
     # taps); the flux itself reads h up to one row above, so the single
@@ -121,10 +121,14 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
     else:
         # layered baroclinic pressure: Montgomery potential on the padded
         # planes (models/stratification.py), then the same slab gradient
+        # reshape-to-2D dot (not a rank-3 batched matmul): lowers in Mosaic
+        # (the tiled kernel runs this) and is the same contraction per row
         pg_field = tuple(
-            GRAVITY * ssh[p] + jnp.matmul(
-                h[p], strat_w, precision=jax.lax.Precision.HIGHEST
-            )
+            GRAVITY * ssh[p] + jnp.dot(
+                h[p].reshape(-1, h[p].shape[-1]), strat_w,
+                preferred_element_type=h[p].dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(h[p].shape)
             for p in (0, 1)
         )
         pg_scale = -dt
@@ -168,49 +172,49 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
     t_new = None
     if tr is not None:
         kappa, upwind = tropts
-        # tracer edge flux G on padded rows [0, rows+1), same row window as
-        # fluxp; T_e = mean - (upwind/2) sign(F) (T_n - T_p) — the dc/dc of
-        # the unstructured formulation cancels on the uniform lattice
-        gfl = {}
-        for fam in (E, NE, NW):
-            for p in (0, 1):
-                pin, dm, di = _NEIGHBOR[(fam, p)]
-                tn = _roll_nx(tr[pin][dm : dm + rows + 1], di)
-                tp = tr[p][: rows + 1]
-                te = 0.5 * (tn + tp)
-                F = fluxp[(fam, p)][..., None, :]
-                if upwind:
-                    te = te - (0.5 * upwind) * jnp.sign(F) * (tn - tp)
-                g = F * te
-                if kappa:
-                    diff = kappa * hep[(fam, p)]
-                    if masks is not None:
-                        diff = diff * masks[fam * 2 + p][: rows + 1]
-                    g = g - diff[..., None, :] * ((tn - tp) * inv_dc)
-                gfl[(fam, p)] = g
         t_new = []
-        for p in (0, 1):
-            total = (
-                gfl[(E, p)][1 : 1 + rows]
-                + gfl[(NE, p)][1 : 1 + rows]
-                + gfl[(NW, p)][1 : 1 + rows]
-            )
-            for ch, dm, di in _INCOMING[p]:
-                fam_in, p_in = divmod(ch, 2)
-                total = total - _roll_nx(
-                    gfl[(fam_in, p_in)][1 + dm : 1 + dm + rows], di
+        for t in range(len(tr) // 2):
+            # tracer edge flux G on padded rows [0, rows+1), same row window
+            # as fluxp; T_e = mean - (upwind/2) sign(F) (T_n - T_p) — the
+            # dc/dc of the unstructured formulation cancels on the lattice
+            gfl = {}
+            for fam in (E, NE, NW):
+                for p in (0, 1):
+                    pin, dm, di = _NEIGHBOR[(fam, p)]
+                    tn = _roll_nx(tr[t * 2 + pin][dm : dm + rows + 1], di)
+                    tp = tr[t * 2 + p][: rows + 1]
+                    te = 0.5 * (tn + tp)
+                    F = fluxp[(fam, p)]
+                    if upwind:
+                        te = te - (0.5 * upwind) * jnp.sign(F) * (tn - tp)
+                    g = F * te
+                    if kappa:
+                        diff = kappa * hep[(fam, p)]
+                        if masks is not None:
+                            diff = diff * masks[fam * 2 + p][: rows + 1]
+                        g = g - diff * ((tn - tp) * inv_dc)
+                    gfl[(fam, p)] = g
+            for p in (0, 1):
+                total = (
+                    gfl[(E, p)][1 : 1 + rows]
+                    + gfl[(NE, p)][1 : 1 + rows]
+                    + gfl[(NW, p)][1 : 1 + rows]
                 )
-            content = (
-                _interior(h[p], rows)[..., None, :] * _interior(tr[p], rows)
-                - (dt * s_div) * total
-            )
-            hn = h_new[p][..., None, :]
-            if cmask is not None:
-                cm = _interior(cmask[p], rows)[..., None, :]
-                safe = jnp.where(cm > 0, hn, jnp.ones_like(hn))
-                t_new.append(content / safe * cm)
-            else:
-                t_new.append(content / hn)
+                for ch, dm, di in _INCOMING[p]:
+                    fam_in, p_in = divmod(ch, 2)
+                    total = total - _roll_nx(
+                        gfl[(fam_in, p_in)][1 + dm : 1 + dm + rows], di
+                    )
+                content = (
+                    _interior(h[p], rows) * _interior(tr[t * 2 + p], rows)
+                    - (dt * s_div) * total
+                )
+                if cmask is not None:
+                    cm = _interior(cmask[p], rows)
+                    safe = jnp.where(cm > 0, h_new[p], jnp.ones_like(h_new[p]))
+                    t_new.append(content / safe * cm)
+                else:
+                    t_new.append(content / h_new[p])
         t_new = tuple(t_new)
     return tuple(ssh_new), tuple(h_new), tuple(u_new), t_new
 
@@ -381,40 +385,41 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
     t_new = None
     if tr is not None:
         kappa, upwind = tropts
-        gfl = {}
-        for fam in (E, NE, NW):
-            for p in (0, 1):
-                pin, dm, di = _NEIGHBOR[(fam, p)]
-                tn = _roll_nx(tr[pin][dm : dm + rows + 1], di)
-                tp = tr[p][: rows + 1]
-                te = 0.5 * (tn + tp)
-                # flux planes are PADDED here: padded row r = window row r
-                F = flux[fam * 2 + p][: rows + 1][..., None, :]
-                if upwind:
-                    te = te - (0.5 * upwind) * jnp.sign(F) * (tn - tp)
-                g = F * te
-                if kappa:
-                    hn = _roll_nx(h[pin][dm : dm + rows + 1], di)
-                    hep = 0.5 * (hn + h[p][: rows + 1])
-                    g = g - (kappa * hep)[..., None, :] * ((tn - tp) * inv_dc)
-                gfl[(fam, p)] = g
         t_new = []
-        for p in (0, 1):
-            total = (
-                gfl[(E, p)][1 : 1 + rows]
-                + gfl[(NE, p)][1 : 1 + rows]
-                + gfl[(NW, p)][1 : 1 + rows]
-            )
-            for ch, dm, di in _INCOMING[p]:
-                fam_in, p_in = divmod(ch, 2)
-                total = total - _roll_nx(
-                    gfl[(fam_in, p_in)][1 + dm : 1 + dm + rows], di
+        for t in range(len(tr) // 2):
+            gfl = {}
+            for fam in (E, NE, NW):
+                for p in (0, 1):
+                    pin, dm, di = _NEIGHBOR[(fam, p)]
+                    tn = _roll_nx(tr[t * 2 + pin][dm : dm + rows + 1], di)
+                    tp = tr[t * 2 + p][: rows + 1]
+                    te = 0.5 * (tn + tp)
+                    # flux planes are PADDED here: padded row r = window row r
+                    F = flux[fam * 2 + p][: rows + 1]
+                    if upwind:
+                        te = te - (0.5 * upwind) * jnp.sign(F) * (tn - tp)
+                    g = F * te
+                    if kappa:
+                        hn = _roll_nx(h[pin][dm : dm + rows + 1], di)
+                        hep = 0.5 * (hn + h[p][: rows + 1])
+                        g = g - (kappa * hep) * ((tn - tp) * inv_dc)
+                    gfl[(fam, p)] = g
+            for p in (0, 1):
+                total = (
+                    gfl[(E, p)][1 : 1 + rows]
+                    + gfl[(NE, p)][1 : 1 + rows]
+                    + gfl[(NW, p)][1 : 1 + rows]
                 )
-            content = (
-                _interior(h[p], rows)[..., None, :] * _interior(tr[p], rows)
-                - (dt * s_div) * total
-            )
-            t_new.append(content / h_new[p][..., None, :])
+                for ch, dm, di in _INCOMING[p]:
+                    fam_in, p_in = divmod(ch, 2)
+                    total = total - _roll_nx(
+                        gfl[(fam_in, p_in)][1 + dm : 1 + dm + rows], di
+                    )
+                content = (
+                    _interior(h[p], rows) * _interior(tr[t * 2 + p], rows)
+                    - (dt * s_div) * total
+                )
+                t_new.append(content / h_new[p])
         t_new = tuple(t_new)
     return tuple(ssh_new), tuple(h_new), tuple(u_new), t_new
 
@@ -538,10 +543,13 @@ class ShardedStructuredModel:
             "u": self._put(self._slab(u)),
         }
         if state.tracers is not None:
-            # (2, ny2, nx, nT, K) slabs -> (P, 2, R+2, nx, nT, K)
-            out["t"] = self._put(
-                self._slab(np.asarray(state.tracers), m_axis=1)
+            # (2, ny2, nx, nT, K) -> plane stack (nT*2, ny2, nx, K)
+            # [t*2 + p] -> slabs (P, nT*2, R+2, nx, K) — the same layout
+            # _step_planes uses, so the tiled Pallas kernel shares it
+            tr = np.moveaxis(np.asarray(state.tracers), 3, 0).reshape(
+                -1, self.smesh.ny2, nx, k
             )
+            out["t"] = self._put(self._slab(tr))
         return out
 
     def gather(self, local) -> StructState:
@@ -558,7 +566,11 @@ class ShardedStructuredModel:
         k = h.shape[-1]
         tracers = None
         if "t" in local:
-            tracers = jnp.asarray(unslab(local["t"]))
+            planes = unslab(local["t"])  # (nT*2, ny2, nx, K)
+            tracers = jnp.asarray(
+                np.moveaxis(planes.reshape(-1, 2, ny2, nx, planes.shape[-1]),
+                            0, 3)
+            )
         return StructState(
             ssh=jnp.asarray(ssh),
             layer_thickness=jnp.asarray(h),
@@ -726,7 +738,7 @@ class ShardedStructuredModel:
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
                 tr = (
-                    tuple(carry["t"][p] for p in range(2))
+                    tuple(carry["t"][i] for i in range(carry["t"].shape[0]))
                     if with_tracers else None
                 )
                 ssh_i, h_i, u_i, t_i = _step_slab(
@@ -750,7 +762,7 @@ class ShardedStructuredModel:
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
                 tr = (
-                    tuple(carry["t"][p] for p in range(2))
+                    tuple(carry["t"][i] for i in range(carry["t"].shape[0]))
                     if with_tracers else None
                 )
 
@@ -811,7 +823,7 @@ class ShardedStructuredModel:
                 h = tuple(carry["h"][p] for p in range(2))
                 u = tuple(carry["u"][c] for c in range(6))
                 tr = (
-                    tuple(carry["t"][p] for p in range(2))
+                    tuple(carry["t"][i] for i in range(carry["t"].shape[0]))
                     if with_tracers else None
                 )
                 flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows)

@@ -106,6 +106,24 @@ def test_roll_and_fused_path_parity(strat_setup):
     )
 
 
+def test_pallas_tiled_strat_parity(strat_setup):
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import pallas_tiled_run_loop
+
+    mesh, prog, strat = strat_setup
+    sm = StructuredModel(mesh, 16, 16)
+    st = sm.to_struct(prog)
+    ref = sm.run(st, DT, 8, strat=strat)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, DT, 8, row_tile=4, interpret=True, q=2,
+        strat=strat,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.normal_velocity), np.asarray(out.normal_velocity),
+        atol=1e-13,
+    )
+
+
 def test_sharded_parity(strat_setup):
     from mpas_ocean_tpu.parallel.shard_step import ShardedModel
 

@@ -316,6 +316,43 @@ def test_pallas_fused_channel_parity(channel_setup, hex16):
     )
 
 
+@pytest.mark.parametrize("q", [1, 2])
+def test_pallas_tiled_tracer_parity(tracer_setup, q):
+    """The HBM-streaming tiled kernel advects tracer plane groups with the
+    same q-row-halo temporal blocking as the state (interpret mode)."""
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import pallas_tiled_run_loop
+
+    mesh, prog = tracer_setup
+    sm = StructuredModel(mesh, 16, 16)
+    st = sm.to_struct(prog)
+    ref = sm.run(st, DT, 8, tracer_kappa=5.0)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, DT, 8, row_tile=4, interpret=True, q=q,
+        tracer_kappa=5.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.tracers), np.asarray(out.tracers), atol=2e-10
+    )
+
+
+def test_pallas_tiled_channel_tracer_parity(channel_setup, hex16):
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import pallas_tiled_run_loop
+
+    mesh, keep, prog = channel_setup
+    sm = StructuredModel(mesh, 16, 16, parent_horz=hex16, keep_cells=keep)
+    st = sm.to_struct(prog)
+    ref = sm.run(st, DT, 8, tracer_kappa=5.0)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, DT, 8, row_tile=4, interpret=True, q=2,
+        tracer_kappa=5.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.tracers), np.asarray(out.tracers), atol=2e-10
+    )
+
+
 def test_pallas_adjoint_segments_with_tracers(tracer_setup):
     """The fused adjoint-segment kernels reverse the tracer planes too
     (in-kernel jax.vjp of the extended step); matches the roll-model VJP."""
