@@ -170,6 +170,30 @@ def measure_pallas_tracers(device, mesh, sm, prog, dt, steps, reps) -> float:
     return _time_fn(run, reps)
 
 
+def measure_pallas_strat(device, mesh, sm, prog, dt, steps, reps) -> float:
+    """Fused rollout with a FULL K-layer baroclinic stratification — the
+    per-layer Montgomery-potential pressure (models/stratification.py, one
+    K x K MXU matmul per step in-kernel). The reference's levels never
+    interact at all (reference: pressure_gradient.jl:45-65)."""
+    from mpas_ocean_tpu.models.stratification import make_stratification
+    from mpas_ocean_tpu.structured.pallas_model import pallas_run_loop
+
+    dtype = prog.layer_thickness.dtype
+    strat = make_stratification(
+        1025.0 + np.linspace(0.0, 1.0, LEVELS), dtype=dtype
+    )
+    st = jax.device_put(sm.to_struct(prog), device)
+    smesh = jax.device_put(sm.struct_mesh, device)
+
+    def run():
+        out = pallas_run_loop(
+            st, smesh, dt, steps, interpret=False, strat=strat
+        )
+        return float(out.ssh.sum())
+
+    return _time_fn(run, reps)
+
+
 def build_kelvin(dtype=np.float32):
     """The reference's literal perf configuration: coastal Kelvin wave
     channel, 64x64, 100 levels (reference: README.MD:45-50). Returns the
@@ -433,9 +457,11 @@ def main():
         nl_gps = n_gridpoints * STEPS / t_nl
         t_tr = measure_pallas_tracers(accel, mesh, sm, prog, dt, STEPS, 1)
         tr_gps = n_gridpoints * STEPS / t_tr
+        t_st = measure_pallas_strat(accel, mesh, sm, prog, dt, STEPS, 1)
+        st_gps = n_gridpoints * STEPS / t_st
     else:
         large_gps = large_spstep = adj_spstep = nl_gps = float("nan")
-        tr_gps = float("nan")
+        tr_gps = st_gps = float("nan")
 
     # static halo-overlap profile of an 8-part decomposition of this mesh
     # (single real chip here; the sharded tests execute the same code on 8
@@ -492,6 +518,7 @@ def main():
                     "adjoint_rollout_seconds_per_step": adj_spstep,
                     "nonlinear_fused_gridpoints_per_sec": nl_gps,
                     "tracer2_fused_gridpoints_per_sec": tr_gps,
+                    "baroclinic_fused_gridpoints_per_sec": st_gps,
                     "roofline": {
                         "vpu_peak_tflops_measured": vpu_peak / 1e12,
                         "hbm_peak_gbps_measured": hbm_peak / 1e9,

@@ -1,4 +1,11 @@
 from .inertial_gravity_wave import InertialGravityWave
+from .internal_wave import InternalWave
+from .kelvin_wave import KelvinWave
 from .manufactured import PlanarTestFields
 
-__all__ = ["InertialGravityWave", "PlanarTestFields"]
+__all__ = [
+    "InertialGravityWave",
+    "InternalWave",
+    "KelvinWave",
+    "PlanarTestFields",
+]

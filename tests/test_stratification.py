@@ -195,45 +195,48 @@ def test_two_layer_internal_wave_speed():
     oscillate at omega = c1*k with c1^2 = g' H1 H2/(H1+H2): run half a
     period with RK4 and check the mode amplitude has inverted. This is the
     physics the reference cannot represent at all."""
+    from mpas_ocean_tpu.verification import InternalWave
+
     nx, dc = 32, 10000.0
+    iw = InternalWave(lx=nx * dc / 1e3, amplitude=1.0)
     horz = planar_hex_mesh(nx, nx, dc, f0=0.0)
-    H1, H2 = 100.0, 300.0
     vert = make_vertical_mesh(
         horz, n_vert_levels=2,
-        resting_thickness=np.tile(np.array([H1, H2]), (horz.n_cells, 1)),
+        resting_thickness=np.tile(np.array([iw.h1, iw.h2]), (horz.n_cells, 1)),
     )
     mesh = Mesh(horz=horz, vert=vert).to_device()
-    rho = [1025.0, 1026.0]
-    strat = make_stratification(rho)
-    cs = baroclinic_wave_speeds(rho, [H1, H2])
+    strat = make_stratification(iw.densities())
+    cs = baroclinic_wave_speeds(iw.densities(), [iw.h1, iw.h2])
     # mode speeds themselves: barotropic ~ sqrt(gH), baroclinic ~ the
     # reduced-gravity two-layer formula
-    g, rho0 = 9.80616, 1026.0
-    gp = g * (rho[1] - rho[0]) / rho0
-    np.testing.assert_allclose(cs[0], np.sqrt(g * (H1 + H2)), rtol=1e-3)
     np.testing.assert_allclose(
-        cs[1], np.sqrt(gp * H1 * H2 / (H1 + H2)), rtol=1e-3
+        cs[0], np.sqrt(iw.g * (iw.h1 + iw.h2)), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        cs[1], np.sqrt(iw.g_prime * iw.h1 * iw.h2 / (iw.h1 + iw.h2)),
+        rtol=1e-3,
     )
 
-    x = np.asarray(horz.cells.x)
-    kx = 2 * np.pi / (nx * dc)
-    amp = 0.01 * H1
-    h = np.stack([H1 + amp * np.sin(kx * x), H2 - amp * np.sin(kx * x)], 1)
+    ssh, h, u = iw.initial_state(horz)
     prog = PrognosticVars(
-        ssh=update_ssh(jnp.asarray(h), mesh),
+        ssh=jnp.asarray(ssh),
         layer_thickness=jnp.asarray(h),
-        normal_velocity=jnp.zeros((horz.n_edges, 2)),
+        normal_velocity=jnp.asarray(u),
     )
-    period = 2 * np.pi / (cs[1] * kx)
     dt = 100.0
-    n_half = int(round(period / 2 / dt))
+    n_half = int(round(iw.period / 2 / dt))
     out = ocn_run_loop(prog, mesh, dt, n_half, method=RungeKutta4, strat=strat)
-    basis = np.sin(kx * x)
-    proj = lambda f: float(np.vdot(basis, f - H1) / np.vdot(basis, basis))
-    a0 = proj(np.asarray(prog.layer_thickness[:, 0]))
+    # after half a period the standing mode must match the exact solution
+    # with inverted amplitude
+    x = np.asarray(horz.cells.x)
+    basis = np.sin(iw.k * x)
+    proj = lambda f: float(np.vdot(basis, f - iw.h1) / np.vdot(basis, basis))
+    a0 = proj(h[:, 0])
     a1 = proj(np.asarray(out.layer_thickness[:, 0]))
-    # inverted to within a few percent (weak nonlinearity + discretization)
     np.testing.assert_allclose(a1, -a0, rtol=0.05)
+    exact = iw.exact_thickness(x, n_half * dt)
+    rmse = float(np.sqrt(np.mean((np.asarray(out.layer_thickness) - exact) ** 2)))
+    assert rmse < 0.05 * iw.amplitude
 
 
 def test_driver_stratified_config(tmp_path):
