@@ -33,11 +33,7 @@ class RungeKutta4:
     """Tag type selecting the RK4 stepper."""
 
 
-def _tracer_concentration(content, h, cell_level_mask):
-    """T = content / h on active levels (content is h*T)."""
-    mask = cell_level_mask[:, None, :]
-    safe_h = jnp.where(mask > 0, h[:, None, :], jnp.ones_like(mask))
-    return content / safe_h * mask
+from ..models.tracers import apply_tracer_update, tracer_concentration
 
 
 def _apply(prog: PrognosticVars, tend, dt, mesh) -> PrognosticVars:
@@ -47,11 +43,10 @@ def _apply(prog: PrognosticVars, tend, dt, mesh) -> PrognosticVars:
     h = prog.layer_thickness + dt * tend.tend_layer_thickness
     tracers = None
     if prog.tracers is not None:
-        content = (
-            prog.layer_thickness[:, None, :] * prog.tracers
-            + dt * tend.tend_tracer
+        tracers = apply_tracer_update(
+            prog.tracers, prog.layer_thickness, h, tend.tend_tracer, dt,
+            mesh.vert.cell_level_mask,
         )
-        tracers = _tracer_concentration(content, h, mesh.vert.cell_level_mask)
     return PrognosticVars(
         ssh=update_ssh(h, mesh), layer_thickness=h, normal_velocity=u,
         tracers=tracers,
@@ -94,7 +89,7 @@ def rk4_step(
         h = h0 + a * dh
         tracers = None
         if with_tracers:
-            tracers = _tracer_concentration(ht0 + a * dht, h, clm)
+            tracers = tracer_concentration(ht0 + a * dht, h, clm)
         return PrognosticVars(
             ssh=update_ssh(h, mesh),
             layer_thickness=h,
@@ -112,7 +107,7 @@ def rk4_step(
     tracers = None
     if with_tracers:
         ht = ht0 + (dt / 6.0) * (k1t + 2.0 * k2t + 2.0 * k3t + k4t)
-        tracers = _tracer_concentration(ht, h, clm)
+        tracers = tracer_concentration(ht, h, clm)
     return PrognosticVars(ssh=update_ssh(h, mesh), layer_thickness=h,
                           normal_velocity=u, tracers=tracers)
 

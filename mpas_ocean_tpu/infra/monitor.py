@@ -17,13 +17,36 @@ import numpy as np
 
 __all__ = ["series_records", "write_jsonl", "format_table", "check_health"]
 
+# metrics that are deliberately NaN-filled when their physics is off (the
+# schema stays stable across runs); an all-NaN series for any OTHER metric
+# is a genuine blow-up and must be reported, not skipped
+_OPTIONAL_METRICS = frozenset({"pot_enstrophy"})
+
+
+def _scalar_series(series: dict) -> dict:
+    """Flatten vector-valued metrics (e.g. per-tracer ``tracer_content`` of
+    shape (n, nT)) into one scalar series per component."""
+    out = {}
+    for k in sorted(series):
+        a = np.asarray(series[k])
+        if a.ndim <= 1:
+            out[k] = a
+        else:
+            flat = a.reshape(a.shape[0], -1)
+            for j in range(flat.shape[1]):
+                out[f"{k}_{j}"] = flat[:, j]
+    return out
+
 
 def series_records(series: dict, dt: float, every: int) -> list[dict]:
-    """Device series dict of (n,) arrays -> list of per-sample records.
-    Metrics that are NaN at every sample were not computed for this run
-    (e.g. pot_enstrophy in linear rollouts) and are dropped."""
-    arrs = {k: np.asarray(series[k]) for k in sorted(series)}
-    keys = [k for k, a in arrs.items() if not np.isnan(a).all()]
+    """Device series dict of (n,) or (n, ...) arrays -> per-sample records.
+    Metrics that are deliberately NaN at every sample (pot_enstrophy in
+    linear rollouts) are dropped; vector metrics get one column per slot."""
+    arrs = _scalar_series(series)
+    keys = [
+        k for k, a in arrs.items()
+        if not (k in _OPTIONAL_METRICS and np.isnan(a).all())
+    ]
     n = len(next(iter(arrs.values())))
     return [
         {"step": (i + 1) * every, "time": (i + 1) * every * float(dt),
@@ -56,11 +79,11 @@ def check_health(series: dict, volume_rtol: float = 1e-10) -> list[str]:
     """Scan the series for red flags; returns human-readable warnings
     (empty = healthy): non-finite fields, volume-conservation drift."""
     warnings = []
-    for k, v in series.items():
+    for k, v in _scalar_series(series).items():
         a = np.asarray(v)
-        if np.isnan(a).all():
-            # metric not computed for this run (e.g. pot_enstrophy is
-            # NaN-filled in linear rollouts) — not a health failure
+        if k in _OPTIONAL_METRICS and np.isnan(a).all():
+            # metric not computed for this run (pot_enstrophy is NaN-filled
+            # in linear rollouts) — not a health failure
             continue
         if not np.isfinite(a).all():
             warnings.append(f"{k} went non-finite at sample {int(np.argmax(~np.isfinite(a)))}")

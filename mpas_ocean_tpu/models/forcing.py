@@ -55,16 +55,6 @@ class Forcing:
     drag_quadratic: jax.Array  # scalar
     rayleigh: jax.Array  # scalar
 
-    @property
-    def is_null(self) -> bool:
-        """True when every term is statically zero (host-side helper)."""
-        return (
-            float(jnp.max(jnp.abs(self.wind_edge))) == 0.0
-            and float(self.drag_linear) == 0.0
-            and float(self.drag_quadratic) == 0.0
-            and float(self.rayleigh) == 0.0
-        )
-
 
 def make_forcing(
     mesh,

@@ -22,6 +22,7 @@ from ..constants import GRAVITY
 from ..ops.bsr import Bsr, bsr_matvec, trisk_matrices
 from ..utils.pytree import pytree_dataclass
 from .shallow_water import PrognosticVars
+from .tracers import tracer_concentration as _tracer_concentration
 
 __all__ = ["MatrixModel", "matrix_step", "matrix_run_loop"]
 
@@ -144,12 +145,6 @@ def _matrix_tracer_tendency(tracers, flux, h_edge, mm: MatrixModel,
     ne = fl.shape[0]
     tend = -bsr_matvec(mm.div, fl.reshape(ne, nt * k)).reshape(nc, nt, k)
     return tend * mm.cell_level_mask[:, None, :]
-
-
-def _tracer_concentration(content, h, cell_level_mask):
-    mask = cell_level_mask[:, None, :]
-    safe_h = jnp.where(mask > 0, h[:, None, :], jnp.ones_like(mask))
-    return content / safe_h * mask
 
 
 def _matrix_tendencies(prog: PrognosticVars, mm: MatrixModel,

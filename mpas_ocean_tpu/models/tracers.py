@@ -52,6 +52,7 @@ __all__ = [
     "tracer_edge_value",
     "tracer_tendency",
     "apply_tracer_update",
+    "tracer_concentration",
     "total_tracer_content",
 ]
 
@@ -132,6 +133,20 @@ def tracer_tendency(
     return tend * mesh.vert.cell_level_mask[:, None, :]
 
 
+def tracer_concentration(
+    content: jnp.ndarray, h: jnp.ndarray, cell_level_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """T = content / h on active levels (content is h*T; (nCells, nT, K)).
+
+    The canonical masked divide every unstructured path shares (the
+    structured planes have their own layout variant): live cells divide by
+    h unconditionally, inactive levels stay exactly zero.
+    """
+    mask = cell_level_mask[:, None, :]
+    safe_h = jnp.where(mask > 0, h[:, None, :], jnp.ones_like(mask))
+    return content / safe_h * mask
+
+
 def apply_tracer_update(
     tracers: jnp.ndarray,
     h_old: jnp.ndarray,
@@ -146,10 +161,8 @@ def apply_tracer_update(
     conserves); the carried state is the concentration T, re-derived after
     the continuity update. Inactive levels stay exactly zero.
     """
-    mask = cell_level_mask[:, None, :]
     content = h_old[:, None, :] * tracers + dt * tend_hT
-    safe_h = jnp.where(mask > 0, h_new[:, None, :], jnp.ones_like(mask))
-    return content / safe_h * mask
+    return tracer_concentration(content, h_new, cell_level_mask)
 
 
 def total_tracer_content(tracers, layer_thickness, mesh) -> jnp.ndarray:

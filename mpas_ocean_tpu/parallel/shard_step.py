@@ -211,10 +211,10 @@ def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
     ht0 = h0[:, None, :] * prog.tracers if with_tracers else None
     clm = lmesh.vert.cell_level_mask
 
+    from ..models.tracers import tracer_concentration
+
     def concentration(content, h):
-        mask = clm[:, None, :]
-        safe_h = jnp.where(mask > 0, h[:, None, :], jnp.ones_like(mask))
-        return content / safe_h * mask
+        return tracer_concentration(content, h, clm)
 
     def stage(du, dh, dht, a):
         h = h0 + a * dh
@@ -539,14 +539,12 @@ class ShardedModel:
                     u = prog.normal_velocity + dt * tu
                     tracers = None
                     if prog.tracers is not None:
-                        mask = lmesh.vert.cell_level_mask[:, None, :]
-                        content = (
-                            prog.layer_thickness[:, None, :] * prog.tracers
-                            + dt * tt
+                        from ..models.tracers import apply_tracer_update
+
+                        tracers = apply_tracer_update(
+                            prog.tracers, prog.layer_thickness, h, tt, dt,
+                            lmesh.vert.cell_level_mask,
                         )
-                        safe = jnp.where(mask > 0, h[:, None, :],
-                                         jnp.ones_like(mask))
-                        tracers = content / safe * mask
                     prog = PrognosticVars(
                         ssh=update_ssh(h, lmesh), layer_thickness=h,
                         normal_velocity=u, tracers=tracers,
@@ -626,14 +624,12 @@ class ShardedModel:
                     u = prog.normal_velocity + dt * tu
                     tracers = None
                     if prog.tracers is not None:
-                        mask = lmesh.vert.cell_level_mask[:, None, :]
-                        content = (
-                            prog.layer_thickness[:, None, :] * prog.tracers
-                            + dt * tt
+                        from ..models.tracers import apply_tracer_update
+
+                        tracers = apply_tracer_update(
+                            prog.tracers, prog.layer_thickness, h, tt, dt,
+                            lmesh.vert.cell_level_mask,
                         )
-                        safe = jnp.where(mask > 0, h[:, None, :],
-                                         jnp.ones_like(mask))
-                        tracers = content / safe * mask
                     prog = PrognosticVars(
                         ssh=update_ssh(h, lmesh), layer_thickness=h,
                         normal_velocity=u, tracers=tracers,

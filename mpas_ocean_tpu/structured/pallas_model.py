@@ -1004,10 +1004,14 @@ def _adjoint_segment_kernel(
             cmask_ref, *rest = rest
             cmask = tuple(cmask_ref[p] for p in range(2))
         tr_ref, gt_ref, *rest = rest
-        gs_out, gh_out, gu_out, gt_out, ddt_out = rest
+        gs_out, gh_out, gu_out, gt_out, *rest = rest
     else:
         tr_ref = gt_ref = gt_out = None
-        gs_out, gh_out, gu_out, ddt_out = rest
+        gs_out, gh_out, gu_out, *rest = rest
+    if stratified:
+        dsw_out, ddt_out = rest
+    else:
+        (ddt_out,) = rest
     dt = scal_ref[0, 0]
     inv_dc = scal_ref[0, 1]
     s_div = scal_ref[0, 2]
@@ -1015,11 +1019,11 @@ def _adjoint_segment_kernel(
     f_edge = tuple(f_ref[c] for c in range(6))
     rts = tuple(rts_ref[p] for p in range(2))
 
-    def step_fn(s, t):
+    def step_fn(s, t, w):
         ssh, h, u, tr = s
         return _step_planes(
             ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks, nl,
-            tr, tropts, cmask, strat_w,
+            tr, tropts, cmask, w,
         )
 
     # forward recompute: b primal states live in VMEM (b is chosen so they
@@ -1031,7 +1035,7 @@ def _adjoint_segment_kernel(
         tuple(tr_ref[i] for i in range(2 * n_tracers)) if n_tracers else None,
     )]
     for _ in range(b - 1):
-        states.append(step_fn(states[-1], dt))
+        states.append(step_fn(states[-1], dt, strat_w))
 
     cot = (
         tuple(gs_ref[p] for p in range(2)),
@@ -1040,10 +1044,13 @@ def _adjoint_segment_kernel(
         tuple(gt_ref[i] for i in range(2 * n_tracers)) if n_tracers else None,
     )
     ddt = jnp.zeros((), dt.dtype)
+    dsw = jnp.zeros_like(strat_w) if stratified else None
     for j in range(b - 1, -1, -1):
-        _, vjp = jax.vjp(step_fn, states[j], dt)
-        cot, ddt_j = vjp(cot)
+        _, vjp = jax.vjp(step_fn, states[j], dt, strat_w)
+        cot, ddt_j, dsw_j = vjp(cot)
         ddt = ddt + ddt_j
+        if stratified:
+            dsw = dsw + dsw_j
     for p in range(2):
         gs_out[p] = cot[0][p]
         gh_out[p] = cot[1][p]
@@ -1051,6 +1058,8 @@ def _adjoint_segment_kernel(
         gu_out[c] = cot[2][c]
     for i in range(2 * n_tracers):
         gt_out[i] = cot[3][i]
+    if stratified:
+        dsw_out[...] = dsw
     ddt_out[...] = ddt[None, None]
 
 
@@ -1096,6 +1105,8 @@ def _adjoint_segment(
         operands += (tr, gt)
         aliases[len(operands) - 1] = 3
         out_shape.append(jax.ShapeDtypeStruct(gt.shape, gt.dtype))
+    if strat_w is not None:
+        out_shape.append(jax.ShapeDtypeStruct(strat_w.shape, strat_w.dtype))
     out_shape.append(jax.ShapeDtypeStruct((1, 1), scal.dtype))
     n_in = len(operands)
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
@@ -1124,11 +1135,12 @@ def _adjoint_segment(
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
-    if with_tr:
-        gs2, gh2, gu2, gt2, ddt = out
-        return (gs2, gh2, gu2, gt2), ddt[0, 0]
-    gs2, gh2, gu2, ddt = out
-    return (gs2, gh2, gu2), ddt[0, 0]
+    if strat_w is not None:
+        *cot_out, dsw, ddt = out
+    else:
+        *cot_out, ddt = out
+        dsw = None
+    return tuple(cot_out), ddt[0, 0], dsw
 
 
 # the adjoint segment kernel is the VMEM-hungriest thing in the repo (b
@@ -1214,11 +1226,13 @@ def _pallas_adjoint_from_ckpts(
     """Reverse sweep given the outer checkpoints: per outer group (reversed),
     rebuild the m inner checkpoints with the fused forward kernel, then
     reverse-scan the fused adjoint segment kernel over them.
-    ``cot0`` is (gs, gh, gu[, gt]); returns (cot_start tuple, d_dt)."""
+    ``cot0`` is (gs, gh, gu[, gt]); returns (cot_start tuple, d_dt,
+    d_strat_w-or-None)."""
     with_tr = len(cot0) == 4
+    stratified = strat_w is not None
 
     def rev_outer(carry, ckpt):
-        cot, ddt = carry
+        cot, ddt, dsw = carry
 
         def fwd_inner(c, _):
             o = _pallas_rollout(
@@ -1232,24 +1246,27 @@ def _pallas_adjoint_from_ckpts(
         _, inner_ckpts = jax.lax.scan(fwd_inner, ckpt, length=m)
 
         def rev_inner(carry2, ick):
-            cot2, ddt2 = carry2
-            cot2, ddt_j = _adjoint_segment(
+            cot2, ddt2, dsw2 = carry2
+            cot2, ddt_j, dsw_j = _adjoint_segment(
                 ick, cot2, f_edge, rts, scal, mask, f_vert, cmask, strat_w,
                 terms=terms, b=b, interpret=interpret, nl_terms=nl_terms,
                 tropts=tropts,
             )
-            return (cot2, ddt2 + ddt_j), None
+            if stratified:
+                dsw2 = dsw2 + dsw_j
+            return (cot2, ddt2 + ddt_j, dsw2), None
 
-        (cot, ddt), _ = jax.lax.scan(
-            rev_inner, (cot, ddt), inner_ckpts, reverse=True
+        (cot, ddt, dsw), _ = jax.lax.scan(
+            rev_inner, (cot, ddt, dsw), inner_ckpts, reverse=True
         )
-        return (cot, ddt), None
+        return (cot, ddt, dsw), None
 
-    (cot, ddt), _ = jax.lax.scan(
-        rev_outer, (tuple(cot0), jnp.zeros((), scal.dtype)),
+    dsw0 = jnp.zeros_like(strat_w) if stratified else None
+    (cot, ddt, dsw), _ = jax.lax.scan(
+        rev_outer, (tuple(cot0), jnp.zeros((), scal.dtype), dsw0),
         outer_ckpts, reverse=True,
     )
-    return cot, ddt
+    return cot, ddt, dsw
 
 
 def _adjoint_aux(mesh: StructMesh, dt, dtype):
@@ -1318,7 +1335,7 @@ def pallas_adjoint_rollout(
     )
     if n_tr:
         cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
-    cot, ddt = _pallas_adjoint_from_ckpts(
+    cot, ddt, _ = _pallas_adjoint_from_ckpts(
         ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw,
         terms=mesh.coriolis_terms, b=b, m=m, interpret=bool(interpret),
         nl_terms=nl_terms, tropts=tropts,
@@ -1431,9 +1448,6 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
 
 def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
     ckpts, state, mesh, dt, strat = res
-    d_strat = (
-        None if strat is None else jax.tree.map(jnp.zeros_like, strat)
-    )
     if ckpts is not None:
         plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
         b, m = plan
@@ -1454,23 +1468,42 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
         )
         if n_tr:
             cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
-        cot, ddt = _pallas_adjoint_from_ckpts(
+        cot, ddt, dsw = _pallas_adjoint_from_ckpts(
             ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw,
             terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
             nl_terms=nl_terms, tropts=tropts,
         )
         d_state = _cot_from_planes(cot, ny2, nx, k)
         d_dt = ddt.astype(jnp.asarray(dt).dtype)
+        d_strat = None
+        if strat is not None:
+            # densities only parameterize phi_weights host-side: their
+            # cotangent through the rollout is zero by construction
+            d_strat = strat.replace(
+                phi_weights=dsw.astype(strat.phi_weights.dtype),
+                densities=jnp.zeros_like(strat.densities),
+            )
         return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat
-    # fallback (CPU / beyond-VMEM meshes): sqrt-checkpointed roll reverse
-    _, vjp = jax.vjp(
-        lambda s, t: _checkpointed_roll_rollout(
-            s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind,
-            strat,
-        ),
-        state, dt,
-    )
-    d_state, d_dt = vjp(g)
+    # fallback (CPU / beyond-VMEM meshes): sqrt-checkpointed roll reverse —
+    # strat is a differentiated input here too, so d(phi_weights) is exact
+    if strat is None:
+        _, vjp = jax.vjp(
+            lambda s, t: _checkpointed_roll_rollout(
+                s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind
+            ),
+            state, dt,
+        )
+        d_state, d_dt = vjp(g)
+        d_strat = None
+    else:
+        _, vjp = jax.vjp(
+            lambda s, t, w: _checkpointed_roll_rollout(
+                s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind,
+                w,
+            ),
+            state, dt, strat,
+        )
+        d_state, d_dt, d_strat = vjp(g)
     return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat
 
 
@@ -1496,17 +1529,24 @@ def _step_fwd(state, mesh, dt, tracer_kappa=0.0, tracer_upwind=1.0,
 
 def _step_bwd(tracer_kappa, tracer_upwind, res, g):
     state, mesh, dt, strat = res
-    _, vjp = jax.vjp(
-        lambda s, t: structured_step(s, mesh, t, tracer_kappa=tracer_kappa,
-                                     tracer_upwind=tracer_upwind,
-                                     strat=strat),
-        state, dt,
-    )
-    d_state, d_dt = vjp(g)
     d_mesh = jax.tree.map(jnp.zeros_like, mesh)
-    d_strat = (
-        None if strat is None else jax.tree.map(jnp.zeros_like, strat)
+    if strat is None:
+        _, vjp = jax.vjp(
+            lambda s, t: structured_step(s, mesh, t,
+                                         tracer_kappa=tracer_kappa,
+                                         tracer_upwind=tracer_upwind),
+            state, dt,
+        )
+        d_state, d_dt = vjp(g)
+        return d_state, d_mesh, d_dt, None
+    _, vjp = jax.vjp(
+        lambda s, t, w: structured_step(s, mesh, t,
+                                        tracer_kappa=tracer_kappa,
+                                        tracer_upwind=tracer_upwind,
+                                        strat=w),
+        state, dt, strat,
     )
+    d_state, d_dt, d_strat = vjp(g)
     return d_state, d_mesh, d_dt, d_strat
 
 

@@ -190,6 +190,89 @@ def test_fused_adjoint_with_strat(strat_setup):
         np.testing.assert_allclose(b, a, atol=1e-11 * max(1.0, np.abs(a).max()))
 
 
+def test_strat_gradient_flows_and_matches(strat_setup):
+    """d(objective)/d(phi_weights) is nonzero and identical whether it flows
+    through pallas_rollout_diff's custom VJP or plain AD of the roll model
+    (the review found the custom VJP silently returning zeros)."""
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _checkpointed_roll_rollout,
+        pallas_rollout_diff,
+    )
+
+    mesh, prog, strat = strat_setup
+    sm = StructuredModel(mesh, 16, 16)
+    st = sm.to_struct(prog)
+    n = 5
+
+    def f_diff(w):
+        out = pallas_rollout_diff(st, sm.struct_mesh, DT, n, False, 0.0,
+                                  1.0, w)
+        return jnp.sum(out.ssh ** 2)
+
+    def f_roll(w):
+        out = _checkpointed_roll_rollout(st, sm.struct_mesh, DT, n, strat=w)
+        return jnp.sum(out.ssh ** 2)
+
+    g1 = jax.grad(f_diff)(strat)
+    g2 = jax.grad(f_roll)(strat)
+    assert float(jnp.abs(g2.phi_weights).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(g1.phi_weights), np.asarray(g2.phi_weights), rtol=1e-10
+    )
+
+
+def test_fused_segment_strat_weight_cotangent(strat_setup):
+    """The fused adjoint-segment kernels accumulate d(phi_weights) too
+    (interpret mode): matches the roll-model gradient."""
+    from mpas_ocean_tpu.structured.model import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _adjoint_aux,
+        _checkpointed_roll_rollout,
+        _nl_setup,
+        _pallas_adjoint_from_ckpts,
+        _pallas_forward_ckpts,
+        _strat_w,
+    )
+
+    mesh, prog, strat = strat_setup
+    sm = StructuredModel(mesh, 16, 16)
+    smesh = sm.struct_mesh
+    st = sm.to_struct(prog)
+    n, b, m = 6, 2, 3
+    dtype = st.layer_thickness.dtype
+    f_edge, rts, scal, mask = _adjoint_aux(smesh, DT, dtype)
+    sw = _strat_w(strat, dtype)
+    ny2, nx = smesh.ny2, smesh.nx
+    k = st.layer_thickness.shape[-1]
+    _, ckpts = _pallas_forward_ckpts(
+        st.ssh[..., None], st.layer_thickness,
+        st.normal_velocity.reshape(6, ny2, nx, k),
+        f_edge, rts, scal, mask, None, None, None, sw,
+        terms=smesh.coriolis_terms, n_steps=n, big=b * m, interpret=True,
+    )
+    out = _checkpointed_roll_rollout(st, smesh, DT, n, strat=strat)
+    cot0 = (
+        (2 * out.ssh)[..., None].astype(dtype),
+        jnp.zeros_like(out.layer_thickness),
+        jnp.zeros((6, ny2, nx, k), dtype),
+    )
+    _, _, dsw = _pallas_adjoint_from_ckpts(
+        ckpts, f_edge, rts, scal, cot0, mask, None, None, sw,
+        terms=smesh.coriolis_terms, b=b, m=m, interpret=True,
+    )
+
+    def f_roll(w):
+        o = _checkpointed_roll_rollout(st, smesh, DT, n, strat=w)
+        return jnp.sum(o.ssh ** 2)
+
+    g_ref = jax.grad(f_roll)(strat).phi_weights
+    np.testing.assert_allclose(
+        np.asarray(dsw), np.asarray(g_ref),
+        atol=1e-10 * max(1.0, float(jnp.abs(g_ref).max())),
+    )
+
+
 def test_two_layer_internal_wave_speed():
     """A standing baroclinic mode (interface tilted, surface flat) must
     oscillate at omega = c1*k with c1^2 = g' H1 H2/(H1+H2): run half a

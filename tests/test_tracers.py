@@ -504,3 +504,42 @@ def test_gradient_through_velocity(tracer_setup):
     fd = (float(objective(prog.normal_velocity + eps * basis))
           - float(objective(prog.normal_velocity - eps * basis))) / (2 * eps)
     np.testing.assert_allclose(float(g[i, 0]), fd, rtol=1e-5, atol=1e-8)
+
+
+def test_monitor_with_vector_tracer_metric(tracer_setup, tmp_path):
+    """Two-tracer monitored runs: the (n, nT) tracer_content series flattens
+    to one scalar column per tracer in the JSONL records (review finding:
+    float() on the vector crashed the monitor at end of run)."""
+    import json
+
+    from mpas_ocean_tpu.forward.run_loop import ocn_run_loop_with_monitor
+    from mpas_ocean_tpu.infra.monitor import check_health, write_jsonl
+
+    mesh, prog = tracer_setup
+    _, series = ocn_run_loop_with_monitor(prog, mesh, DT, 6, 3)
+    path = tmp_path / "mon.jsonl"
+    write_jsonl(path, jax.tree.map(np.asarray, series), DT, 3)
+    recs = [json.loads(l) for l in open(path)]
+    assert len(recs) == 2
+    assert "tracer_content_0" in recs[0] and "tracer_content_1" in recs[0]
+    # content conserved across samples
+    np.testing.assert_allclose(
+        recs[0]["tracer_content_1"], recs[1]["tracer_content_1"], rtol=1e-12
+    )
+    assert check_health(jax.tree.map(np.asarray, series)) == []
+
+
+def test_monitor_reports_total_blowup():
+    """A series that is NaN from the first sample must be reported (review
+    finding: the all-NaN skip meant a full blow-up looked healthy)."""
+    from mpas_ocean_tpu.infra.monitor import check_health
+
+    series = {
+        "volume": np.array([np.nan, np.nan]),
+        "max_abs_u": np.array([np.nan, np.nan]),
+        "pot_enstrophy": np.array([np.nan, np.nan]),  # deliberate placeholder
+    }
+    warnings = check_health(series)
+    assert any("volume" in w for w in warnings)
+    assert any("max_abs_u" in w for w in warnings)
+    assert not any("pot_enstrophy" in w for w in warnings)
