@@ -75,7 +75,12 @@ from .models.stratification import (
     montgomery_potential,
 )
 from .models.forcing import Forcing, forcing_tendency, make_forcing
-from .forward.time_integration import ForwardEuler, RungeKutta4, ocn_timestep
+from .forward.time_integration import (
+    ForwardBackward,
+    ForwardEuler,
+    RungeKutta4,
+    ocn_timestep,
+)
 from .forward.run_loop import ocn_run_loop, ocn_run_loop_objective
 
 __all__ = [
@@ -120,6 +125,7 @@ __all__ = [
     "tracer_tendency",
     "matrix_run_loop",
     "matrix_step",
+    "ForwardBackward",
     "ForwardEuler",
     "RungeKutta4",
     "ocn_timestep",

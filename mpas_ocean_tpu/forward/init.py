@@ -24,9 +24,13 @@ from ..mesh.io import (
 from ..infra.netcdf import read_netcdf
 from ..mesh.mesh import Mesh
 from ..models.shallow_water import PrognosticVars
-from .time_integration import ForwardEuler, RungeKutta4
+from .time_integration import ForwardBackward, ForwardEuler, RungeKutta4
 
-_INTEGRATORS = {"ForwardEuler": ForwardEuler, "RungeKutta4": RungeKutta4}
+_INTEGRATORS = {
+    "ForwardEuler": ForwardEuler,
+    "RungeKutta4": RungeKutta4,
+    "ForwardBackward": ForwardBackward,
+}
 
 
 @dataclass

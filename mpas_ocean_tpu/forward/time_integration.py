@@ -19,9 +19,12 @@ import jax.numpy as jnp
 from ..models.shallow_water import (
     PrognosticVars,
     compute_diagnostics,
+    compute_layer_thickness_tendency,
+    compute_normal_velocity_tendency,
     compute_tendencies,
     update_ssh,
 )
+from ..models.tracers import apply_tracer_update, tracer_concentration
 
 
 class ForwardEuler:
@@ -33,7 +36,12 @@ class RungeKutta4:
     """Tag type selecting the RK4 stepper."""
 
 
-from ..models.tracers import apply_tracer_update, tracer_concentration
+class ForwardBackward:
+    """Tag type selecting the forward-backward stepper: thickness first with
+    the old velocity, then velocity against the NEW pressure gradient — the
+    standard neutrally-stable shallow-water gravity-wave scheme (CFL ~ 2 vs
+    forward Euler's unconditional weak instability). BEYOND the reference,
+    whose only live stepper is plain FE (time_integration.jl:150-193)."""
 
 
 def _apply(prog: PrognosticVars, tend, dt, mesh) -> PrognosticVars:
@@ -63,6 +71,42 @@ def forward_euler_step(
     tend = compute_tendencies(prog, diag, mesh, del2_coeff, nonlinear, forcing,
                               tracer_kappa, tracer_upwind, strat)
     return _apply(prog, tend, dt, mesh)
+
+
+def forward_backward_step(
+    prog: PrognosticVars, mesh, dt, del2_coeff=0.0, nonlinear: bool = False,
+    forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    strat=None,
+) -> PrognosticVars:
+    """One forward-backward step: h (and tracers) advance with the old
+    flux, then u advances with the pressure gradient of the NEW thickness
+    field (all non-pressure momentum terms stay at the old state)."""
+    diag = compute_diagnostics(prog, mesh)
+    tend_h = compute_layer_thickness_tendency(prog, diag, mesh)
+    h = prog.layer_thickness + dt * tend_h
+    half = PrognosticVars(
+        ssh=update_ssh(h, mesh), layer_thickness=h,
+        normal_velocity=prog.normal_velocity,
+    )
+    tend_u = compute_normal_velocity_tendency(
+        prog, diag, mesh, del2_coeff, nonlinear, forcing, strat,
+        pressure_prog=half,
+    )
+    u = prog.normal_velocity + dt * tend_u
+    tracers = None
+    if prog.tracers is not None:
+        from ..models.tracers import tracer_tendency
+
+        tend_t = tracer_tendency(
+            prog.tracers, diag.thickness_flux, mesh, kappa=tracer_kappa,
+            upwind=tracer_upwind, h_edge=diag.layer_thickness_edge,
+        )
+        tracers = apply_tracer_update(
+            prog.tracers, prog.layer_thickness, h, tend_t, dt,
+            mesh.vert.cell_level_mask,
+        )
+    return PrognosticVars(ssh=half.ssh, layer_thickness=h,
+                          normal_velocity=u, tracers=tracers)
 
 
 def rk4_step(
@@ -112,7 +156,11 @@ def rk4_step(
                           normal_velocity=u, tracers=tracers)
 
 
-_STEPPERS = {ForwardEuler: forward_euler_step, RungeKutta4: rk4_step}
+_STEPPERS = {
+    ForwardEuler: forward_euler_step,
+    RungeKutta4: rk4_step,
+    ForwardBackward: forward_backward_step,
+}
 
 
 def ocn_timestep(

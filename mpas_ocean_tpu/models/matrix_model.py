@@ -24,7 +24,7 @@ from ..utils.pytree import pytree_dataclass
 from .shallow_water import PrognosticVars
 from .tracers import tracer_concentration as _tracer_concentration
 
-__all__ = ["MatrixModel", "matrix_step", "matrix_run_loop"]
+__all__ = ["MatrixModel", "matrix_step", "matrix_fb_step", "matrix_run_loop"]
 
 
 @pytree_dataclass
@@ -228,6 +228,69 @@ def matrix_step(prog: PrognosticVars, mm: MatrixModel, dt,
     )
 
 
+def matrix_fb_step(prog: PrognosticVars, mm: MatrixModel, dt,
+                   nonlinear: bool = False, forcing=None,
+                   tracer_kappa: float = 0.0,
+                   tracer_upwind: float = 1.0, strat=None) -> PrognosticVars:
+    """Forward-backward on the MXU path (mirrors
+    forward/time_integration.forward_backward_step): h and tracers advance
+    with the old flux, then u against the NEW pressure gradient while every
+    other momentum term stays at the old state."""
+    h0, u = prog.layer_thickness, prog.normal_velocity
+    h_edge = bsr_matvec(mm.c2e, h0)
+    flux = u * h_edge
+    tend_h = -bsr_matvec(mm.div, flux) * mm.cell_level_mask
+    h_new = h0 + dt * tend_h
+    ssh_new = _ssh_of(h_new, mm)
+    # full tendencies with the pressure evaluated at the NEW state: reuse
+    # _matrix_tendencies on a hybrid prog (pressure terms only read
+    # ssh/layer_thickness through the strat/grad branch below)
+    if strat is None:
+        tend_u = -GRAVITY * bsr_matvec(mm.grad, ssh_new)[:, None]
+    else:
+        from .stratification import montgomery_potential
+
+        tend_u = -bsr_matvec(
+            mm.grad, montgomery_potential(ssh_new, h_new, strat)
+        )
+    if nonlinear:
+        if mm.tang is None:
+            raise ValueError(
+                "MatrixModel was built without nonlinear operators; "
+                "rebuild with MatrixModel.from_mesh(..., nonlinear=True)"
+            )
+        ke = bsr_matvec(mm.ke, u * u)
+        tend_u = tend_u - bsr_matvec(mm.grad, ke)
+        zeta = bsr_matvec(mm.curl, u)
+        h_v = bsr_matvec(mm.c2v, h0)
+        vmask = mm.vertex_level_mask
+        safe_h = jnp.where(vmask > 0, h_v, jnp.ones_like(h_v))
+        q_v = (mm.f_vertex[:, None] + zeta) / safe_h * vmask
+        q_e = bsr_matvec(mm.v2e, q_v)
+        half = jnp.asarray(0.5, u.dtype)
+        tend_u = tend_u + half * (
+            q_e * bsr_matvec(mm.tang, flux) + bsr_matvec(mm.tang, flux * q_e)
+        )
+        if mm.corf is not None:
+            tend_u = tend_u + bsr_matvec(mm.corf, u)
+    else:
+        tend_u = tend_u + bsr_matvec(mm.corf, u)
+    if forcing is not None:
+        from .forcing import forcing_tendency
+
+        tend_u = tend_u + forcing_tendency(u, h_edge, forcing)
+    u_new = u + dt * (tend_u * mm.edge_mask_lv)
+    tracers = None
+    if prog.tracers is not None:
+        tend_t = _matrix_tracer_tendency(
+            prog.tracers, flux, h_edge, mm, tracer_kappa, tracer_upwind
+        )
+        content = h0[:, None, :] * prog.tracers + dt * tend_t
+        tracers = _tracer_concentration(content, h_new, mm.cell_level_mask)
+    return PrognosticVars(ssh=ssh_new, layer_thickness=h_new,
+                          normal_velocity=u_new, tracers=tracers)
+
+
 def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
                     nonlinear: bool = False, forcing=None,
                     tracer_kappa: float = 0.0,
@@ -268,13 +331,16 @@ def matrix_rk4_step(prog: PrognosticVars, mm: MatrixModel, dt,
 
 
 @partial(jax.jit, static_argnames=("n_steps", "rk4", "nonlinear",
-                                   "tracer_kappa", "tracer_upwind"))
+                                   "tracer_kappa", "tracer_upwind", "fb"))
 def matrix_run_loop(
     prog: PrognosticVars, mm: MatrixModel, dt, n_steps: int, rk4: bool = False,
     nonlinear: bool = False, forcing=None,
     tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
+    fb: bool = False,
 ) -> PrognosticVars:
-    step = matrix_rk4_step if rk4 else matrix_step
+    if rk4 and fb:
+        raise ValueError("rk4 and fb are mutually exclusive")
+    step = matrix_rk4_step if rk4 else (matrix_fb_step if fb else matrix_step)
 
     def body(p, _):
         return step(p, mm, dt, nonlinear, forcing,

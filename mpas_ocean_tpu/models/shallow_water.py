@@ -175,7 +175,7 @@ def del2_tendency(normal_velocity: jnp.ndarray, mesh, coeff) -> jnp.ndarray:
 
 def compute_normal_velocity_tendency(
     prog: PrognosticVars, diag: DiagnosticVars, mesh, del2_coeff: float = 0.0,
-    nonlinear: bool = False, forcing=None, strat=None,
+    nonlinear: bool = False, forcing=None, strat=None, pressure_prog=None,
 ) -> jnp.ndarray:
     """du/dt = -g * grad(ssh) + Coriolis/advection [+ del2 mixing]
     [+ wind / bottom-drag / Rayleigh forcing].
@@ -195,9 +195,13 @@ def compute_normal_velocity_tendency(
     energy-conserving scheme (Ringler et al. 2010) MPAS-Ocean itself uses.
     """
     edges = mesh.edges
+    # ``pressure_prog`` overrides the state the PRESSURE terms read — the
+    # forward-backward stepper evaluates them at the freshly-updated
+    # thickness while every other term stays at the old state
+    pp = prog if pressure_prog is None else pressure_prog
     if strat is None:
         # pressure gradient: tend -= g * (ssh[c2]-ssh[c1])/dc, all levels
-        grad_ssh = gradient_on_edge(prog.ssh, mesh)  # (nEdges,)
+        grad_ssh = gradient_on_edge(pp.ssh, mesh)  # (nEdges,)
         tend = -GRAVITY * grad_ssh[:, None] * mesh.vert.edge_level_mask
     else:
         # layered baroclinic pressure: per-layer Montgomery potential
@@ -205,7 +209,7 @@ def compute_normal_velocity_tendency(
         # edge gradient; equal densities reduce to the branch above
         from .stratification import montgomery_potential
 
-        phi = montgomery_potential(prog.ssh, prog.layer_thickness, strat)
+        phi = montgomery_potential(pp.ssh, pp.layer_thickness, strat)
         tend = -gradient_on_edge(phi, mesh) * mesh.vert.edge_level_mask
 
     if nonlinear:

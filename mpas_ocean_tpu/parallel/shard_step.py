@@ -36,7 +36,12 @@ from ..ops.operators import (
     interpolate_cell_to_edge,
     interpolate_vertex_to_edge,
 )
-from ..forward.time_integration import ForwardEuler, RungeKutta4, ocn_timestep
+from ..forward.time_integration import (
+    ForwardBackward,
+    ForwardEuler,
+    RungeKutta4,
+    ocn_timestep,
+)
 from ..utils.pytree import pytree_dataclass
 from .partition import PartitionedMesh, build_partition
 from .ppermute import (
@@ -179,6 +184,71 @@ def sharded_nonlinear_rates(p: PrognosticVars, lmesh, refresh_fields,
             upwind=tracer_upwind, h_edge=h_edge,
         )
     return tend_u, tend_h, tend_t
+
+
+def sharded_fb_step(prog: PrognosticVars, lmesh, dt, refresh_fields,
+                    nonlinear: bool = False, forcing=None,
+                    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+                    strat=None) -> PrognosticVars:
+    """Forward-backward inside shard_map: the velocity stage reads the NEW
+    thickness's pressure gradient, whose stencil reaches one ring past what
+    the locally-computable h_new covers — so (h_new, ssh_new) are refreshed
+    mid-step with one derived-field round (the same machinery the nonlinear
+    step uses; in nonlinear runs the two rounds merge into one exchange).
+    Mirrors forward/time_integration.forward_backward_step for owned
+    elements to f64 roundoff."""
+    h_edge = interpolate_cell_to_edge(prog.layer_thickness, lmesh)
+    flux = prog.normal_velocity * h_edge
+    tend_h = -divergence_on_cell(flux, lmesh) * lmesh.vert.cell_level_mask
+    h_new = prog.layer_thickness + dt * tend_h
+    ssh2 = update_ssh(h_new, lmesh)[:, None]
+    elm = lmesh.vert.edge_level_mask
+    if nonlinear:
+        ke = kinetic_energy_on_cell(prog.normal_velocity, lmesh)
+        q_v = potential_vorticity_on_vertex(prog, lmesh)
+        q_e = interpolate_vertex_to_edge(q_v, lmesh)
+        (h_new, ssh2, ke), (flux, q_e) = refresh_fields(
+            (h_new, ssh2, ke), (flux, q_e)
+        )
+    else:
+        (h_new, ssh2), _ = refresh_fields((h_new, ssh2), ())
+    ssh_new = ssh2[:, 0]
+    if strat is None:
+        tend_u = -GRAVITY * gradient_on_edge(ssh_new, lmesh)[:, None] * elm
+    else:
+        from ..models.stratification import montgomery_potential
+
+        phi = montgomery_potential(ssh_new, h_new, strat)
+        tend_u = -gradient_on_edge(phi, lmesh) * elm
+    if nonlinear:
+        tend_u = tend_u - gradient_on_edge(ke, lmesh) * elm
+        tend_u = tend_u + pv_flux_tendency(q_e, flux, lmesh) * elm
+    else:
+        uf = prog.normal_velocity * lmesh.edges.f[:, None]
+        from ..ops.operators import tangential_reconstruction
+
+        tend_u = tend_u + tangential_reconstruction(uf, lmesh) * elm
+    if forcing is not None:
+        from ..models.forcing import forcing_tendency
+
+        tend_u = tend_u + forcing_tendency(prog.normal_velocity, h_edge,
+                                           forcing)
+    tend_u = tend_u * lmesh.edges.edge_mask[:, None]
+    u_new = prog.normal_velocity + dt * tend_u
+    tracers = None
+    if prog.tracers is not None:
+        from ..models.tracers import apply_tracer_update, tracer_tendency
+
+        tend_t = tracer_tendency(
+            prog.tracers, flux, lmesh, kappa=tracer_kappa,
+            upwind=tracer_upwind, h_edge=h_edge,
+        )
+        tracers = apply_tracer_update(
+            prog.tracers, prog.layer_thickness, h_new, tend_t, dt,
+            lmesh.vert.cell_level_mask,
+        )
+    return PrognosticVars(ssh=ssh_new, layer_thickness=h_new,
+                          normal_velocity=u_new, tracers=tracers)
 
 
 def sharded_rk4_step(prog: PrognosticVars, lmesh, dt, refresh,
@@ -506,7 +576,7 @@ class ShardedModel:
 
         exchange = self._exchange_fn()
         exchange_fields = self._exchange_fields_fn()
-        if method not in (ForwardEuler, RungeKutta4):
+        if method not in (ForwardEuler, RungeKutta4, ForwardBackward):
             raise ValueError(f"unknown sharded time stepper {method!r}")
         use_overlap = mini_args is not None
 
@@ -531,6 +601,15 @@ class ShardedModel:
                         rates=nl_rates if nonlinear else None, forcing=lf,
                         tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
                         strat=ls,
+                    )
+                    return exchange(prog, ex), None
+                if method is ForwardBackward:
+                    prog = sharded_fb_step(
+                        prog, lmesh, dt,
+                        lambda cf, ef: exchange_fields(cf, ef, ex),
+                        nonlinear=nonlinear, forcing=lf,
+                        tracer_kappa=tracer_kappa,
+                        tracer_upwind=tracer_upwind, strat=ls,
                     )
                     return exchange(prog, ex), None
                 if nonlinear:
@@ -586,7 +665,7 @@ class ShardedModel:
                   strat=None):
         """Differentiable sharded rollout + global sum(ssh^2) over owned
         cells (psum over the mesh axis)."""
-        if method not in (ForwardEuler, RungeKutta4):
+        if method not in (ForwardEuler, RungeKutta4, ForwardBackward):
             raise ValueError(f"unknown sharded time stepper {method!r}")
         lforce = self.scatter_forcing(forcing)
         lstrat = self.scatter_strat(strat)
@@ -617,6 +696,14 @@ class ShardedModel:
                         rates=nl_rates if nonlinear else None, forcing=lf,
                         tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
                         strat=ls,
+                    )
+                elif method is ForwardBackward:
+                    prog = sharded_fb_step(
+                        prog, lmesh, dt,
+                        lambda cf, ef: exchange_fields(cf, ef, ex),
+                        nonlinear=nonlinear, forcing=lf,
+                        tracer_kappa=tracer_kappa,
+                        tracer_upwind=tracer_upwind, strat=ls,
                     )
                 elif nonlinear:
                     tu, th, tt = nl_rates(prog)

@@ -398,15 +398,77 @@ def structured_rk4_step(
     )
 
 
+def structured_fb_step(
+    state: StructState, mesh: StructMesh, dt, nonlinear: bool = False,
+    forcing=None, tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+    strat=None,
+) -> StructState:
+    """Forward-backward on the lattice (mirrors
+    forward/time_integration.forward_backward_step)."""
+    h_edge = interp_cell_to_edge(state.layer_thickness, mesh)
+    flux = state.normal_velocity * h_edge
+    h = state.layer_thickness + dt * (-div_on_cell(flux, mesh))
+    ssh = h.sum(-1) - mesh.resting_thickness_sum
+
+    if strat is None:
+        tend_u = -GRAVITY * grad_on_edge(ssh, mesh)[..., None]
+    else:
+        from ..models.stratification import montgomery_potential
+
+        tend_u = -grad_on_edge(montgomery_potential(ssh, h, strat), mesh)
+    if nonlinear:
+        if mesh.edge_mask is not None:
+            raise NotImplementedError(
+                "nonlinear structured dynamics require a fully periodic "
+                "lattice; use the gather or matrix path for walled channels"
+            )
+        ke = kinetic_energy_cell(state.normal_velocity, mesh)
+        tend_u = tend_u - grad_on_edge(ke, mesh)
+        zeta = curl_on_vertex(state.normal_velocity, mesh)
+        h_v = cell_to_vertex_kite(state.layer_thickness, mesh)
+        q_v = (mesh.f_vertex[..., None] + zeta) / h_v
+        q_e = vertex_to_edge_mean(q_v, mesh)
+        half = jnp.asarray(0.5, q_e.dtype)
+        tend_u = tend_u + half * (
+            q_e * tangential_weights_only(flux, mesh)
+            + tangential_weights_only(flux * q_e, mesh)
+        )
+    else:
+        tend_u = tend_u + tangential_times_f(state.normal_velocity, mesh)
+    if forcing is not None:
+        from ..models.forcing import forcing_tendency
+
+        tend_u = tend_u + forcing_tendency(
+            state.normal_velocity, h_edge, forcing
+        )
+    u = state.normal_velocity + dt * tend_u
+    if mesh.edge_mask is not None:
+        u = u * mesh.edge_mask[..., None]
+    tracers = None
+    if state.tracers is not None:
+        tend_t = tracer_tendency_struct(
+            state.tracers, flux, mesh, tracer_kappa, tracer_upwind, h_edge
+        )
+        content = (
+            state.layer_thickness[..., None, :] * state.tracers + dt * tend_t
+        )
+        tracers = _tracer_concentration_struct(content, h, mesh.cell_mask)
+    return StructState(ssh=ssh, layer_thickness=h, normal_velocity=u,
+                       tracers=tracers)
+
+
 @partial(jax.jit, static_argnames=("n_steps", "nonlinear", "tracer_kappa",
-                                   "tracer_upwind", "rk4"))
+                                   "tracer_upwind", "rk4", "fb"))
 def structured_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, forcing=None,
     tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
-    rk4: bool = False, strat=None,
+    rk4: bool = False, strat=None, fb: bool = False,
 ):
-    step = structured_rk4_step if rk4 else structured_step
+    if rk4 and fb:
+        raise ValueError("rk4 and fb are mutually exclusive")
+    step = structured_rk4_step if rk4 else (
+        structured_fb_step if fb else structured_step)
 
     def body(s, _):
         return step(s, mesh, dt, nonlinear, forcing,
@@ -603,8 +665,8 @@ class StructuredModel:
             nonlinear: bool = False, forcing=None,
             tracer_kappa: float = 0.0,
             tracer_upwind: float = 1.0, rk4: bool = False,
-            strat=None) -> StructState:
+            strat=None, fb: bool = False) -> StructState:
         return structured_run_loop(
             state, self.struct_mesh, dt, n_steps, nonlinear, forcing,
-            tracer_kappa, tracer_upwind, rk4, strat,
+            tracer_kappa, tracer_upwind, rk4, strat, fb,
         )

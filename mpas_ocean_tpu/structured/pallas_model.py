@@ -65,7 +65,7 @@ def _shift(x, dm: int, di: int):
 
 def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
                  nl=None, tr=None, tropts=(0.0, 1.0), cmask=None,
-                 strat_w=None):
+                 strat_w=None, fb=False):
     """One forward-Euler step on parity-plane lists.
 
     ssh[p]: (ny2, nx, 1); h[p]: (ny2, nx, K); u[fam*2+p]: (ny2, nx, K);
@@ -117,17 +117,23 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
     # over levels at the end), or per-layer Montgomery potentials when
     # stratified (models/stratification.py — the K x K lane matmul runs on
     # the MXU from VMEM; leading dims collapse is layout-preserving)
+    # forward-backward (fb): the pressure terms read the freshly-updated
+    # thickness/ssh planes (time_integration.ForwardBackward); the
+    # divergence/h update above already produced them, so the fused step
+    # gets the neutrally-stable scheme for free
+    pg_ssh = ssh_new if fb else ssh
+    pg_h = h_new if fb else h
     if strat_w is None:
-        pg_field, pg_scale = ssh, -GRAVITY * dt
+        pg_field, pg_scale = pg_ssh, -GRAVITY * dt
     else:
         pg_field = []
         for p in (0, 1):
             hw = jnp.dot(
-                h[p].reshape(-1, h[p].shape[-1]), strat_w,
-                preferred_element_type=h[p].dtype,
+                pg_h[p].reshape(-1, pg_h[p].shape[-1]), strat_w,
+                preferred_element_type=pg_h[p].dtype,
                 precision=jax.lax.Precision.HIGHEST,
-            ).reshape(h[p].shape)
-            pg_field.append(GRAVITY * ssh[p] + hw)
+            ).reshape(pg_h[p].shape)
+            pg_field.append(GRAVITY * pg_ssh[p] + hw)
         pg_scale = -dt
     grad2 = []
     for fam in (E, NE, NW):
@@ -257,7 +263,7 @@ def _nl_pack(scal_ref, fvert_ref, nl_terms):
 def _rollout_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref, *rest,
     terms, n_steps, masked, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
-    cell_masked=False, stratified=False,
+    cell_masked=False, stratified=False, fb=False,
 ):
     """In-place rollout: inputs are ALIASED to outputs, the state lives in
     the (VMEM) out refs and each iteration reads and rewrites them. The
@@ -308,7 +314,7 @@ def _rollout_kernel(
         )
         ssh_n, h_n, u_n, tr_n = _step_planes(
             ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks, nl,
-            tr, tropts, cmask, strat_w,
+            tr, tropts, cmask, strat_w, fb,
         )
         for p in range(2):
             ssh_out[p] = ssh_n[p]
@@ -324,12 +330,12 @@ def _rollout_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_steps", "interpret", "terms", "nl_terms",
-                              "tropts")
+                              "tropts", "fb")
 )
 def _pallas_rollout(
     ssh, h, u, f_edge, rts, scal, mask=None, f_vert=None, tracers=None,
     cmask=None, strat_w=None, *, terms, n_steps, interpret, nl_terms=None,
-    tropts=(0.0, 1.0),
+    tropts=(0.0, 1.0), fb=False,
 ):
     masked = mask is not None
     n_tracers = 0 if tracers is None else tracers.shape[0] // 2
@@ -337,7 +343,7 @@ def _pallas_rollout(
     kernel = functools.partial(
         _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked,
         nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
-        cell_masked=cell_masked, stratified=strat_w is not None,
+        cell_masked=cell_masked, stratified=strat_w is not None, fb=fb,
     )
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     flops_step = step_flop_count(
@@ -508,7 +514,7 @@ def _strat_w(strat, dtype):
 def pallas_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0, strat=None,
+    tracer_upwind: float = 1.0, strat=None, fb: bool = False,
 ) -> StructState:
     """Run n_steps of the structured model in ONE fused on-chip kernel.
 
@@ -555,7 +561,7 @@ def pallas_run_loop(
         ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask, f_vert,
         tr, cmask, _strat_w(strat, dtype),
         terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
-        nl_terms=nl_terms, tropts=tropts,
+        nl_terms=nl_terms, tropts=tropts, fb=fb,
     )
     ssh_f, h_f, u_f = out[:3]
     tracers = _tr_unplanes(out[3], ny2, nx, k) if n_tr else None
@@ -921,7 +927,7 @@ def pallas_tiled_run_loop(
 def structured_auto_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0, strat=None,
+    tracer_upwind: float = 1.0, strat=None, fb: bool = False,
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
     the state fits, tiled per-step kernel otherwise (tracers and layered
@@ -937,21 +943,24 @@ def structured_auto_run_loop(
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
                                    tracer_kappa=tracer_kappa,
-                                   tracer_upwind=tracer_upwind, strat=strat)
+                                   tracer_upwind=tracer_upwind, strat=strat,
+                                   fb=fb)
     if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize, n_tr):
         return pallas_run_loop(
             state, mesh, dt, n_steps, interpret=False, nonlinear=nonlinear,
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
-            strat=strat,
+            strat=strat, fb=fb,
         )
-    if nonlinear:
-        # the tiled kernel's q-row halos cannot cover the deeper PV-flux
-        # stencil; stream the roll model instead
+    if nonlinear or fb:
+        # the tiled kernel's q-row halos cover neither the deeper PV-flux
+        # stencil nor forward-backward's 2-row-per-step reach; stream the
+        # roll model instead
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
                                    tracer_kappa=tracer_kappa,
-                                   tracer_upwind=tracer_upwind, strat=strat)
+                                   tracer_upwind=tracer_upwind, strat=strat,
+                                   fb=fb)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False,
                                  q=2, tracer_kappa=tracer_kappa,
                                  tracer_upwind=tracer_upwind, strat=strat)
