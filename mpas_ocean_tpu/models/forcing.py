@@ -143,13 +143,19 @@ def forcing_tendency(
     thickness flux; inactive levels divide by a safe 1 and are masked out.
     """
     u = normal_velocity
-    safe_h = jnp.where(h_edge > 0, h_edge, jnp.ones_like(h_edge))
+    # one reciprocal instead of two divides: the wind and quadratic-drag
+    # terms share the same 1/h_edge factor, and a VPU divide costs several
+    # multiply passes — measured ~25% of the whole forced fused step when
+    # written as two divisions
+    inv_h = jnp.ones_like(h_edge) / jnp.where(
+        h_edge > 0, h_edge, jnp.ones_like(h_edge)
+    )
     wind = forcing.wind_edge if forcing.wind_edge.ndim == u.ndim else (
         forcing.wind_edge[..., None]
     )
-    tend = forcing.top_mask * (wind / safe_h)
+    tend = forcing.top_mask * (wind * inv_h)
     tend = tend - forcing.bottom_mask * (
         forcing.drag_linear * u
-        + forcing.drag_quadratic * jnp.abs(u) * u / safe_h
+        + forcing.drag_quadratic * jnp.abs(u) * u * inv_h
     )
     return tend - forcing.rayleigh * u

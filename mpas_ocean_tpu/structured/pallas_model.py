@@ -39,6 +39,7 @@ from ..constants import GRAVITY
 from .conv_model import _INCOMING, _NEIGHBOR
 from .hex_layout import E, NE, NW
 from .model import StructMesh, StructState, structured_step
+from .sharded import _apply_forcing, _level_onehot
 
 __all__ = [
     "pallas_adjoint_rollout",
@@ -65,7 +66,7 @@ def _shift(x, dm: int, di: int):
 
 def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
                  nl=None, tr=None, tropts=(0.0, 1.0), cmask=None,
-                 strat_w=None, fb=False):
+                 strat_w=None, fb=False, forc=None):
     """One forward-Euler step on parity-plane lists.
 
     ssh[p]: (ny2, nx, 1); h[p]: (ny2, nx, K); u[fam*2+p]: (ny2, nx, K);
@@ -205,6 +206,16 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
     u_new = [
         u[c] + dt * acc[c] + pg_scale * grad2[c] for c in range(6)
     ]
+    if forc is not None:
+        # momentum forcing (models/forcing.py), same term order as the
+        # slab path (_step_slab): base update + dt * forcing(u_old, hep),
+        # then the wall mask. The top/bot level masks arrive as compressed
+        # int32 index planes and are expanded per step (_level_onehot) —
+        # 12 compare/selects per site instead of 12 VMEM-resident K-planes.
+        u_new = [
+            u_new[c] + dt * _apply_forcing(u[c], hep[c], forc, c)
+            for c in range(6)
+        ]
     if masks is not None:
         # wall/dead edges stay at exactly zero velocity (channel configs)
         u_new = [u_new[c] * masks[c] for c in range(6)]
@@ -263,7 +274,7 @@ def _nl_pack(scal_ref, fvert_ref, nl_terms):
 def _rollout_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref, *rest,
     terms, n_steps, masked, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
-    cell_masked=False, stratified=False, fb=False,
+    cell_masked=False, stratified=False, fb=False, forced=False,
 ):
     """In-place rollout: inputs are ALIASED to outputs, the state lives in
     the (VMEM) out refs and each iteration reads and rewrites them. The
@@ -284,6 +295,24 @@ def _rollout_kernel(
         strat_w = sw_ref[...]
     else:
         strat_w = None
+    if forced:
+        # wind planes (6, ny2, nx, 1) + compressed int32 level-index
+        # planes (12, ny2, nx, 1): [0..5] top, [6..11] bottom; scalar
+        # drag/Rayleigh coefficients ride the SMEM scalar vector. The
+        # one-hot masks are loop-invariant, so expand them ONCE before the
+        # rollout loop (12 resident K-planes of VMEM for ~15% less
+        # per-step work than re-expanding each iteration)
+        fwind_ref, fidx_ref, *rest = rest
+        forc = (
+            tuple(fwind_ref[c] for c in range(6)),
+            tuple(_level_onehot(fidx_ref[c], h_ref[0]) for c in range(6)),
+            tuple(
+                _level_onehot(fidx_ref[6 + c], h_ref[0]) for c in range(6)
+            ),
+            scal_ref[0, 6], scal_ref[0, 7], scal_ref[0, 8],
+        )
+    else:
+        forc = None
     if n_tracers:
         if cell_masked:
             cmask_ref, *rest = rest
@@ -314,7 +343,7 @@ def _rollout_kernel(
         )
         ssh_n, h_n, u_n, tr_n = _step_planes(
             ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks, nl,
-            tr, tropts, cmask, strat_w, fb,
+            tr, tropts, cmask, strat_w, fb, forc,
         )
         for p in range(2):
             ssh_out[p] = ssh_n[p]
@@ -334,21 +363,23 @@ def _rollout_kernel(
 )
 def _pallas_rollout(
     ssh, h, u, f_edge, rts, scal, mask=None, f_vert=None, tracers=None,
-    cmask=None, strat_w=None, *, terms, n_steps, interpret, nl_terms=None,
-    tropts=(0.0, 1.0), fb=False,
+    cmask=None, strat_w=None, fwind=None, fidx=None, *, terms, n_steps,
+    interpret, nl_terms=None, tropts=(0.0, 1.0), fb=False,
 ):
     masked = mask is not None
     n_tracers = 0 if tracers is None else tracers.shape[0] // 2
     cell_masked = cmask is not None
+    forced = fwind is not None
     kernel = functools.partial(
         _rollout_kernel, terms=terms, n_steps=n_steps, masked=masked,
         nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
         cell_masked=cell_masked, stratified=strat_w is not None, fb=fb,
+        forced=forced,
     )
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     flops_step = step_flop_count(
         ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None,
-        n_tracers=n_tracers,
+        n_tracers=n_tracers, forced=forced,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = (scal, ssh, h, u, f_edge, rts)
@@ -358,6 +389,8 @@ def _pallas_rollout(
         operands += (f_vert,)
     if strat_w is not None:
         operands += (strat_w,)
+    if forced:
+        operands += (fwind, fidx)
     out_shape = [
         jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
         jax.ShapeDtypeStruct(h.shape, h.dtype),
@@ -394,7 +427,7 @@ def _pallas_rollout(
 
 def step_flop_count(
     ny2: int, nx: int, k: int, n_terms: int, masked: bool = False,
-    nonlinear: bool = False, n_tracers: int = 0,
+    nonlinear: bool = False, n_tracers: int = 0, forced: bool = False,
 ) -> int:
     """Accurate FLOP count of one structured step (each Coriolis term is a
     single-plane FMA — an earlier estimate multiplied the term count by all
@@ -417,11 +450,23 @@ def step_flop_count(
     # per tracer: 6 edge channels x (mean 2 + upwind 4 + flux mul 1 +
     # diffusion ~5) + divergence 10 + content 6 + divide 4
     per_site += n_tracers * 92
+    if forced:
+        # 6 channels x (2 one-hot expands + safe-h select + wind div +
+        # drag FMA chain ~5 + rayleigh FMA + dt FMA) ~ 11 ops
+        per_site += 66
     return per_site * ny2 * nx * k
 
 
-def _scal(mesh: StructMesh, dt, dtype):
+def _scal(mesh: StructMesh, dt, dtype, forcing=None):
     dt = jnp.asarray(dt, dtype)
+    if forcing is None:
+        fs = [jnp.zeros((), dtype)] * 3
+    else:
+        fs = [
+            jnp.asarray(forcing.drag_linear, dtype),
+            jnp.asarray(forcing.drag_quadratic, dtype),
+            jnp.asarray(forcing.rayleigh, dtype),
+        ]
     return jnp.stack(
         [
             dt,
@@ -433,27 +478,35 @@ def _scal(mesh: StructMesh, dt, dtype):
             (0.25 * mesh.dc * mesh.dv / mesh.area_cell).astype(dtype),
             (mesh.dc / (mesh.area_cell * 0.5)).astype(dtype),
             jnp.zeros((), dtype),
+            # momentum-forcing coefficients (slots 6-8; zero when unforced)
+            *fs,
         ]
-    ).reshape(1, 6)
+    ).reshape(1, 9)
 
 
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def vmem_estimate(ny2: int, nx: int, k: int, itemsize: int = 4,
-                  n_tracers: int = 0) -> int:
+                  n_tracers: int = 0, forced: bool = False) -> int:
     """Rough VMEM need of the fused kernel: 8 state planes + ~24 worth of
     live temporaries (the 64x64x100 config compiles to a ~32-plane stack),
     each lane-padded to a multiple of 128 levels. Each tracer adds 2 state
-    planes + ~10 planes of live edge-flux temporaries."""
+    planes + ~10 planes of live edge-flux temporaries; forcing adds ~4
+    planes of transient one-hot/drag temporaries (its operands are
+    compressed to singleton planes, see _forcing_setup)."""
     k_pad = -(-k // 128) * 128
     plane = ny2 * nx * k_pad * itemsize
-    return (32 + 12 * n_tracers) * plane
+    # forced: 12 resident one-hot planes (hoisted out of the rollout loop)
+    # + ~2 planes of per-step drag temporaries
+    return (32 + 12 * n_tracers + (14 if forced else 0)) * plane
 
 
 def fits_in_vmem(mesh: StructMesh, k: int, itemsize: int = 4,
-                 n_tracers: int = 0) -> bool:
-    return vmem_estimate(mesh.ny2, mesh.nx, k, itemsize, n_tracers) <= _VMEM_BUDGET
+                 n_tracers: int = 0, forced: bool = False) -> bool:
+    return vmem_estimate(
+        mesh.ny2, mesh.nx, k, itemsize, n_tracers, forced
+    ) <= _VMEM_BUDGET
 
 
 def _nl_setup(mesh: StructMesh, dtype, nonlinear: bool):
@@ -511,10 +564,40 @@ def _strat_w(strat, dtype):
     return None if strat is None else strat.phi_weights.astype(dtype)
 
 
+def _forcing_setup(forcing, ny2, nx, dtype):
+    """Struct-layout Forcing (StructuredModel.to_struct_forcing) -> kernel
+    operands: wind planes (6, ny2, nx, 1) and COMPRESSED one-hot level
+    masks as int32 index planes (12, ny2, nx, 1) = [top x6; bottom x6],
+    sentinel -1 on edges with no active level (closed/dead slots). The
+    expansion (_level_onehot) reproduces the dense masks bitwise, so the
+    fused paths agree with the roll/slab paths to the same roundoff as the
+    unforced step."""
+    if forcing is None:
+        return None, None
+    wind = jnp.asarray(forcing.wind_edge).reshape(6, ny2, nx, 1).astype(dtype)
+    idx = []
+    for m in (forcing.top_mask, forcing.bottom_mask):
+        m = np.asarray(m).reshape(6, ny2, nx, -1)
+        k = m.shape[-1]
+        on = m != 0
+        cnt = on.sum(-1)
+        ii = np.where(cnt == 1, on.argmax(-1), -1).astype(np.int32)
+        recon = (np.arange(k)[None, None, None, :] == ii[..., None])
+        if not np.array_equal(recon.astype(m.dtype), m):
+            raise NotImplementedError(
+                "Pallas paths support one-hot {0,1} forcing level masks "
+                "only (make_forcing builds these); use the roll or "
+                "gather/matrix path for general level masks"
+            )
+        idx.append(ii)
+    fidx = jnp.asarray(np.concatenate(idx, axis=0)[..., None])
+    return wind, fidx
+
+
 def pallas_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0, strat=None, fb: bool = False,
+    tracer_upwind: float = 1.0, strat=None, fb: bool = False, forcing=None,
 ) -> StructState:
     """Run n_steps of the structured model in ONE fused on-chip kernel.
 
@@ -524,13 +607,16 @@ def pallas_run_loop(
     vector-invariant momentum equation (periodic lattices only). Tracers
     (state.tracers, models/tracers.py) fuse into the same kernel — each
     tracer is one more pair of VMEM parity planes advected by the step's
-    flux."""
+    flux. ``forcing`` (struct-layout, StructuredModel.to_struct_forcing)
+    fuses the wind/drag/Rayleigh momentum terms (models/forcing.py) into
+    the same per-step VPU pass."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_ = state.layer_thickness.shape[-1]
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     if not interpret and not fits_in_vmem(
-        mesh, k_, state.layer_thickness.dtype.itemsize, n_tr
+        mesh, k_, state.layer_thickness.dtype.itemsize, n_tr,
+        forcing is not None,
     ):
         raise ValueError(
             f"mesh too large for the fused-VMEM rollout "
@@ -557,9 +643,10 @@ def pallas_run_loop(
     tr, cmask, tropts = _tracer_setup(
         state, mesh, dtype, tracer_kappa, tracer_upwind
     )
+    fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
     out = _pallas_rollout(
-        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype), mask, f_vert,
-        tr, cmask, _strat_w(strat, dtype),
+        ssh, h, u, f_edge, rts, _scal(mesh, dt, dtype, forcing), mask, f_vert,
+        tr, cmask, _strat_w(strat, dtype), fwind, fidx,
         terms=mesh.coriolis_terms, n_steps=n_steps, interpret=bool(interpret),
         nl_terms=nl_terms, tropts=tropts, fb=fb,
     )
@@ -588,7 +675,7 @@ def _tiled_step_kernel(
     ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
     terms, rows, consts, masked, q, n_tracers=0, tropts=(0.0, 1.0),
-    cell_masked=False, stratified=False,
+    cell_masked=False, stratified=False, forced=False,
 ):
     """``q``-step temporal blocking: the tile carries q halo rows per side
     and advances q timesteps per kernel invocation, shrinking the valid
@@ -606,6 +693,13 @@ def _tiled_step_kernel(
         masks_full = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
     else:
         masks_full = None
+    if forced:
+        # wind planes + compressed int32 level-index planes, halo-padded
+        # like every other constant field (see _forcing_setup)
+        fw_ref, fw_t, fw_b, fi_ref, fi_t, fi_b, *rest = rest
+        wind_full = tuple(pad(fw_ref, fw_t, fw_b, c) for c in range(6))
+        ti_full = tuple(pad(fi_ref, fi_t, fi_b, c) for c in range(6))
+        bi_full = tuple(pad(fi_ref, fi_t, fi_b, 6 + c) for c in range(6))
     if n_tracers:
         t_ref, t_t, t_b, *rest = rest
         tr_full = tuple(
@@ -638,6 +732,10 @@ def _tiled_step_kernel(
     dt = jnp.asarray(consts[0], dtype)
     inv_dc = jnp.asarray(consts[1], dtype)
     s_div = jnp.asarray(consts[2], dtype)
+    if forced:
+        dlin = jnp.asarray(consts[3], dtype)
+        dquad = jnp.asarray(consts[4], dtype)
+        rayl = jnp.asarray(consts[5], dtype)
 
     ssh = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
     h = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
@@ -652,11 +750,15 @@ def _tiled_step_kernel(
         # constant fields get windowed; STATE (ssh/h/u/tr) arrives already
         # at the window size from the previous iteration's interior output
         win = lambda t: tuple(x[j : full - j] for x in t)
+        forc_j = (
+            (win(wind_full), win(ti_full), win(bi_full), dlin, dquad, rayl)
+            if forced else None
+        )
         ssh, h, u, tr = _step_slab(
             ssh, h, u, win(f_full), win(rts_full),
             dt, inv_dc, s_div, terms, rows_j,
             win(masks_full) if masked else None,
-            None, tr, tropts,
+            forc_j, tr, tropts,
             win(cm_full) if cell_masked else None, strat_w,
         )
     for p in range(2):
@@ -696,20 +798,21 @@ def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
 )
 def _pallas_tiled_rollout(
     ssh, h, u, f_edge, rts, mask=None, tracers=None, cmask=None,
-    strat_w=None, *,
+    strat_w=None, fwind=None, fidx=None, *,
     terms, row_tile, n_steps, interpret, consts, q=1, tropts=(0.0, 1.0),
 ):
     masked = mask is not None
     n_tracers = 0 if tracers is None else tracers.shape[0] // 2
     cell_masked = cmask is not None
     stratified = strat_w is not None
+    forced = fwind is not None
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
     n_tiles = ny2 // rt
     kernel = functools.partial(
         _tiled_step_kernel, terms=terms, rows=rt, consts=consts,
         masked=masked, q=q, n_tracers=n_tracers, tropts=tropts,
-        cell_masked=cell_masked, stratified=stratified,
+        cell_masked=cell_masked, stratified=stratified, forced=forced,
     )
 
     def halos(x):
@@ -745,6 +848,9 @@ def _pallas_tiled_rollout(
         m_t, m_b = halos(mask)
     if cell_masked:
         cm_t, cm_b = halos(cmask)
+    if forced:
+        fw_t, fw_b = halos(fwind)
+        fi_t, fi_b = halos(fidx)
 
     # index-map zeros derived from t (t * 0): literal 0s trace as i64 while
     # the grid index is i32, and Mosaic refuses mixed-type index-map results
@@ -787,6 +893,11 @@ def _pallas_tiled_rollout(
     aliases = {0: 0, 1: 1, 2: 2}
     if masked:
         in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+    if forced:
+        in_specs += [
+            center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1),
+            center_spec(12, rt, 1), halo_spec(12, 1), halo_spec(12, 1),
+        ]
     if n_tracers:
         nt2 = 2 * n_tracers
         # tracer center operand position (for the alias map): count the
@@ -835,6 +946,8 @@ def _pallas_tiled_rollout(
         )
         if masked:
             args += (mask, m_t, m_b)
+        if forced:
+            args += (fwind, fw_t, fw_b, fidx, fi_t, fi_b)
         if n_tracers:
             t_t, t_b = halos(t_c)
             args += (t_c, t_t, t_b)
@@ -854,6 +967,7 @@ def pallas_tiled_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     *, row_tile: int | None = None, interpret=None, q: int | None = None,
     tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
+    forcing=None,
 ) -> StructState:
     """Fused-step rollout for meshes of ANY size: one Pallas call per q
     timesteps, gridded over row tiles with q-row halos (temporal blocking —
@@ -909,8 +1023,19 @@ def pallas_tiled_run_loop(
             ).astype(npdt)
         ),
     )
+    fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
+    if forcing is not None:
+        # forcing coefficients are compile-time constants in the tiled
+        # kernel (the SMEM-scalar route does not legalize under the tile
+        # grid — see the consts note in _tiled_step_kernel)
+        consts += (
+            float(np.asarray(forcing.drag_linear).astype(npdt)),
+            float(np.asarray(forcing.drag_quadratic).astype(npdt)),
+            float(np.asarray(forcing.rayleigh).astype(npdt)),
+        )
     out = _pallas_tiled_rollout(
         ssh, h, u, f_edge, rts, mask, tr, cmask, _strat_w(strat, dtype),
+        fwind, fidx,
         terms=mesh.coriolis_terms, row_tile=int(row_tile),
         n_steps=n_steps, interpret=bool(interpret), consts=consts, q=int(q),
         tropts=tropts,
@@ -927,13 +1052,13 @@ def pallas_tiled_run_loop(
 def structured_auto_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int, *, interpret=None,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0, strat=None, fb: bool = False,
+    tracer_upwind: float = 1.0, strat=None, fb: bool = False, forcing=None,
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
-    the state fits, tiled per-step kernel otherwise (tracers and layered
-    stratification included); roll model on CPU. Nonlinear beyond-VMEM
-    meshes use the HBM-streaming roll model (the tiled kernel's q-row
-    halos cannot cover the deeper PV-flux stencil)."""
+    the state fits, tiled per-step kernel otherwise (tracers, layered
+    stratification and momentum forcing included); roll model on CPU.
+    Nonlinear beyond-VMEM meshes use the HBM-streaming roll model (the
+    tiled kernel's q-row halos cannot cover the deeper PV-flux stencil)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = state.layer_thickness.shape[-1]
@@ -942,14 +1067,16 @@ def structured_auto_run_loop(
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
+                                   forcing,
                                    tracer_kappa=tracer_kappa,
                                    tracer_upwind=tracer_upwind, strat=strat,
                                    fb=fb)
-    if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize, n_tr):
+    if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize, n_tr,
+                    forcing is not None):
         return pallas_run_loop(
             state, mesh, dt, n_steps, interpret=False, nonlinear=nonlinear,
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
-            strat=strat, fb=fb,
+            strat=strat, fb=fb, forcing=forcing,
         )
     if nonlinear or fb:
         # the tiled kernel's q-row halos cover neither the deeper PV-flux
@@ -958,12 +1085,14 @@ def structured_auto_run_loop(
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
+                                   forcing,
                                    tracer_kappa=tracer_kappa,
                                    tracer_upwind=tracer_upwind, strat=strat,
                                    fb=fb)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False,
                                  q=2, tracer_kappa=tracer_kappa,
-                                 tracer_upwind=tracer_upwind, strat=strat)
+                                 tracer_upwind=tracer_upwind, strat=strat,
+                                 forcing=forcing)
 
 
 # ---------------------------------------------------------------------------
@@ -1356,7 +1485,7 @@ def pallas_adjoint_rollout(
 def _checkpointed_roll_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0, strat=None,
+    tracer_upwind: float = 1.0, strat=None, forcing=None,
 ) -> StructState:
     """Roll-model rollout with two-level (sqrt) checkpointing: reverse-mode
     memory is O(sqrt(n) * state) instead of O(n * intermediates). Used as
@@ -1368,6 +1497,7 @@ def _checkpointed_roll_rollout(
 
     step = jax.checkpoint(
         lambda s, _: (structured_step(s, mesh, dt, nonlinear,
+                                      forcing=forcing,
                                       tracer_kappa=tracer_kappa,
                                       tracer_upwind=tracer_upwind,
                                       strat=strat), None)
@@ -1388,17 +1518,20 @@ def _checkpointed_roll_rollout(
 def pallas_rollout_diff(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
-    tracer_upwind: float = 1.0, strat=None,
+    tracer_upwind: float = 1.0, strat=None, forcing=None,
 ) -> StructState:
     """n-step structured rollout, FAST forward and differentiable: the
     primal runs the fused/tiled Pallas kernel (VMEM-resident loop), the VJP
     reverse-integrates the equal-math roll model under sqrt checkpointing —
     the whole-loop reverse the reference validates with Enzyme
     (reference: test/enzyme/test_Enzyme_end2end.jl:78-92) at the fused
-    path's forward speed."""
+    path's forward speed. ``forcing`` (struct layout) is a differentiated
+    input: its cotangent (wind, drag and Rayleigh coefficients, level
+    masks) comes out exact through the checkpointed-roll reverse."""
     return structured_auto_run_loop(
         state, mesh, dt, n_steps, nonlinear=nonlinear,
         tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind, strat=strat,
+        forcing=forcing,
     )
 
 
@@ -1417,14 +1550,21 @@ def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
 
 
 def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
-                 tracer_kappa=0.0, tracer_upwind=1.0, strat=None):
-    plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
+                 tracer_kappa=0.0, tracer_upwind=1.0, strat=None,
+                 forcing=None):
+    # forced rollouts: fused/tiled forward, checkpointed-roll reverse (the
+    # exact Forcing cotangent rides the fallback vjp; a fused forced
+    # adjoint segment would need extra d_wind/d_coefficient outputs)
+    plan = (
+        None if forcing is not None
+        else _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
+    )
     if plan is None:
         out = pallas_rollout_diff(
             state, mesh, dt, n_steps, nonlinear, tracer_kappa, tracer_upwind,
-            strat,
+            strat, forcing,
         )
-        return out, (None, state, mesh, dt, strat)
+        return out, (None, state, mesh, dt, strat, forcing)
     # fast path: run the forward in fused big-step segments, SAVING the
     # outer checkpoints as residuals — the reverse sweep then skips one
     # whole forward rebuild (bitwise-identical final state)
@@ -1452,11 +1592,11 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
         normal_velocity=final[2].reshape(3, 2, ny2, nx, k),
         tracers=_tr_unplanes(final[3], ny2, nx, k) if n_tr else None,
     )
-    return out, (ckpts, state, mesh, dt, strat)
+    return out, (ckpts, state, mesh, dt, strat, None)
 
 
 def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
-    ckpts, state, mesh, dt, strat = res
+    ckpts, state, mesh, dt, strat, forcing = res
     if ckpts is not None:
         plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
         b, m = plan
@@ -1492,28 +1632,40 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
                 phi_weights=dsw.astype(strat.phi_weights.dtype),
                 densities=jnp.zeros_like(strat.densities),
             )
-        return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat
-    # fallback (CPU / beyond-VMEM meshes): sqrt-checkpointed roll reverse —
-    # strat is a differentiated input here too, so d(phi_weights) is exact
-    if strat is None:
-        _, vjp = jax.vjp(
-            lambda s, t: _checkpointed_roll_rollout(
-                s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind
-            ),
-            state, dt,
+        return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat, None
+    # fallback (CPU / beyond-VMEM meshes / forced runs): sqrt-checkpointed
+    # roll reverse — strat and forcing are differentiated inputs here too,
+    # so d(phi_weights) and the Forcing cotangent are exact
+    extras = []
+    if strat is not None:
+        extras.append(strat)
+    if forcing is not None:
+        extras.append(forcing)
+
+    def rollout(s, t, *rest):
+        i = 0
+        w = f = None
+        if strat is not None:
+            w = rest[i]
+            i += 1
+        if forcing is not None:
+            f = rest[i]
+        return _checkpointed_roll_rollout(
+            s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind,
+            w, f,
         )
-        d_state, d_dt = vjp(g)
-        d_strat = None
-    else:
-        _, vjp = jax.vjp(
-            lambda s, t, w: _checkpointed_roll_rollout(
-                s, mesh, t, n_steps, nonlinear, tracer_kappa, tracer_upwind,
-                w,
-            ),
-            state, dt, strat,
-        )
-        d_state, d_dt, d_strat = vjp(g)
-    return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat
+
+    _, vjp = jax.vjp(rollout, state, dt, *extras)
+    d_state, d_dt, *d_rest = vjp(g)
+    d_strat = d_forcing = None
+    i = 0
+    if strat is not None:
+        d_strat = d_rest[i]
+        i += 1
+    if forcing is not None:
+        d_forcing = d_rest[i]
+    return (d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat,
+            d_forcing)
 
 
 pallas_rollout_diff.defvjp(_rollout_fwd, _rollout_bwd)
@@ -1522,41 +1674,52 @@ pallas_rollout_diff.defvjp(_rollout_fwd, _rollout_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def pallas_step(state: StructState, mesh: StructMesh, dt,
                 tracer_kappa: float = 0.0,
-                tracer_upwind: float = 1.0, strat=None) -> StructState:
+                tracer_upwind: float = 1.0, strat=None,
+                forcing=None) -> StructState:
     """One fused-kernel step, differentiable: Pallas forward, roll-model
     backward (equal math, so the VJP is exact)."""
     return pallas_run_loop(state, mesh, dt, 1, tracer_kappa=tracer_kappa,
-                           tracer_upwind=tracer_upwind, strat=strat)
+                           tracer_upwind=tracer_upwind, strat=strat,
+                           forcing=forcing)
 
 
 def _step_fwd(state, mesh, dt, tracer_kappa=0.0, tracer_upwind=1.0,
-              strat=None):
-    return pallas_step(state, mesh, dt, tracer_kappa, tracer_upwind, strat), (
-        state, mesh, dt, strat,
-    )
+              strat=None, forcing=None):
+    return pallas_step(state, mesh, dt, tracer_kappa, tracer_upwind, strat,
+                       forcing), (state, mesh, dt, strat, forcing)
 
 
 def _step_bwd(tracer_kappa, tracer_upwind, res, g):
-    state, mesh, dt, strat = res
+    state, mesh, dt, strat, forcing = res
     d_mesh = jax.tree.map(jnp.zeros_like, mesh)
-    if strat is None:
-        _, vjp = jax.vjp(
-            lambda s, t: structured_step(s, mesh, t,
-                                         tracer_kappa=tracer_kappa,
-                                         tracer_upwind=tracer_upwind),
-            state, dt,
-        )
-        d_state, d_dt = vjp(g)
-        return d_state, d_mesh, d_dt, None
-    _, vjp = jax.vjp(
-        lambda s, t, w: structured_step(s, mesh, t,
-                                        tracer_kappa=tracer_kappa,
-                                        tracer_upwind=tracer_upwind,
-                                        strat=w),
-        state, dt, strat,
-    )
-    d_state, d_dt, d_strat = vjp(g)
-    return d_state, d_mesh, d_dt, d_strat
+    extras = []
+    if strat is not None:
+        extras.append(strat)
+    if forcing is not None:
+        extras.append(forcing)
+
+    def step(s, t, *rest):
+        i = 0
+        w = f = None
+        if strat is not None:
+            w = rest[i]
+            i += 1
+        if forcing is not None:
+            f = rest[i]
+        return structured_step(s, mesh, t, forcing=f,
+                               tracer_kappa=tracer_kappa,
+                               tracer_upwind=tracer_upwind, strat=w)
+
+    _, vjp = jax.vjp(step, state, dt, *extras)
+    d_state, d_dt, *d_rest = vjp(g)
+    d_strat = d_forcing = None
+    i = 0
+    if strat is not None:
+        d_strat = d_rest[i]
+        i += 1
+    if forcing is not None:
+        d_forcing = d_rest[i]
+    return d_state, d_mesh, d_dt, d_strat, d_forcing
 
 
 pallas_step.defvjp(_step_fwd, _step_bwd)

@@ -60,15 +60,37 @@ def _interior(x, rows: int):
     return x[1 : 1 + rows]
 
 
+def _level_onehot(idx, like):
+    """Expand a per-edge level-INDEX plane (..., 1) int32 (sentinel -1 =
+    no active level) into the one-hot (..., K) mask it encodes, in
+    ``like``'s dtype. Values are exactly 0/1, so products are bitwise
+    identical to carrying the dense one-hot plane — but the operand is K
+    times smaller, which keeps the fused kernel's VMEM footprint and the
+    tiled kernel's HBM traffic flat when forcing is on."""
+    lvl = jax.lax.broadcasted_iota(jnp.int32, like.shape, like.ndim - 1)
+    return (lvl == idx).astype(like.dtype)
+
+
 def _apply_forcing(u_i, he_i, forc, c):
     """Elementwise wind / bottom-drag / Rayleigh term for edge channel c on
     interior rows (models/forcing.forcing_tendency, slab layout):
     forc = (wind6, top6, bot6, drag_lin, drag_quad, rayleigh), each field a
-    6-tuple of halo-padded planes sliced to interior by the caller."""
+    6-tuple of halo-padded planes sliced to interior by the caller. The
+    top/bot entries are either dense one-hot (..., K) level masks or
+    compressed int32 (..., 1) level-index planes (see _level_onehot)."""
     wind, top, bot, dlin, dquad, rayl = forc
-    safe_h = jnp.where(he_i > 0, he_i, jnp.ones_like(he_i))
-    t = top[c] * (wind[c] / safe_h)
-    t = t - bot[c] * (dlin * u_i + dquad * jnp.abs(u_i) * u_i / safe_h)
+    top_c, bot_c = top[c], bot[c]
+    if jnp.issubdtype(top_c.dtype, jnp.integer):
+        top_c = _level_onehot(top_c, u_i)
+    if jnp.issubdtype(bot_c.dtype, jnp.integer):
+        bot_c = _level_onehot(bot_c, u_i)
+    # single reciprocal, shared by wind and quadratic drag — matches
+    # models/forcing.forcing_tendency operation for operation
+    inv_h = jnp.ones_like(he_i) / jnp.where(
+        he_i > 0, he_i, jnp.ones_like(he_i)
+    )
+    t = top_c * (wind[c] * inv_h)
+    t = t - bot_c * (dlin * u_i + dquad * jnp.abs(u_i) * u_i * inv_h)
     return t - rayl * u_i
 
 

@@ -356,3 +356,171 @@ def test_forcing_sharded_structured(setup, nonlinear):
     np.testing.assert_allclose(
         np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
     )
+
+
+@pytest.mark.parametrize("kernel", ["fused", "tiled", "tiled_q2"])
+def test_forcing_pallas_kernels(setup, kernel):
+    """Momentum forcing fused INTO the Pallas kernels (interpret mode):
+    fused whole-rollout and tiled (q=1 and temporal-blocked q=2) agree
+    with the forced roll model at f64 roundoff. The level masks travel as
+    compressed int32 index planes (pallas_model._forcing_setup) whose
+    in-kernel one-hot expansion is bitwise-identical to the dense masks."""
+    from mpas_ocean_tpu.structured import StructuredModel
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import (
+        pallas_run_loop,
+        pallas_tiled_run_loop,
+    )
+
+    mesh, prog = setup
+    forcing = _full_forcing(mesh)
+    sm = StructuredModel(mesh, NX, NY)
+    sf = sm.to_struct_forcing(forcing)
+    st = sm.to_struct(prog)
+    dt, n = 30.0, 6
+    ref = structured_run_loop(st, sm.struct_mesh, dt, n, forcing=sf)
+    if kernel == "fused":
+        out = pallas_run_loop(
+            st, sm.struct_mesh, dt, n, interpret=True, forcing=sf
+        )
+    elif kernel == "tiled":
+        out = pallas_tiled_run_loop(
+            st, sm.struct_mesh, dt, n, interpret=True, row_tile=8, forcing=sf
+        )
+    else:
+        out = pallas_tiled_run_loop(
+            st, sm.struct_mesh, dt, n, interpret=True, row_tile=8, q=2,
+            forcing=sf,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.layer_thickness),
+        np.asarray(ref.layer_thickness),
+        rtol=0,
+        atol=1e-11,
+    )
+
+
+def test_forcing_pallas_rollout_diff_grad(setup):
+    """pallas_rollout_diff with forcing: gradients wrt the STATE and the
+    FORCING (wind field + drag/Rayleigh coefficients) match jax.grad of
+    the roll rollout — the Forcing cotangent rides the checkpointed-roll
+    reverse exactly."""
+    from mpas_ocean_tpu.structured import StructuredModel
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import pallas_rollout_diff
+
+    mesh, prog = setup
+    forcing = _full_forcing(mesh)
+    sm = StructuredModel(mesh, NX, NY)
+    sf = sm.to_struct_forcing(forcing)
+    st = sm.to_struct(prog)
+    dt, n = 30.0, 5
+
+    def obj_p(s, f):
+        o = pallas_rollout_diff(s, sm.struct_mesh, dt, n, False, 0.0, 1.0,
+                                None, f)
+        return jnp.sum(o.ssh**2)
+
+    def obj_r(s, f):
+        o = structured_run_loop(s, sm.struct_mesh, dt, n, forcing=f)
+        return jnp.sum(o.ssh**2)
+
+    gp_s, gp_f = jax.grad(obj_p, argnums=(0, 1))(st, sf)
+    gr_s, gr_f = jax.grad(obj_r, argnums=(0, 1))(st, sf)
+    np.testing.assert_allclose(
+        np.asarray(gp_s.normal_velocity),
+        np.asarray(gr_s.normal_velocity),
+        rtol=0, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_f.wind_edge), np.asarray(gr_f.wind_edge),
+        rtol=0, atol=1e-11,
+    )
+    for name in ("drag_linear", "drag_quadratic", "rayleigh"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gp_f, name)),
+            np.asarray(getattr(gr_f, name)),
+            rtol=1e-12, atol=0,
+        )
+
+
+def test_forcing_pallas_masked_channel():
+    """Forcing + wall masks compose in the Pallas kernels: a culled
+    channel lattice with wind/drag agrees with the forced roll model, and
+    dead edges stay exactly zero."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.structured import StructuredModel
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import pallas_run_loop
+
+    nx = ny = 8
+    dc = 5000.0
+    horz = planar_hex_mesh(nx, ny, dc, f0=1e-4)
+    yc = np.asarray(horz.cells.y)
+    keep = (yc > 0.5 * dc) & (yc < yc.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    k = 2
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=k,
+        resting_thickness=np.full((chan.n_cells, k), H0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, ny, parent_horz=horz, keep_cells=keep)
+    rng = np.random.default_rng(5)
+    h = np.full((chan.n_cells, k), H0) + 0.02 * rng.normal(
+        size=(chan.n_cells, k)
+    )
+    u = 0.02 * rng.normal(size=(chan.n_edges, k))
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    forcing = make_forcing(
+        mesh, wind_stress_zonal=0.08, bottom_drag_linear=1e-5,
+        bottom_drag_quadratic=1e-3, rayleigh=1e-6,
+    )
+    sf = sm.to_struct_forcing(forcing)
+    st = sm.to_struct(prog)
+    dt, n = 20.0, 5
+    ref = structured_run_loop(st, sm.struct_mesh, dt, n, forcing=sf)
+    out = pallas_run_loop(st, sm.struct_mesh, dt, n, interpret=True,
+                          forcing=sf)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0, atol=1e-12,
+    )
+    ny2, snx = sm.struct_mesh.ny2, sm.struct_mesh.nx
+    dead = np.asarray(sm.struct_mesh.edge_mask).reshape(6, ny2, snx) == 0
+    uo = np.asarray(out.normal_velocity).reshape(6, ny2, snx, -1)
+    assert np.all(uo[dead] == 0.0)
+
+
+def test_forcing_auto_run_loop_routes_forced(setup):
+    """structured_auto_run_loop accepts forcing on every branch (here the
+    CPU/interpret roll branch) and matches the explicit roll call."""
+    from mpas_ocean_tpu.structured import StructuredModel
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import structured_auto_run_loop
+
+    mesh, prog = setup
+    forcing = _full_forcing(mesh)
+    sm = StructuredModel(mesh, NX, NY)
+    sf = sm.to_struct_forcing(forcing)
+    st = sm.to_struct(prog)
+    out = structured_auto_run_loop(st, sm.struct_mesh, 30.0, 4, forcing=sf)
+    ref = structured_run_loop(st, sm.struct_mesh, 30.0, 4, forcing=sf)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity), np.asarray(ref.normal_velocity),
+        rtol=0, atol=0,
+    )
