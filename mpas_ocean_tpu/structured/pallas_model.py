@@ -790,6 +790,109 @@ def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
     return 1
 
 
+def _make_tiled_step_call(
+    n_rows: int, nx: int, k: int, dtype, *, terms, rt: int, q: int, consts,
+    tropts=(0.0, 1.0), masked=False, forced=False, n_tracers=0,
+    cell_masked=False, strat_shape=None, interpret=False,
+):
+    """Build the q-step row-tiled pallas_call over an ``n_rows``-row
+    parity-plane stack. The q-row halo blocks per tile side are SEPARATE
+    operands (grouped per tile, (planes, n_tiles*q, nx, tr)), so the SAME
+    kernel serves two callers: the single-chip tiled rollout, whose halos
+    are periodic strided slices of the global state, and the sharded
+    communication-avoiding superstep (sharded.ShardedStructuredModel.
+    run_pallas), whose outermost halos arrive by lax.ppermute.
+
+    Operand order: (ssh, h, u, f, rts) centers; the same five as top halo
+    blocks; the same five as bottom halo blocks; then optional groups in
+    this order — mask triplet, (wind, level-index) forcing triplets, tracer
+    triplet, cell-mask triplet, stratification weights."""
+    stratified = strat_shape is not None
+    n_tiles = n_rows // rt
+    kernel = functools.partial(
+        _tiled_step_kernel, terms=terms, rows=rt, consts=consts,
+        masked=masked, q=q, n_tracers=n_tracers, tropts=tropts,
+        cell_masked=cell_masked, stratified=stratified, forced=forced,
+    )
+
+    # index-map zeros derived from t (t * 0): literal 0s trace as i64 while
+    # the grid index is i32, and Mosaic refuses mixed-type index-map results
+    def center_spec(planes, r, tr):
+        return pl.BlockSpec(
+            (planes, r, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def halo_spec(planes, tr):
+        return pl.BlockSpec(
+            (planes, q, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def group():
+        # (ssh, h, u, f, rts) halo blocks
+        return [
+            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
+            halo_spec(6, 1), halo_spec(2, 1),
+        ]
+
+    sds = lambda planes, tr: jax.ShapeDtypeStruct(
+        (planes, n_rows, nx, tr), dtype
+    )
+    out_shape = [sds(2, 1), sds(2, k), sds(6, k)]
+    out_specs = [
+        center_spec(2, rt, 1),
+        center_spec(2, rt, k),
+        center_spec(6, rt, k),
+    ]
+    in_specs = [
+        center_spec(2, rt, 1),   # ssh
+        center_spec(2, rt, k),   # h
+        center_spec(6, rt, k),   # u
+        center_spec(6, rt, 1),   # f
+        center_spec(2, rt, 1),   # rts
+    ] + group() + group()        # top halos, bottom halos
+    aliases = {0: 0, 1: 1, 2: 2}
+    if masked:
+        in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+    if forced:
+        in_specs += [
+            center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1),
+            center_spec(12, rt, 1), halo_spec(12, 1), halo_spec(12, 1),
+        ]
+    if n_tracers:
+        nt2 = 2 * n_tracers
+        # tracer center operand position (for the alias map): count the
+        # operands laid down so far
+        tr_pos = len(in_specs)
+        in_specs += [center_spec(nt2, rt, k), halo_spec(nt2, k),
+                     halo_spec(nt2, k)]
+        aliases[tr_pos] = 3
+        out_shape.append(sds(nt2, k))
+        out_specs.append(center_spec(nt2, rt, k))
+    if cell_masked:
+        in_specs += [center_spec(2, rt, 1), halo_spec(2, 1), halo_spec(2, 1)]
+    if stratified:
+        in_specs += [pl.BlockSpec(strat_shape,
+                                  lambda t: (t * 0, t * 0),
+                                  memory_space=pltpu.VMEM)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET
+        ),
+        # each tile reads its own center block and writes its own: in-place
+        # is safe, and donation avoids a whole-state copy per scan step
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -809,10 +912,12 @@ def _pallas_tiled_rollout(
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
     n_tiles = ny2 // rt
-    kernel = functools.partial(
-        _tiled_step_kernel, terms=terms, rows=rt, consts=consts,
-        masked=masked, q=q, n_tracers=n_tracers, tropts=tropts,
-        cell_masked=cell_masked, stratified=stratified, forced=forced,
+    step_call = _make_tiled_step_call(
+        ny2, nx, k, h.dtype, terms=terms, rt=rt, q=q, consts=consts,
+        tropts=tropts, masked=masked, forced=forced, n_tracers=n_tracers,
+        cell_masked=cell_masked,
+        strat_shape=None if strat_w is None else strat_w.shape,
+        interpret=interpret,
     )
 
     def halos(x):
@@ -851,84 +956,6 @@ def _pallas_tiled_rollout(
     if forced:
         fw_t, fw_b = halos(fwind)
         fi_t, fi_b = halos(fidx)
-
-    # index-map zeros derived from t (t * 0): literal 0s trace as i64 while
-    # the grid index is i32, and Mosaic refuses mixed-type index-map results
-    def center_spec(planes, r, tr):
-        return pl.BlockSpec(
-            (planes, r, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def halo_spec(planes, tr):
-        return pl.BlockSpec(
-            (planes, q, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def group():
-        # (ssh, h, u, f, rts) halo blocks
-        return [
-            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
-            halo_spec(6, 1), halo_spec(2, 1),
-        ]
-
-    out_shape = [
-        jax.ShapeDtypeStruct(ssh.shape, ssh.dtype),
-        jax.ShapeDtypeStruct(h.shape, h.dtype),
-        jax.ShapeDtypeStruct(u.shape, u.dtype),
-    ]
-    out_specs = [
-        center_spec(2, rt, 1),
-        center_spec(2, rt, k),
-        center_spec(6, rt, k),
-    ]
-    in_specs = [
-        center_spec(2, rt, 1),   # ssh
-        center_spec(2, rt, k),   # h
-        center_spec(6, rt, k),   # u
-        center_spec(6, rt, 1),   # f
-        center_spec(2, rt, 1),   # rts
-    ] + group() + group()        # top halos, bottom halos
-    aliases = {0: 0, 1: 1, 2: 2}
-    if masked:
-        in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
-    if forced:
-        in_specs += [
-            center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1),
-            center_spec(12, rt, 1), halo_spec(12, 1), halo_spec(12, 1),
-        ]
-    if n_tracers:
-        nt2 = 2 * n_tracers
-        # tracer center operand position (for the alias map): count the
-        # operands laid down so far
-        tr_pos = len(in_specs)
-        in_specs += [center_spec(nt2, rt, k), halo_spec(nt2, k),
-                     halo_spec(nt2, k)]
-        aliases[tr_pos] = 3
-        out_shape.append(jax.ShapeDtypeStruct(tracers.shape, tracers.dtype))
-        out_specs.append(center_spec(nt2, rt, k))
-    if cell_masked:
-        in_specs += [center_spec(2, rt, 1), halo_spec(2, 1), halo_spec(2, 1)]
-    if stratified:
-        in_specs += [pl.BlockSpec(strat_w.shape,
-                                  lambda t: (t * 0, t * 0),
-                                  memory_space=pltpu.VMEM)]
-
-    step_call = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        out_shape=tuple(out_shape),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET
-        ),
-        # each tile reads its own center block and writes its own: in-place
-        # is safe, and donation avoids a whole-state copy per scan step
-        input_output_aliases=aliases,
-        interpret=interpret,
-    )
 
     assert n_steps % q == 0
 

@@ -536,9 +536,9 @@ class ShardedStructuredModel:
             arr.shape, self._sharding, lambda idx: arr[idx]
         )
 
-    def _slab(self, x, m_axis=None):
-        """(planes..., ny2, nx, ...) -> (P, planes..., R+2, nx, ...) with
-        periodic halo rows (host-side numpy). ``m_axis`` overrides the
+    def _slab(self, x, m_axis=None, halo: int = 1):
+        """(planes..., ny2, nx, ...) -> (P, planes..., R+2*halo, nx, ...)
+        with periodic halo rows (host-side numpy). ``m_axis`` overrides the
         default single-trailing-axis assumption (tracer slabs trail
         (nT, K))."""
         ny2 = self.smesh.ny2
@@ -546,9 +546,10 @@ class ShardedStructuredModel:
             m_axis = x.ndim - 3  # (..., ny2, nx, trailing)
         out = []
         for q in range(self.n_parts):
-            rows = [(q * self.rows - 1) % ny2] + list(
-                range(q * self.rows, (q + 1) * self.rows)
-            ) + [((q + 1) * self.rows) % ny2]
+            rows = [
+                (q * self.rows + r) % ny2
+                for r in range(-halo, self.rows + halo)
+            ]
             out.append(np.take(x, rows, axis=m_axis))
         return np.stack(out)
 
@@ -890,3 +891,234 @@ class ShardedStructuredModel:
             out_specs=specs,
         )(local, f_local, rts_local, mask_local, fv_local, forcel,
           cmask_local, strat_local)
+
+    def run_pallas(self, local, dt, n_steps: int, *, q: int | None = None,
+                   row_tile: int | None = None, forcing=None,
+                   tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
+                   strat=None, interpret=None):
+        """Communication-avoiding sharded rollout on the fused tile kernel.
+
+        ``run`` does one roll-stencil step and one halo exchange per
+        timestep; this path instead exchanges q halo rows per side with ONE
+        ppermute pair per field and then advances q timesteps in a single
+        Pallas kernel per row tile (pallas_model._tiled_step_kernel — the
+        same q-step temporal blocking the single-chip tiled rollout uses,
+        with the slab's outermost halo blocks coming from the neighbor
+        devices instead of periodic strided slices). Collective cost drops
+        to ~1/q per step and per-device compute runs the fused VMEM kernel
+        instead of the HBM-bound roll stencils. Math identical to
+        ``run``/structured_run_loop (tests pin f64-roundoff agreement).
+
+        Linear dynamics only (+ wall masks, momentum forcing, tracers,
+        layered stratification): the nonlinear PV-flux stencil reaches two
+        rows per step, which the q-row halos do not cover — keep
+        ``run(..., nonlinear=True)`` for that case. Accepts and returns the
+        same 1-halo-row slab dict as ``run``/``scatter``/``gather``.
+        """
+        from .pallas_model import (
+            _VMEM_BUDGET, _forcing_setup, _pick_row_tile,
+        )
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        R = self.rows
+        ny2, nx = self.smesh.ny2, self.smesh.nx
+        k = local["h"].shape[-1]
+        dtype = local["h"].dtype
+        npdt = np.dtype(dtype)
+        n_tr = local["t"].shape[1] // 2 if "t" in local else 0
+
+        # superstep size: halo rows come from ONE neighbor slab (q <= R); q
+        # must divide n_steps; and the (row_tile + 2q)-row kernel window
+        # must fit the VMEM budget (same cost model as _pick_row_tile)
+        if q is None:
+            q = min(8, R)
+        q = max(1, min(int(q), R, n_steps))
+        k_pad = -(-k // 128) * 128
+        planes = 80 + 14 * n_tr
+
+        def fits(rt_, q_):
+            return (planes * (rt_ + 2 * q_) * nx * k_pad * npdt.itemsize
+                    <= int(0.9 * _VMEM_BUDGET))
+
+        while True:
+            while n_steps % q:
+                q -= 1
+            rt = (row_tile if row_tile is not None
+                  else _pick_row_tile(R, nx, k, npdt.itemsize, q, n_tr))
+            if interpret or fits(rt, q) or q == 1:
+                break
+            q -= 1
+        if R % rt:
+            raise ValueError(f"row_tile {rt} must divide local rows {R}")
+        if not interpret and not fits(rt, q):
+            raise ValueError(
+                "no slab tile fits the fused kernel's VMEM budget "
+                f"(rows/device={R}, nx={nx}, K={k}); use run() instead"
+            )
+
+        # constant fields with q periodic halo rows (host-side, global)
+        f = np.asarray(self.smesh.f_edge).reshape(6, ny2, nx, 1)
+        rts = np.asarray(self.smesh.resting_thickness_sum)[..., None]
+        f_q = self._put(self._slab(f, halo=q).astype(npdt))
+        rts_q = self._put(self._slab(rts, halo=q).astype(npdt))
+        mask_q = None
+        if self.smesh.edge_mask is not None:
+            m = np.asarray(self.smesh.edge_mask).reshape(6, ny2, nx, 1)
+            mask_q = self._put(self._slab(m, halo=q).astype(npdt))
+        cmask_q = None
+        if n_tr and self.smesh.cell_mask is not None:
+            cm = np.asarray(self.smesh.cell_mask)[..., None]
+            cmask_q = self._put(self._slab(cm, halo=q).astype(npdt))
+        # scalars are compile-time kernel constants, rounded in the field
+        # dtype (same rounding as pallas_tiled_run_loop)
+        consts = (
+            float(np.asarray(dt).astype(npdt)),
+            float((np.ones((), npdt)
+                   / np.asarray(self.smesh.dc).astype(npdt)).astype(npdt)),
+            float((np.asarray(self.smesh.dv).astype(npdt)
+                   / np.asarray(self.smesh.area_cell).astype(npdt)
+                   ).astype(npdt)),
+        )
+        force_q = None
+        if forcing is not None:
+            fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
+            force_q = {
+                "wind": self._put(self._slab(np.asarray(fwind), halo=q)),
+                "fidx": self._put(self._slab(np.asarray(fidx), halo=q)),
+            }
+            consts += (
+                float(np.asarray(forcing.drag_linear).astype(npdt)),
+                float(np.asarray(forcing.drag_quadratic).astype(npdt)),
+                float(np.asarray(forcing.rayleigh).astype(npdt)),
+            )
+        strat_q = None
+        if strat is not None:
+            w = np.asarray(strat.phi_weights).astype(npdt)
+            strat_q = self._put(np.broadcast_to(w, (self.n_parts,) + w.shape))
+        tropts = (
+            float(np.asarray(tracer_kappa).astype(npdt)),
+            float(np.asarray(tracer_upwind).astype(npdt)),
+        )
+        return self._run_pallas_jit(
+            local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q,
+            n_steps, int(q), int(rt), consts, tropts, bool(interpret),
+        )
+
+    @partial(
+        jax.jit, static_argnames=("self", "n_steps", "q", "rt", "consts",
+                                  "tropts", "interpret")
+    )
+    def _run_pallas_jit(self, local, f_q, rts_q, mask_q, force_q, cmask_q,
+                        strat_q, n_steps, q, rt, consts, tropts, interpret):
+        from .pallas_model import _make_tiled_step_call
+
+        axis, n_parts, R = self.axes, self.n_parts, self.rows
+        nx = self.smesh.nx
+        terms = self.smesh.coriolis_terms
+        dtype = local["h"].dtype
+        k = local["h"].shape[-1]
+        with_tracers = "t" in local
+        n_tr = local["t"].shape[1] // 2 if with_tracers else 0
+        masked = mask_q is not None
+        forced = force_q is not None
+        cell_masked = cmask_q is not None
+        stratified = strat_q is not None
+        T = R // rt
+
+        step_call = _make_tiled_step_call(
+            R, nx, k, dtype, terms=terms, rt=rt, q=q, consts=consts,
+            tropts=tropts, masked=masked, forced=forced, n_tracers=n_tr,
+            cell_masked=cell_masked,
+            strat_shape=None if strat_q is None else strat_q.shape[1:],
+            interpret=interpret,
+        )
+        down = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+        up = [(i, (i - 1) % n_parts) for i in range(n_parts)]
+
+        def device_fn(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            local = sq(local)
+
+            def tile_halos(x):
+                """Halo-extended local planes (planes, R+2q, nx, tr) ->
+                per-tile top/bottom q-row halo blocks (planes, T*q, nx, tr):
+                tile t's center is ext rows [q + t*rt, q + (t+1)*rt), its
+                top halo rows [t*rt, t*rt + q), bottom
+                [q + (t+1)*rt, q + (t+1)*rt + q)."""
+                tops = [x[:, t * rt: t * rt + q] for t in range(T)]
+                bots = [
+                    x[:, (t + 1) * rt + q: (t + 1) * rt + 2 * q]
+                    for t in range(T)
+                ]
+                return jnp.concatenate(tops, 1), jnp.concatenate(bots, 1)
+
+            def split(x):  # q-padded constant slab -> center + halo blocks
+                t, b = tile_halos(x)
+                return x[:, q:-q], t, b
+
+            f_c, f_t, f_b = split(sq(f_q))
+            rts_c, rts_t, rts_b = split(sq(rts_q))
+            if masked:
+                m_c, m_t, m_b = split(sq(mask_q))
+            if forced:
+                fl = sq(force_q)
+                w_c, w_t, w_b = split(fl["wind"].astype(dtype))
+                i_c, i_t, i_b = split(fl["fidx"])
+            if cell_masked:
+                cm_c, cm_t, cm_b = split(sq(cmask_q))
+            strat_w = sq(strat_q).astype(dtype) if stratified else None
+
+            def body(carry, _):
+                # ONE ppermute pair per field per q steps: my last/first q
+                # interior rows become the neighbors' halo blocks
+                exts = {}
+                for key, x in carry.items():
+                    top = jax.lax.ppermute(x[:, -q:], axis, down)
+                    bot = jax.lax.ppermute(x[:, :q], axis, up)
+                    exts[key] = jnp.concatenate([top, x, bot], axis=1)
+                ssh_t, ssh_b = tile_halos(exts["ssh"])
+                h_t, h_b = tile_halos(exts["h"])
+                u_t, u_b = tile_halos(exts["u"])
+                args = (
+                    carry["ssh"], carry["h"], carry["u"], f_c, rts_c,
+                    ssh_t, h_t, u_t, f_t, rts_t,
+                    ssh_b, h_b, u_b, f_b, rts_b,
+                )
+                if masked:
+                    args += (m_c, m_t, m_b)
+                if forced:
+                    args += (w_c, w_t, w_b, i_c, i_t, i_b)
+                if with_tracers:
+                    t_t, t_b = tile_halos(exts["t"])
+                    args += (carry["t"], t_t, t_b)
+                if cell_masked:
+                    args += (cm_c, cm_t, cm_b)
+                if stratified:
+                    args += (strat_w,)
+                out = step_call(*args)
+                new = {"ssh": out[0], "h": out[1], "u": out[2]}
+                if with_tracers:
+                    new["t"] = out[3]
+                return new, None
+
+            interior = {kk: v[:, 1:-1] for kk, v in local.items()}
+            final, _ = jax.lax.scan(body, interior, length=n_steps // q)
+            # re-attach the 1-row halo `run`/`gather`/`checksum` expect
+            out = {
+                kk: _with_halo(v, axis, n_parts) for kk, v in final.items()
+            }
+            return jax.tree.map(lambda a: a[None], out)
+
+        specs = jax.tree.map(lambda _: P(self.axes), local)
+        pspec = lambda t: jax.tree.map(lambda _: P(self.axes), t)
+        return shard_map(
+            device_fn,
+            mesh=self.device_mesh,
+            in_specs=(specs, pspec(f_q), pspec(rts_q), pspec(mask_q),
+                      pspec(force_q), pspec(cmask_q), pspec(strat_q)),
+            out_specs=specs,
+            # the pallas_call's ShapeDtypeStruct outputs carry no
+            # varying-mesh-axes annotation; skip the vma checker
+            check_vma=False,
+        )(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q)

@@ -179,3 +179,146 @@ def test_sharded_structured_nonlinear_rejects_masked():
     )
     with pytest.raises(NotImplementedError, match="periodic"):
         ssm.run(ssm.scatter(sm.to_struct(prog)), 10.0, 2, nonlinear=True)
+
+
+@pytest.mark.parametrize(
+    "n_devices,q,row_tile",
+    [(2, 1, None), (2, 3, None), (2, 2, 2), (4, 2, None), (8, 1, None)],
+)
+def test_sharded_pallas_matches_global(setup, n_devices, q, row_tile):
+    """Communication-avoiding superstep path (one ppermute pair of q halo
+    rows, then ONE Pallas kernel advancing q steps per row tile) == global
+    roll rollout at f64 roundoff — including multi-tile slabs (row_tile=2
+    -> two tiles per device, inner halos from local rows, outer from the
+    ppermuted blocks)."""
+    sm, st = setup
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n)
+
+    ssm = ShardedStructuredModel(
+        sm.struct_mesh, devices=jax.devices()[:n_devices]
+    )
+    local = ssm.run_pallas(ssm.scatter(st), 10.0, n, q=q, row_tile=row_tile)
+    out = ssm.gather(local)
+
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.layer_thickness),
+        np.asarray(ref.layer_thickness),
+        rtol=0,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_sharded_pallas_masked_forced():
+    """Superstep path on a wall-masked channel with momentum forcing (wind
+    + both drags + Rayleigh): matches the global forced masked rollout at
+    f64 roundoff. Wind rides q-halo constant slabs; the level masks travel
+    as compressed int32 index planes like the single-chip tiled kernel."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.models.forcing import make_forcing
+    from mpas_ocean_tpu.structured import StructuredModel
+
+    dc = 1000.0
+    horz = planar_hex_mesh(NX, NY, dc, f0=1e-4)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=K,
+        resting_thickness=np.full((chan.n_cells, K), 10.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, NX, NY, parent_horz=horz, keep_cells=keep)
+    forcing = make_forcing(
+        mesh, wind_stress_zonal=0.1, bottom_drag_linear=1e-4,
+        bottom_drag_quadratic=2e-3, rayleigh=1e-5,
+    )
+    sf = sm.to_struct_forcing(forcing)
+    rng = np.random.default_rng(8)
+    h = np.full((chan.n_cells, K), 10.0) + 0.01 * rng.normal(
+        size=(chan.n_cells, K)
+    )
+    u = 0.01 * rng.normal(size=(chan.n_edges, K))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n, forcing=sf)
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:2])
+    out = ssm.gather(
+        ssm.run_pallas(ssm.scatter(st), 10.0, n, q=3, forcing=sf)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+
+
+def test_sharded_pallas_tracers_strat(hex16):
+    """Superstep path with two active tracers AND layered stratification:
+    tracer planes ride the same q-row halos, the Montgomery matmul runs
+    per kernel window — matches the global rollout at f64 roundoff."""
+    from mpas_ocean_tpu.models.shallow_water import update_ssh
+    from mpas_ocean_tpu.models.stratification import make_stratification
+    from mpas_ocean_tpu.models.tracers import make_tracers
+    from mpas_ocean_tpu.structured import StructuredModel
+
+    vert = make_vertical_mesh(hex16, n_vert_levels=K)
+    mesh = Mesh(horz=hex16, vert=vert).to_device()
+    rng = np.random.default_rng(9)
+    nc, ne = hex16.n_cells, hex16.n_edges
+    h0 = np.asarray(vert.resting_thickness) + 0.1 * rng.standard_normal(
+        (nc, K)
+    )
+    u0 = 0.1 * rng.standard_normal((ne, K))
+    x = np.asarray(hex16.cells.x)
+    tr = make_tracers(
+        mesh,
+        [10.0 + np.sin(2 * np.pi * x / (x.max() + 1)), 35.0 + 0.0 * x],
+    )
+    prog = PrognosticVars(
+        ssh=update_ssh(jnp.asarray(h0), mesh),
+        layer_thickness=jnp.asarray(h0),
+        normal_velocity=jnp.asarray(u0),
+        tracers=tr,
+    )
+    strat = make_stratification([1024.0, 1025.5, 1026.0])
+    sm = StructuredModel(mesh, 16, 16)
+    st = sm.to_struct(prog)
+    n = 6
+    ref = structured_run_loop(
+        st, sm.struct_mesh, 10.0, n, tracer_kappa=5.0, strat=strat
+    )
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:4])
+    out = ssm.gather(
+        ssm.run_pallas(
+            ssm.scatter(st), 10.0, n, q=2, tracer_kappa=5.0, strat=strat
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.tracers), np.asarray(ref.tracers), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-12,
+    )
