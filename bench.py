@@ -348,6 +348,25 @@ def measure_adjoint(device, sm, prog, dt, steps, reps: int = 1) -> float:
     return _time_fn(run, reps)
 
 
+def measure_superstep(device, sm, prog, dt, steps, reps: int = 1) -> float:
+    """Communication-avoiding sharded path (structured.
+    ShardedStructuredModel.run_pallas): one ppermute pair of q halo rows,
+    then q fused Pallas steps per exchange. Only one chip is reachable
+    here, so this times the P=1 degenerate ring (self-ppermute) — the full
+    superstep machinery (collective + tile kernel + scan), a lower bound
+    on the per-device rate of a real multi-chip run."""
+    from mpas_ocean_tpu.structured import ShardedStructuredModel
+
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=[device])
+    local = ssm.scatter(sm.to_struct(prog))
+
+    def run():
+        out = ssm.run_pallas(local, dt, steps, q=2)
+        return float(out["ssh"].sum())
+
+    return _time_fn(run, reps)
+
+
 def measure_tiled_large(device, reps: int = 1):
     """Production-scale config (256x256 cells x 100 levels, ~2.6 GB of
     state+temps traffic per step) on the tiled Pallas path — the HBM-
@@ -459,9 +478,11 @@ def main():
         tr_gps = n_gridpoints * STEPS / t_tr
         t_st = measure_pallas_strat(accel, mesh, sm, prog, dt, STEPS, 1)
         st_gps = n_gridpoints * STEPS / t_st
+        t_ss = measure_superstep(accel, sm, prog, dt, STEPS, 1)
+        ss_gps = n_gridpoints * STEPS / t_ss
     else:
         large_gps = large_spstep = adj_spstep = nl_gps = float("nan")
-        tr_gps = st_gps = float("nan")
+        tr_gps = st_gps = ss_gps = float("nan")
 
     # static halo-overlap profile of an 8-part decomposition of this mesh
     # (single real chip here; the sharded tests execute the same code on 8
@@ -519,6 +540,7 @@ def main():
                     "nonlinear_fused_gridpoints_per_sec": nl_gps,
                     "tracer2_fused_gridpoints_per_sec": tr_gps,
                     "baroclinic_fused_gridpoints_per_sec": st_gps,
+                    "sharded_superstep_gridpoints_per_sec": ss_gps,
                     "roofline": {
                         "vpu_peak_tflops_measured": vpu_peak / 1e12,
                         "hbm_peak_gbps_measured": hbm_peak / 1e9,
