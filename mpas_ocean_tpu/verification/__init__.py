@@ -3,6 +3,7 @@ from .internal_wave import InternalWave
 from .kelvin_wave import KelvinWave
 from .manufactured import PlanarTestFields
 from .rossby_wave import RossbyWave
+from .stommel_gyre import StommelGyre
 
 __all__ = [
     "InertialGravityWave",
@@ -10,4 +11,5 @@ __all__ = [
     "KelvinWave",
     "PlanarTestFields",
     "RossbyWave",
+    "StommelGyre",
 ]
