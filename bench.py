@@ -353,8 +353,11 @@ def measure_superstep(device, sm, prog, dt, steps, reps: int = 1) -> float:
     ShardedStructuredModel.run_pallas): one ppermute pair of q halo rows,
     then q fused Pallas steps per exchange. Only one chip is reachable
     here, so this times the P=1 degenerate ring (self-ppermute) — the full
-    superstep machinery (collective + tile kernel + scan), a lower bound
-    on the per-device rate of a real multi-chip run."""
+    superstep machinery (collective + tile kernel + scan), but an
+    OPTIMISTIC proxy for a real multi-chip run: a self-permute can only be
+    cheaper than real neighbor ICI exchange, so read it as an upper bound
+    on the per-device rate (the virtual-device scaling block measures the
+    collective-count structure)."""
     from mpas_ocean_tpu.structured import ShardedStructuredModel
 
     ssm = ShardedStructuredModel(sm.struct_mesh, devices=[device])

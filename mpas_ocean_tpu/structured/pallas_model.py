@@ -675,15 +675,23 @@ def _tiled_step_kernel(
     ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
     terms, rows, consts, masked, q, n_tracers=0, tropts=(0.0, 1.0),
-    cell_masked=False, stratified=False, forced=False,
+    cell_masked=False, stratified=False, forced=False, nl_terms=None,
+    fb=False,
 ):
-    """``q``-step temporal blocking: the tile carries q halo rows per side
-    and advances q timesteps per kernel invocation, shrinking the valid
-    window by one row per side per step — q-fold fewer HBM passes over the
-    state for O(q^2) extra boundary-row compute (q(q-1) of q*rows rows).
+    """``q``-step temporal blocking: the tile carries reach*q halo rows per
+    side and advances q timesteps per kernel invocation, shrinking the
+    valid window by ``reach`` rows per side per step — q-fold fewer HBM
+    passes over the state for O(q^2) extra boundary-row compute.
     Tracers ride as extra plane groups with the same halo scheme; the
-    stratified Montgomery matmul runs per window (models/stratification.py)."""
-    from .sharded import _step_slab
+    stratified Montgomery matmul runs per window (models/stratification.py).
+
+    reach = 1 for the linear core; 2 for the NONLINEAR (vector-invariant)
+    step, whose derived fields (flux/KE/edge PV) are recomputed locally on
+    a 1-padded window (_step_slab_nl), and for FORWARD-BACKWARD, whose
+    pressure stage reads the fresh thickness one ring out."""
+    from .sharded import _step_slab, _step_slab_nl
+
+    reach = 2 if (nl_terms is not None or fb) else 1
 
     def pad(center, top, bot, c):
         return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
@@ -693,6 +701,9 @@ def _tiled_step_kernel(
         masks_full = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
     else:
         masks_full = None
+    if nl_terms is not None:
+        fv_ref, fv_t, fv_b, *rest = rest
+        fv_full = tuple(pad(fv_ref, fv_t, fv_b, c) for c in range(4))
     if forced:
         # wind planes + compressed int32 level-index planes, halo-padded
         # like every other constant field (see _forcing_setup)
@@ -732,10 +743,16 @@ def _tiled_step_kernel(
     dt = jnp.asarray(consts[0], dtype)
     inv_dc = jnp.asarray(consts[1], dtype)
     s_div = jnp.asarray(consts[2], dtype)
+    i = 3
     if forced:
-        dlin = jnp.asarray(consts[3], dtype)
-        dquad = jnp.asarray(consts[4], dtype)
-        rayl = jnp.asarray(consts[5], dtype)
+        dlin = jnp.asarray(consts[i], dtype)
+        dquad = jnp.asarray(consts[i + 1], dtype)
+        rayl = jnp.asarray(consts[i + 2], dtype)
+        i += 3
+    if nl_terms is not None:
+        ke_scale = jnp.asarray(consts[i], dtype)
+        curl_scale = jnp.asarray(consts[i + 1], dtype)
+        vc_terms, ev_terms = nl_terms
 
     ssh = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
     h = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
@@ -744,23 +761,31 @@ def _tiled_step_kernel(
     rts_full = tuple(pad(rts_ref, rts_t, rts_b, p) for p in range(2))
 
     tr = tr_full
-    full = rows + 2 * q
+    full = rows + 2 * reach * q
     for j in range(q):
-        rows_j = rows + 2 * (q - 1 - j)
+        rows_j = rows + 2 * reach * (q - 1 - j)
+        off = reach * j
         # constant fields get windowed; STATE (ssh/h/u/tr) arrives already
         # at the window size from the previous iteration's interior output
-        win = lambda t: tuple(x[j : full - j] for x in t)
+        win = lambda t: tuple(x[off : full - off] for x in t)
         forc_j = (
             (win(wind_full), win(ti_full), win(bi_full), dlin, dquad, rayl)
             if forced else None
         )
-        ssh, h, u, tr = _step_slab(
-            ssh, h, u, win(f_full), win(rts_full),
-            dt, inv_dc, s_div, terms, rows_j,
-            win(masks_full) if masked else None,
-            forc_j, tr, tropts,
-            win(cm_full) if cell_masked else None, strat_w,
-        )
+        if nl_terms is not None:
+            ssh, h, u, tr = _step_slab_nl(
+                ssh, h, u, win(f_full), win(rts_full), win(fv_full),
+                dt, inv_dc, s_div, ke_scale, curl_scale, terms,
+                vc_terms, ev_terms, rows_j, forc_j, tr, tropts, strat_w,
+            )
+        else:
+            ssh, h, u, tr = _step_slab(
+                ssh, h, u, win(f_full), win(rts_full),
+                dt, inv_dc, s_div, terms, rows_j,
+                win(masks_full) if masked else None,
+                forc_j, tr, tropts,
+                win(cm_full) if cell_masked else None, strat_w, fb,
+            )
     for p in range(2):
         ssh_out[p] = ssh[p]
         h_out[p] = h[p]
@@ -770,22 +795,41 @@ def _tiled_step_kernel(
         t_out[i] = tr[i]
 
 
-def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
-                   n_tracers: int = 0) -> int:
-    """Largest divisor of ny2 whose tile fits the VMEM budget.
+def tile_cost_planes(n_tracers: int = 0, nonlinear: bool = False) -> int:
+    """Plane-equivalent VMEM working set of one tiled-kernel window: ~80
+    planes — 18 input + 10 output block planes double-buffered by the
+    pipeline, plus ~24 planes of step temporaries; each tracer adds ~14
+    more (2 in + 2 out double-buffered + flux temporaries); the nonlinear
+    step carries ~40 extra planes of derived-field temporaries (KE, PV,
+    kite planes + the local recompute window). The SINGLE cost model shared
+    by _pick_row_tile and the sharded superstep's fit check — keep them
+    from drifting by always going through tile_window_fits."""
+    return (120 if nonlinear else 80) + 14 * n_tracers
 
-    Cost model: ~80 plane-tiles of (rt + 2q, nx, k_pad) — 18 input + 10
-    output block planes double-buffered by the pipeline, plus ~24 planes of
-    step temporaries; each tracer adds ~14 more (2 in + 2 out
-    double-buffered + flux temporaries). Trailing-singleton fields pad to a
-    full 128-lane tile, so they count at the same k_pad as the 3-D fields."""
+
+def tile_window_fits(rt: int, q: int, nx: int, k: int, itemsize: int,
+                     n_tracers: int = 0, reach: int = 1,
+                     nonlinear: bool = False) -> bool:
+    """Whether a (rt + 2*reach*q)-row kernel window fits the VMEM budget.
+    Trailing-singleton fields pad to a full 128-lane tile, so they count
+    at the same k_pad as the 3-D fields."""
     k_pad = -(-k // 128) * 128
-    planes = 80 + 14 * n_tracers
+    planes = tile_cost_planes(n_tracers, nonlinear)
+    return (planes * (rt + 2 * reach * q) * nx * k_pad * itemsize
+            <= int(0.9 * _VMEM_BUDGET))
+
+
+def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
+                   n_tracers: int = 0, reach: int = 1,
+                   nonlinear: bool = False) -> int:
+    """Largest divisor of ny2 whose tile window fits the VMEM budget
+    (tile_window_fits cost model)."""
     for t in range(1, ny2 + 1):
         if ny2 % t:
             continue
         rt = ny2 // t
-        if planes * (rt + 2 * q) * nx * k_pad * itemsize <= int(0.9 * _VMEM_BUDGET):
+        if tile_window_fits(rt, q, nx, k, itemsize, n_tracers, reach,
+                            nonlinear):
             return rt
     return 1
 
@@ -793,26 +837,45 @@ def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
 def _make_tiled_step_call(
     n_rows: int, nx: int, k: int, dtype, *, terms, rt: int, q: int, consts,
     tropts=(0.0, 1.0), masked=False, forced=False, n_tracers=0,
-    cell_masked=False, strat_shape=None, interpret=False,
+    cell_masked=False, strat_shape=None, interpret=False, nl_terms=None,
+    fb=False,
 ):
     """Build the q-step row-tiled pallas_call over an ``n_rows``-row
-    parity-plane stack. The q-row halo blocks per tile side are SEPARATE
-    operands (grouped per tile, (planes, n_tiles*q, nx, tr)), so the SAME
-    kernel serves two callers: the single-chip tiled rollout, whose halos
-    are periodic strided slices of the global state, and the sharded
-    communication-avoiding superstep (sharded.ShardedStructuredModel.
-    run_pallas), whose outermost halos arrive by lax.ppermute.
+    parity-plane stack. The reach*q-row halo blocks per tile side are
+    SEPARATE operands (grouped per tile, (planes, n_tiles*reach*q, nx,
+    tr)), so the SAME kernel serves two callers: the single-chip tiled
+    rollout, whose halos are periodic strided slices of the global state,
+    and the sharded communication-avoiding superstep (sharded.
+    ShardedStructuredModel.run_pallas), whose outermost halos arrive by
+    lax.ppermute. ``nl_terms`` = (vertex_cell_terms, edge_vertex_terms)
+    selects the nonlinear vector-invariant step (reach 2); ``fb`` the
+    forward-backward scheme (also reach 2).
 
     Operand order: (ssh, h, u, f, rts) centers; the same five as top halo
     blocks; the same five as bottom halo blocks; then optional groups in
-    this order — mask triplet, (wind, level-index) forcing triplets, tracer
-    triplet, cell-mask triplet, stratification weights."""
+    this order — mask triplet, f_vertex triplet (nonlinear), (wind,
+    level-index) forcing triplets, tracer triplet, cell-mask triplet,
+    stratification weights."""
     stratified = strat_shape is not None
+    nonlinear = nl_terms is not None
+    if nonlinear and masked:
+        raise NotImplementedError(
+            "nonlinear tiled kernel does not support wall masks yet; "
+            "use the gather or matrix path for walled channels"
+        )
+    if nonlinear and fb:
+        raise NotImplementedError(
+            "forward-backward + nonlinear needs a 3-row-per-step reach; "
+            "use the roll model (structured_run_loop) for that combination"
+        )
+    reach = 2 if (nonlinear or fb) else 1
+    hq = reach * q
     n_tiles = n_rows // rt
     kernel = functools.partial(
         _tiled_step_kernel, terms=terms, rows=rt, consts=consts,
         masked=masked, q=q, n_tracers=n_tracers, tropts=tropts,
         cell_masked=cell_masked, stratified=stratified, forced=forced,
+        nl_terms=nl_terms, fb=fb,
     )
 
     # index-map zeros derived from t (t * 0): literal 0s trace as i64 while
@@ -825,7 +888,7 @@ def _make_tiled_step_call(
 
     def halo_spec(planes, tr):
         return pl.BlockSpec(
-            (planes, q, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            (planes, hq, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -855,6 +918,8 @@ def _make_tiled_step_call(
     aliases = {0: 0, 1: 1, 2: 2}
     if masked:
         in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+    if nonlinear:
+        in_specs += [center_spec(4, rt, 1), halo_spec(4, 1), halo_spec(4, 1)]
     if forced:
         in_specs += [
             center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1),
@@ -896,19 +961,24 @@ def _make_tiled_step_call(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "terms", "row_tile", "n_steps", "interpret", "consts", "q", "tropts"
+        "terms", "row_tile", "n_steps", "interpret", "consts", "q", "tropts",
+        "nl_terms", "fb",
     ),
 )
 def _pallas_tiled_rollout(
     ssh, h, u, f_edge, rts, mask=None, tracers=None, cmask=None,
-    strat_w=None, fwind=None, fidx=None, *,
+    strat_w=None, fwind=None, fidx=None, f_vert=None, *,
     terms, row_tile, n_steps, interpret, consts, q=1, tropts=(0.0, 1.0),
+    nl_terms=None, fb=False,
 ):
     masked = mask is not None
     n_tracers = 0 if tracers is None else tracers.shape[0] // 2
     cell_masked = cmask is not None
     stratified = strat_w is not None
     forced = fwind is not None
+    nonlinear = nl_terms is not None
+    reach = 2 if (nonlinear or fb) else 1
+    hq = reach * q
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
     n_tiles = ny2 // rt
@@ -917,14 +987,14 @@ def _pallas_tiled_rollout(
         tropts=tropts, masked=masked, forced=forced, n_tracers=n_tracers,
         cell_masked=cell_masked,
         strat_shape=None if strat_w is None else strat_w.shape,
-        interpret=interpret,
+        interpret=interpret, nl_terms=nl_terms, fb=fb,
     )
 
     def halos(x):
-        """(planes, ny2, nx, tr) -> top/bottom q-row halo blocks per tile,
-        (planes, n_tiles*q, nx, tr) each, grouped per tile. Tile t's top
-        halo is rows (t*rt - q .. t*rt - 1) mod ny2, its bottom rows
-        ((t+1)*rt .. (t+1)*rt + q - 1) mod ny2 — extracted with strided
+        """(planes, ny2, nx, tr) -> top/bottom hq-row halo blocks per tile,
+        (planes, n_tiles*hq, nx, tr) each, grouped per tile. Tile t's top
+        halo is rows (t*rt - hq .. t*rt - 1) mod ny2, its bottom rows
+        ((t+1)*rt .. (t+1)*rt + hq - 1) mod ny2 — extracted with strided
         slices directly (an earlier version rolled the FULL array first,
         adding two whole-state HBM passes per field per step)."""
 
@@ -940,17 +1010,19 @@ def _pallas_tiled_rollout(
                         [base[:, sh:], base[:, :sh]], axis=1
                     )
                 cols.append(base)
-            stacked = jnp.stack(cols, axis=2)  # (planes, T, q, nx, tr)
+            stacked = jnp.stack(cols, axis=2)  # (planes, T, hq, nx, tr)
             return stacked.reshape(
                 x.shape[0], n_tiles * len(offsets), *x.shape[2:]
             )
 
-        return rows_at(range(-q, 0)), rows_at(range(rt, rt + q))
+        return rows_at(range(-hq, 0)), rows_at(range(rt, rt + hq))
 
     f_t, f_b = halos(f_edge)
     rts_t, rts_b = halos(rts)
     if masked:
         m_t, m_b = halos(mask)
+    if nonlinear:
+        fv_t, fv_b = halos(f_vert)
     if cell_masked:
         cm_t, cm_b = halos(cmask)
     if forced:
@@ -973,6 +1045,8 @@ def _pallas_tiled_rollout(
         )
         if masked:
             args += (mask, m_t, m_b)
+        if nonlinear:
+            args += (f_vert, fv_t, fv_b)
         if forced:
             args += (fwind, fw_t, fw_b, fidx, fi_t, fi_b)
         if n_tracers:
@@ -994,33 +1068,38 @@ def pallas_tiled_run_loop(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     *, row_tile: int | None = None, interpret=None, q: int | None = None,
     tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
-    forcing=None,
+    forcing=None, nonlinear: bool = False, fb: bool = False,
 ) -> StructState:
     """Fused-step rollout for meshes of ANY size: one Pallas call per q
-    timesteps, gridded over row tiles with q-row halos (temporal blocking —
-    q-fold fewer HBM passes over the state for O(q^2) extra boundary-row
-    compute; measured 4.5 -> 7.1 Gp/s at q=2 on a 256x256x100 mesh on v5e;
-    q >= 4 overflows the scoped-VMEM budget at that size). Tracers and
-    layered stratification ride the same tiles."""
+    timesteps, gridded over row tiles with reach*q-row halos (temporal
+    blocking — q-fold fewer HBM passes over the state for O(q^2) extra
+    boundary-row compute). Tracers and layered stratification ride the
+    same tiles. ``nonlinear`` fuses the vector-invariant momentum equation
+    (periodic lattices only; derived fields recomputed locally on the
+    2-rows-per-step window, sharded._step_slab_nl); ``fb`` the
+    forward-backward scheme (also reach 2)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ny2, nx = mesh.ny2, mesh.nx
     k = state.layer_thickness.shape[-1]
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     dtype = state.layer_thickness.dtype
+    reach = 2 if (nonlinear or fb) else 1
     if q is None:
         q = 1
     q = max(1, min(int(q), n_steps))
     while n_steps % q:
         q -= 1
     if row_tile is None:
-        row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize, q, n_tr)
+        row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize, q, n_tr,
+                                  reach, nonlinear)
     if ny2 % row_tile:
         raise ValueError(f"row_tile {row_tile} must divide ny2={ny2}")
-    if row_tile + 2 * q > ny2:
-        q = max(1, (ny2 - row_tile) // 2)
+    if row_tile + 2 * reach * q > ny2:
+        q = max(1, (ny2 - row_tile) // (2 * reach))
         while n_steps % q:
             q -= 1
+    nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
     ssh = state.ssh[..., None]
     h = state.layer_thickness
     u = state.normal_velocity.reshape(6, ny2, nx, k)
@@ -1060,12 +1139,24 @@ def pallas_tiled_run_loop(
             float(np.asarray(forcing.drag_quadratic).astype(npdt)),
             float(np.asarray(forcing.rayleigh).astype(npdt)),
         )
+    if nonlinear:
+        # the nonlinear metric scalars, rounded like the other consts
+        consts += (
+            float(
+                (0.25 * np.asarray(mesh.dc) * np.asarray(mesh.dv)
+                 / np.asarray(mesh.area_cell)).astype(npdt)
+            ),
+            float(
+                (np.asarray(mesh.dc)
+                 / (np.asarray(mesh.area_cell) * 0.5)).astype(npdt)
+            ),
+        )
     out = _pallas_tiled_rollout(
         ssh, h, u, f_edge, rts, mask, tr, cmask, _strat_w(strat, dtype),
-        fwind, fidx,
+        fwind, fidx, f_vert,
         terms=mesh.coriolis_terms, row_tile=int(row_tile),
         n_steps=n_steps, interpret=bool(interpret), consts=consts, q=int(q),
-        tropts=tropts,
+        tropts=tropts, nl_terms=nl_terms, fb=fb,
     )
     ssh_f, h_f, u_f = out[:3]
     return StructState(
@@ -1083,9 +1174,10 @@ def structured_auto_run_loop(
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
     the state fits, tiled per-step kernel otherwise (tracers, layered
-    stratification and momentum forcing included); roll model on CPU.
-    Nonlinear beyond-VMEM meshes use the HBM-streaming roll model (the
-    tiled kernel's q-row halos cannot cover the deeper PV-flux stencil)."""
+    stratification, momentum forcing, nonlinear dynamics and
+    forward-backward included — nonlinear/FB tiles carry 2-rows-per-step
+    halos); roll model on CPU. Only the combinations the tiled kernel
+    fences off (nonlinear+fb, nonlinear+walls) stream the roll model."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = state.layer_thickness.shape[-1]
@@ -1105,10 +1197,9 @@ def structured_auto_run_loop(
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
             strat=strat, fb=fb, forcing=forcing,
         )
-    if nonlinear or fb:
-        # the tiled kernel's q-row halos cover neither the deeper PV-flux
-        # stencil nor forward-backward's 2-row-per-step reach; stream the
-        # roll model instead
+    if (nonlinear and fb) or (nonlinear and mesh.edge_mask is not None):
+        # combinations the tiled kernel fences off (reach-3 stencil /
+        # masked vertex quantities): stream the roll model
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
@@ -1119,7 +1210,8 @@ def structured_auto_run_loop(
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False,
                                  q=2, tracer_kappa=tracer_kappa,
                                  tracer_upwind=tracer_upwind, strat=strat,
-                                 forcing=forcing)
+                                 forcing=forcing, nonlinear=nonlinear,
+                                 fb=fb)
 
 
 # ---------------------------------------------------------------------------

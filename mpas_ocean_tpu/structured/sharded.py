@@ -94,23 +94,15 @@ def _apply_forcing(u_i, he_i, forc, c):
     return t - rayl * u_i
 
 
-def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
-               masks=None, forc=None, tr=None, tropts=(0.0, 1.0), cmask=None,
-               strat_w=None):
-    """One forward-Euler step on a halo-padded slab; returns interior-only
-    planes (ssh, h, u, tracers-or-None). Mirrors pallas_model._step_planes
-    with halo reads instead of periodic wraps (same coefficients, same
-    order). ``masks`` (halo-padded like f_edge, or None) pins
-    wall/dead-edge velocity to zero. ``forc`` (see _apply_forcing; fields
-    halo-padded) adds the momentum forcing. ``tr`` (list of halo-padded
-    (R+2, nx, K) planes indexed [t*2 + p], matching pallas_model.
-    _step_planes) advects tracers (models/tracers.py, slab form) with
-    ``tropts = (kappa, upwind)``; ``cmask`` (2-tuple of padded (R+2, nx, 1)
-    live-cell masks) guards the content/h division on culled lattices."""
-    # thickness flux evaluated on padded rows [0, rows+1): the divergence
-    # needs flux at the interior rows AND one row below (_INCOMING dm=-1
-    # taps); the flux itself reads h up to one row above, so the single
-    # halo row on each side covers the chained two-operator reach.
+def _flux_thickness(h, u, rts, dt, s_div, rows):
+    """Thickness flux + continuity update from 1-halo-padded planes.
+
+    Flux/h_edge are evaluated on padded rows [0, rows+1): the divergence
+    needs flux at the interior rows AND one row below (_INCOMING dm=-1
+    taps); the flux itself reads h up to one row above, so the single halo
+    row on each side covers the chained two-operator reach. Returns
+    (fluxp, hep, h_new, ssh_new) with fluxp/hep keyed (fam, p) on padded
+    rows and h_new/ssh_new interior-row lists."""
     fluxp = {}
     hep = {}
     for fam in (E, NE, NW):
@@ -137,20 +129,70 @@ def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
         hp = _interior(h[p], rows) - (dt * s_div) * total
         h_new.append(hp)
         ssh_new.append(jnp.sum(hp, axis=-1, keepdims=True) - _interior(rts[p], rows))
+    return fluxp, hep, h_new, ssh_new
+
+
+def _step_slab(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, rows,
+               masks=None, forc=None, tr=None, tropts=(0.0, 1.0), cmask=None,
+               strat_w=None, fb=False):
+    """One forward-Euler step on a halo-padded slab; returns interior-only
+    planes (ssh, h, u, tracers-or-None). Mirrors pallas_model._step_planes
+    with halo reads instead of periodic wraps (same coefficients, same
+    order). ``masks`` (halo-padded like f_edge, or None) pins
+    wall/dead-edge velocity to zero. ``forc`` (see _apply_forcing; fields
+    halo-padded) adds the momentum forcing. ``tr`` (list of halo-padded
+    (R+2, nx, K) planes indexed [t*2 + p], matching pallas_model.
+    _step_planes) advects tracers (models/tracers.py, slab form) with
+    ``tropts = (kappa, upwind)``; ``cmask`` (2-tuple of padded (R+2, nx, 1)
+    live-cell masks) guards the content/h division on culled lattices.
+
+    ``fb=True`` selects the forward-backward scheme (model.
+    structured_fb_step): the pressure stage reads the FRESH thickness/ssh,
+    whose own 1-ring makes the total stencil reach TWO rows — all inputs
+    must then carry two halo rows per side (rows+4 planes); the continuity
+    update runs on the inner 1-pad window and every old-state term is
+    sliced to that window first."""
+    if fb:
+        fluxp_w, hep_w, hn_pad, sshn_pad = _flux_thickness(
+            h, u, rts, dt, s_div, rows + 2
+        )
+        inner = lambda t: tuple(x[1:-1] for x in t)
+        ssh, h, u = inner(ssh), inner(h), inner(u)
+        f_edge, rts = inner(f_edge), inner(rts)
+        if masks is not None:
+            masks = inner(masks)
+        if forc is not None:
+            forc = (inner(forc[0]), inner(forc[1]), inner(forc[2]),
+                    forc[3], forc[4], forc[5])
+        if tr is not None:
+            tr = inner(tr)
+        if cmask is not None:
+            cmask = inner(cmask)
+        # re-window the padded flux/h_edge/new-thickness planes to the
+        # inner 1-pad frame: padded-window row r maps to inner row r-1
+        fluxp = {kk: v[1 : rows + 2] for kk, v in fluxp_w.items()}
+        hep = {kk: v[1 : rows + 2] for kk, v in hep_w.items()}
+        h_new = [x[1:-1] for x in hn_pad]
+        ssh_new = [x[1:-1] for x in sshn_pad]
+        pg_ssh, pg_h = tuple(sshn_pad), tuple(hn_pad)  # 1-padded NEW fields
+    else:
+        fluxp, hep, h_new, ssh_new = _flux_thickness(h, u, rts, dt, s_div,
+                                                     rows)
+        pg_ssh, pg_h = ssh, h
 
     if strat_w is None:
-        pg_field, pg_scale = ssh, -GRAVITY * dt
+        pg_field, pg_scale = pg_ssh, -GRAVITY * dt
     else:
         # layered baroclinic pressure: Montgomery potential on the padded
         # planes (models/stratification.py), then the same slab gradient
         # reshape-to-2D dot (not a rank-3 batched matmul): lowers in Mosaic
         # (the tiled kernel runs this) and is the same contraction per row
         pg_field = tuple(
-            GRAVITY * ssh[p] + jnp.dot(
-                h[p].reshape(-1, h[p].shape[-1]), strat_w,
-                preferred_element_type=h[p].dtype,
+            GRAVITY * pg_ssh[p] + jnp.dot(
+                pg_h[p].reshape(-1, pg_h[p].shape[-1]), strat_w,
+                preferred_element_type=pg_h[p].dtype,
                 precision=jax.lax.Precision.HIGHEST,
-            ).reshape(h[p].shape)
+            ).reshape(pg_h[p].shape)
             for p in (0, 1)
         )
         pg_scale = -dt
@@ -357,10 +399,14 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
     if strat_w is None:
         grad_ssh, pg_scale = grad(ssh), -GRAVITY * dt
     else:
+        # reshape-to-2D dot, not a rank-3 batched matmul: lowers in Mosaic
+        # so the tiled nonlinear kernel can run this stage in-kernel
         phi = tuple(
-            GRAVITY * ssh[p] + jnp.matmul(
-                h[p], strat_w, precision=jax.lax.Precision.HIGHEST
-            )
+            GRAVITY * ssh[p] + jnp.dot(
+                h[p].reshape(-1, h[p].shape[-1]), strat_w,
+                preferred_element_type=h[p].dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(h[p].shape)
             for p in (0, 1)
         )
         grad_ssh, pg_scale = grad(phi), -dt
@@ -444,6 +490,32 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                 t_new.append(content / h_new[p])
         t_new = tuple(t_new)
     return tuple(ssh_new), tuple(h_new), tuple(u_new), t_new
+
+
+def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
+                  curl_scale, terms, vc_terms, ev_terms, rows, forc=None,
+                  tr=None, tropts=(0.0, 1.0), strat_w=None):
+    """One NONLINEAR (vector-invariant) forward-Euler step computed fully
+    locally on TWO-halo-padded planes (rows+4) -> interior rows.
+
+    Where the sharded `run` path exchanges the derived fields (flux, KE,
+    edge PV) in a second ppermute round to stay exact on a 1-ring halo,
+    this variant instead RECOMPUTES them on a 1-padded window from a 2-ring
+    halo — the communication-free form the q-step tiled Pallas kernel and
+    sharded superstep need (halo rows are consumed 2 per side per step).
+    Same math/order as _derived_slab + _apply_slab_nonlinear, so all
+    nonlinear paths agree to roundoff."""
+    mesh_sc = (inv_dc, ke_scale, curl_scale, f_v, vc_terms, ev_terms)
+    flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows + 2)
+    inner = lambda t: tuple(x[1:-1] for x in t)
+    if forc is not None:
+        forc = (inner(forc[0]), inner(forc[1]), inner(forc[2]),
+                forc[3], forc[4], forc[5])
+    return _apply_slab_nonlinear(
+        inner(ssh), inner(h), inner(u), flux, (ke[0], ke[1]), q_e,
+        inner(rts), dt, inv_dc, s_div, terms, rows, forc,
+        inner(tr) if tr is not None else None, tropts, strat_w,
+    )
 
 
 def _with_halo(interior, axis_name: str, n_parts: int):
@@ -892,35 +964,101 @@ class ShardedStructuredModel:
         )(local, f_local, rts_local, mask_local, fv_local, forcel,
           cmask_local, strat_local)
 
+    def _nl_validate(self):
+        sm = self.smesh
+        if sm.edge_mask is not None:
+            raise NotImplementedError(
+                "nonlinear structured dynamics require a fully periodic "
+                "lattice (same restriction as structured_step)"
+            )
+        if not sm.vertex_cell_terms or sm.f_vertex is None:
+            raise ValueError(
+                "StructMesh lacks vertex stencils; build it via "
+                "StructuredModel so hex_layout extracts them"
+            )
+        # the derived-field exchange/local-recompute is exact on its halo
+        # only because the vertex-stage taps stay within these row offsets
+        # (machine-extracted, so verify rather than trust)
+        assert all(t[3] in (0, 1) for t in sm.vertex_cell_terms), (
+            "vertex-cell stencil reaches outside rows {0, +1}"
+        )
+        assert all(t[4] in (-1, 0) for t in sm.edge_vertex_terms), (
+            "edge-vertex stencil reaches outside rows {-1, 0}"
+        )
+
+    def _const_slabs(self, hq: int, npdt, nonlinear: bool):
+        """Device-placed constant slabs with ``hq`` halo rows per side,
+        cached per (hq, dtype, nonlinear) — repeated short run_pallas calls
+        would otherwise pay a host round-trip and fresh transfers each
+        invocation (the 1-halo equivalents are cached in __init__)."""
+        key = (hq, npdt.str, nonlinear)
+        cache = getattr(self, "_const_slab_cache", None)
+        if cache is None:
+            cache = self._const_slab_cache = {}
+        if key in cache:
+            return cache[key]
+        ny2, nx = self.smesh.ny2, self.smesh.nx
+        f = np.asarray(self.smesh.f_edge).reshape(6, ny2, nx, 1)
+        rts = np.asarray(self.smesh.resting_thickness_sum)[..., None]
+        out = {
+            "f": self._put(self._slab(f, halo=hq).astype(npdt)),
+            "rts": self._put(self._slab(rts, halo=hq).astype(npdt)),
+            "mask": None,
+            "cmask": None,
+            "fv": None,
+        }
+        if self.smesh.edge_mask is not None:
+            m = np.asarray(self.smesh.edge_mask).reshape(6, ny2, nx, 1)
+            out["mask"] = self._put(self._slab(m, halo=hq).astype(npdt))
+        if self.smesh.cell_mask is not None:
+            cm = np.asarray(self.smesh.cell_mask)[..., None]
+            out["cmask"] = self._put(self._slab(cm, halo=hq).astype(npdt))
+        if nonlinear:
+            fv = np.asarray(self.smesh.f_vertex).reshape(4, ny2, nx, 1)
+            out["fv"] = self._put(self._slab(fv, halo=hq).astype(npdt))
+        cache[key] = out
+        return out
+
     def run_pallas(self, local, dt, n_steps: int, *, q: int | None = None,
                    row_tile: int | None = None, forcing=None,
                    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
-                   strat=None, interpret=None):
+                   strat=None, interpret=None, nonlinear: bool = False,
+                   fb: bool = False):
         """Communication-avoiding sharded rollout on the fused tile kernel.
 
         ``run`` does one roll-stencil step and one halo exchange per
-        timestep; this path instead exchanges q halo rows per side with ONE
-        ppermute pair per field and then advances q timesteps in a single
-        Pallas kernel per row tile (pallas_model._tiled_step_kernel — the
-        same q-step temporal blocking the single-chip tiled rollout uses,
-        with the slab's outermost halo blocks coming from the neighbor
-        devices instead of periodic strided slices). Collective cost drops
-        to ~1/q per step and per-device compute runs the fused VMEM kernel
-        instead of the HBM-bound roll stencils. Math identical to
-        ``run``/structured_run_loop (tests pin f64-roundoff agreement).
+        timestep; this path instead exchanges reach*q halo rows per side
+        with ONE ppermute pair per field and then advances q timesteps in a
+        single Pallas kernel per row tile (pallas_model._tiled_step_kernel
+        — the same q-step temporal blocking the single-chip tiled rollout
+        uses, with the slab's outermost halo blocks coming from the
+        neighbor devices instead of periodic strided slices). Collective
+        cost drops to ~1/q per step and per-device compute runs the fused
+        VMEM kernel instead of the HBM-bound roll stencils. Math identical
+        to ``run``/structured_run_loop (tests pin f64-roundoff agreement).
 
-        Linear dynamics only (+ wall masks, momentum forcing, tracers,
-        layered stratification): the nonlinear PV-flux stencil reaches two
-        rows per step, which the q-row halos do not cover — keep
-        ``run(..., nonlinear=True)`` for that case. Accepts and returns the
-        same 1-halo-row slab dict as ``run``/``scatter``/``gather``.
+        ``nonlinear=True`` runs the vector-invariant momentum equation
+        (reach 2: the kernel recomputes the derived fields locally,
+        _step_slab_nl, so the PV-flux stencil needs 2q halo rows);
+        ``fb=True`` the forward-backward scheme (also reach 2). Accepts
+        and returns the same 1-halo-row slab dict as
+        ``run``/``scatter``/``gather``.
         """
-        from .pallas_model import (
-            _VMEM_BUDGET, _forcing_setup, _pick_row_tile,
-        )
+        import warnings
+
+        from .pallas_model import _forcing_setup, _pick_row_tile, \
+            tile_window_fits
 
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if nonlinear and fb:
+            raise NotImplementedError(
+                "forward-backward + nonlinear needs a 3-row-per-step "
+                "reach; use run() or the roll model for that combination"
+            )
+        if nonlinear:
+            self._nl_validate()
+        reach = 2 if (nonlinear or fb) else 1
         R = self.rows
         ny2, nx = self.smesh.ny2, self.smesh.nx
         k = local["h"].shape[-1]
@@ -928,27 +1066,42 @@ class ShardedStructuredModel:
         npdt = np.dtype(dtype)
         n_tr = local["t"].shape[1] // 2 if "t" in local else 0
 
-        # superstep size: halo rows come from ONE neighbor slab (q <= R); q
-        # must divide n_steps; and the (row_tile + 2q)-row kernel window
-        # must fit the VMEM budget (same cost model as _pick_row_tile)
+        # superstep size: halo rows come from ONE neighbor slab
+        # (reach*q <= R); q must divide n_steps; and the
+        # (row_tile + 2*reach*q)-row kernel window must fit the VMEM
+        # budget (tile_window_fits — the SAME cost model _pick_row_tile
+        # uses, so the two cannot drift apart)
+        if reach > R:
+            raise ValueError(
+                f"reach-{reach} dynamics (nonlinear/fb) need at least "
+                f"{reach} rows per device for the one-neighbor halo "
+                f"exchange; got rows/device={R} — use run() or fewer "
+                "devices"
+            )
+        q_req = q
         if q is None:
-            q = min(8, R)
-        q = max(1, min(int(q), R, n_steps))
-        k_pad = -(-k // 128) * 128
-        planes = 80 + 14 * n_tr
+            q = min(8, R // reach)
+        q = max(1, min(int(q), R // reach, n_steps))
 
         def fits(rt_, q_):
-            return (planes * (rt_ + 2 * q_) * nx * k_pad * npdt.itemsize
-                    <= int(0.9 * _VMEM_BUDGET))
+            return tile_window_fits(rt_, q_, nx, k, npdt.itemsize, n_tr,
+                                    reach, nonlinear)
 
         while True:
             while n_steps % q:
                 q -= 1
             rt = (row_tile if row_tile is not None
-                  else _pick_row_tile(R, nx, k, npdt.itemsize, q, n_tr))
+                  else _pick_row_tile(R, nx, k, npdt.itemsize, q, n_tr,
+                                      reach, nonlinear))
             if interpret or fits(rt, q) or q == 1:
                 break
             q -= 1
+        if q_req is not None and q != int(q_req):
+            warnings.warn(
+                f"run_pallas reduced the requested superstep q={q_req} to "
+                f"q={q} (divisibility of n_steps={n_steps}, halo limit "
+                f"reach*q<={R}, or VMEM fit)", stacklevel=2,
+            )
         if R % rt:
             raise ValueError(f"row_tile {rt} must divide local rows {R}")
         if not interpret and not fits(rt, q):
@@ -957,19 +1110,11 @@ class ShardedStructuredModel:
                 f"(rows/device={R}, nx={nx}, K={k}); use run() instead"
             )
 
-        # constant fields with q periodic halo rows (host-side, global)
-        f = np.asarray(self.smesh.f_edge).reshape(6, ny2, nx, 1)
-        rts = np.asarray(self.smesh.resting_thickness_sum)[..., None]
-        f_q = self._put(self._slab(f, halo=q).astype(npdt))
-        rts_q = self._put(self._slab(rts, halo=q).astype(npdt))
-        mask_q = None
-        if self.smesh.edge_mask is not None:
-            m = np.asarray(self.smesh.edge_mask).reshape(6, ny2, nx, 1)
-            mask_q = self._put(self._slab(m, halo=q).astype(npdt))
-        cmask_q = None
-        if n_tr and self.smesh.cell_mask is not None:
-            cm = np.asarray(self.smesh.cell_mask)[..., None]
-            cmask_q = self._put(self._slab(cm, halo=q).astype(npdt))
+        hq = reach * q
+        cs = self._const_slabs(hq, npdt, nonlinear)
+        f_q, rts_q, mask_q = cs["f"], cs["rts"], cs["mask"]
+        fv_q = cs["fv"] if nonlinear else None
+        cmask_q = cs["cmask"] if n_tr else None
         # scalars are compile-time kernel constants, rounded in the field
         # dtype (same rounding as pallas_tiled_run_loop)
         consts = (
@@ -982,16 +1127,34 @@ class ShardedStructuredModel:
         )
         force_q = None
         if forcing is not None:
-            fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
-            force_q = {
-                "wind": self._put(self._slab(np.asarray(fwind), halo=q)),
-                "fidx": self._put(self._slab(np.asarray(fidx), halo=q)),
-            }
+            fcache = getattr(self, "_force_slab_cache", None)
+            if fcache is None:
+                fcache = self._force_slab_cache = {}
+            fkey = (hq, npdt.str, id(forcing))
+            if fkey in fcache:
+                force_q = fcache[fkey]
+            else:
+                fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
+                force_q = {
+                    "wind": self._put(self._slab(np.asarray(fwind), halo=hq)),
+                    "fidx": self._put(self._slab(np.asarray(fidx), halo=hq)),
+                }
+                fcache[fkey] = force_q
             consts += (
                 float(np.asarray(forcing.drag_linear).astype(npdt)),
                 float(np.asarray(forcing.drag_quadratic).astype(npdt)),
                 float(np.asarray(forcing.rayleigh).astype(npdt)),
             )
+        nl_terms = None
+        if nonlinear:
+            sm = self.smesh
+            consts += (
+                float((0.25 * np.asarray(sm.dc) * np.asarray(sm.dv)
+                       / np.asarray(sm.area_cell)).astype(npdt)),
+                float((np.asarray(sm.dc)
+                       / (np.asarray(sm.area_cell) * 0.5)).astype(npdt)),
+            )
+            nl_terms = (sm.vertex_cell_terms, sm.edge_vertex_terms)
         strat_q = None
         if strat is not None:
             w = np.asarray(strat.phi_weights).astype(npdt)
@@ -1001,16 +1164,18 @@ class ShardedStructuredModel:
             float(np.asarray(tracer_upwind).astype(npdt)),
         )
         return self._run_pallas_jit(
-            local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q,
+            local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q, fv_q,
             n_steps, int(q), int(rt), consts, tropts, bool(interpret),
+            nl_terms, bool(fb),
         )
 
     @partial(
         jax.jit, static_argnames=("self", "n_steps", "q", "rt", "consts",
-                                  "tropts", "interpret")
+                                  "tropts", "interpret", "nl_terms", "fb")
     )
     def _run_pallas_jit(self, local, f_q, rts_q, mask_q, force_q, cmask_q,
-                        strat_q, n_steps, q, rt, consts, tropts, interpret):
+                        strat_q, fv_q, n_steps, q, rt, consts, tropts,
+                        interpret, nl_terms=None, fb=False):
         from .pallas_model import _make_tiled_step_call
 
         axis, n_parts, R = self.axes, self.n_parts, self.rows
@@ -1024,6 +1189,9 @@ class ShardedStructuredModel:
         forced = force_q is not None
         cell_masked = cmask_q is not None
         stratified = strat_q is not None
+        nonlinear = nl_terms is not None
+        reach = 2 if (nonlinear or fb) else 1
+        hq = reach * q
         T = R // rt
 
         step_call = _make_tiled_step_call(
@@ -1031,36 +1199,39 @@ class ShardedStructuredModel:
             tropts=tropts, masked=masked, forced=forced, n_tracers=n_tr,
             cell_masked=cell_masked,
             strat_shape=None if strat_q is None else strat_q.shape[1:],
-            interpret=interpret,
+            interpret=interpret, nl_terms=nl_terms, fb=fb,
         )
         down = [(i, (i + 1) % n_parts) for i in range(n_parts)]
         up = [(i, (i - 1) % n_parts) for i in range(n_parts)]
 
-        def device_fn(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q):
+        def device_fn(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q,
+                      fv_q):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local = sq(local)
 
             def tile_halos(x):
-                """Halo-extended local planes (planes, R+2q, nx, tr) ->
-                per-tile top/bottom q-row halo blocks (planes, T*q, nx, tr):
-                tile t's center is ext rows [q + t*rt, q + (t+1)*rt), its
-                top halo rows [t*rt, t*rt + q), bottom
-                [q + (t+1)*rt, q + (t+1)*rt + q)."""
-                tops = [x[:, t * rt: t * rt + q] for t in range(T)]
+                """Halo-extended local planes (planes, R+2hq, nx, tr) ->
+                per-tile top/bottom hq-row halo blocks (planes, T*hq, nx,
+                tr): tile t's center is ext rows [hq + t*rt, hq +
+                (t+1)*rt), its top halo rows [t*rt, t*rt + hq), bottom
+                [hq + (t+1)*rt, hq + (t+1)*rt + hq)."""
+                tops = [x[:, t * rt: t * rt + hq] for t in range(T)]
                 bots = [
-                    x[:, (t + 1) * rt + q: (t + 1) * rt + 2 * q]
+                    x[:, (t + 1) * rt + hq: (t + 1) * rt + 2 * hq]
                     for t in range(T)
                 ]
                 return jnp.concatenate(tops, 1), jnp.concatenate(bots, 1)
 
-            def split(x):  # q-padded constant slab -> center + halo blocks
+            def split(x):  # hq-padded constant slab -> center + halo blocks
                 t, b = tile_halos(x)
-                return x[:, q:-q], t, b
+                return x[:, hq:-hq], t, b
 
             f_c, f_t, f_b = split(sq(f_q))
             rts_c, rts_t, rts_b = split(sq(rts_q))
             if masked:
                 m_c, m_t, m_b = split(sq(mask_q))
+            if nonlinear:
+                fv_c, fv_t, fv_b = split(sq(fv_q))
             if forced:
                 fl = sq(force_q)
                 w_c, w_t, w_b = split(fl["wind"].astype(dtype))
@@ -1070,12 +1241,12 @@ class ShardedStructuredModel:
             strat_w = sq(strat_q).astype(dtype) if stratified else None
 
             def body(carry, _):
-                # ONE ppermute pair per field per q steps: my last/first q
+                # ONE ppermute pair per field per q steps: my last/first hq
                 # interior rows become the neighbors' halo blocks
                 exts = {}
                 for key, x in carry.items():
-                    top = jax.lax.ppermute(x[:, -q:], axis, down)
-                    bot = jax.lax.ppermute(x[:, :q], axis, up)
+                    top = jax.lax.ppermute(x[:, -hq:], axis, down)
+                    bot = jax.lax.ppermute(x[:, :hq], axis, up)
                     exts[key] = jnp.concatenate([top, x, bot], axis=1)
                 ssh_t, ssh_b = tile_halos(exts["ssh"])
                 h_t, h_b = tile_halos(exts["h"])
@@ -1087,6 +1258,8 @@ class ShardedStructuredModel:
                 )
                 if masked:
                     args += (m_c, m_t, m_b)
+                if nonlinear:
+                    args += (fv_c, fv_t, fv_b)
                 if forced:
                     args += (w_c, w_t, w_b, i_c, i_t, i_b)
                 if with_tracers:
@@ -1116,9 +1289,10 @@ class ShardedStructuredModel:
             device_fn,
             mesh=self.device_mesh,
             in_specs=(specs, pspec(f_q), pspec(rts_q), pspec(mask_q),
-                      pspec(force_q), pspec(cmask_q), pspec(strat_q)),
+                      pspec(force_q), pspec(cmask_q), pspec(strat_q),
+                      pspec(fv_q)),
             out_specs=specs,
             # the pallas_call's ShapeDtypeStruct outputs carry no
             # varying-mesh-axes annotation; skip the vma checker
             check_vma=False,
-        )(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q)
+        )(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q, fv_q)

@@ -401,3 +401,119 @@ def test_pallas_nonlinear_rejects_masked_lattice():
     with pytest.raises(NotImplementedError, match="periodic"):
         pallas_run_loop(st, sm.struct_mesh, 1.0, 2, interpret=True,
                         nonlinear=True)
+
+
+@pytest.mark.parametrize("q", [1, 2, 3])
+def test_pallas_tiled_nonlinear_matches_roll(setup, q):
+    """Tiled kernel with the NONLINEAR vector-invariant step: the window
+    carries 2q halo rows (the chained PV-flux stencil reaches 2 rows per
+    step, recomputed locally by _step_slab_nl) and must reproduce the roll
+    model exactly."""
+    from mpas_ocean_tpu.structured import pallas_tiled_run_loop
+
+    sm, st = _nl_setup_state(setup)
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 5.0, n, nonlinear=True)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 5.0, n, row_tile=2, interpret=True, q=q,
+        nonlinear=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+@pytest.mark.parametrize("q", [1, 2])
+def test_pallas_tiled_forward_backward_matches_roll(setup, q):
+    """Tiled kernel with the forward-backward stepper: the pressure stage
+    reads the fresh thickness one ring out (reach 2), so the window carries
+    2q halo rows — must match structured_fb_step's rollout exactly."""
+    from mpas_ocean_tpu.structured import pallas_tiled_run_loop
+
+    sm, st = setup
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n, fb=True)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 10.0, n, row_tile=2, interpret=True, q=q,
+        fb=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_pallas_tiled_fb_masked_forced_channel():
+    """Forward-backward tiled kernel on a wall-masked channel with
+    momentum forcing — the stable-stepper deployment config (beyond-VMEM
+    FB used to fall back to the roll model)."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.models.forcing import make_forcing
+    from mpas_ocean_tpu.structured import StructuredModel, pallas_tiled_run_loop
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+
+    nx = ny = 16
+    dc = 1000.0
+    horz = planar_hex_mesh(nx, ny, dc, f0=1e-4)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=2,
+        resting_thickness=np.full((chan.n_cells, 2), 500.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, ny, parent_horz=horz, keep_cells=keep)
+    forcing = make_forcing(
+        mesh, wind_stress_zonal=0.1, bottom_drag_linear=1e-4, rayleigh=1e-5
+    )
+    sf = sm.to_struct_forcing(forcing)
+    rng = np.random.default_rng(11)
+    h = np.full((chan.n_cells, 2), 500.0) + 0.1 * rng.normal(size=(chan.n_cells, 2))
+    u = 0.01 * rng.normal(size=(chan.n_edges, 2))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, 6, fb=True,
+                              forcing=sf)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 10.0, 6, row_tile=4, interpret=True, q=2,
+        fb=True, forcing=sf,
+    )
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh),
+                               atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        atol=1e-13,
+    )
+
+
+def test_pallas_tiled_nonlinear_rejects_masked_and_fb():
+    from mpas_ocean_tpu.structured.pallas_model import _make_tiled_step_call
+
+    with pytest.raises(NotImplementedError, match="reach"):
+        _make_tiled_step_call(
+            4, 8, 2, np.float64, terms=(), rt=2, q=1, consts=(1.0, 1.0, 1.0),
+            nl_terms=((), ()), fb=True,
+        )
+    with pytest.raises(NotImplementedError, match="wall"):
+        _make_tiled_step_call(
+            4, 8, 2, np.float64, terms=(), rt=2, q=1, consts=(1.0, 1.0, 1.0),
+            nl_terms=((), ()), masked=True,
+        )

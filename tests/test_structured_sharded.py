@@ -322,3 +322,74 @@ def test_sharded_pallas_tracers_strat(hex16):
         rtol=0,
         atol=1e-12,
     )
+
+
+@pytest.mark.parametrize("n_devices,q", [(2, 1), (2, 2), (4, 2), (8, 0)])
+def test_sharded_pallas_nonlinear_matches_global(setup, n_devices, q):
+    """Superstep path with the NONLINEAR vector-invariant step: one
+    ppermute pair of 2q halo rows (the PV-flux stencil reaches 2 rows per
+    step, recomputed locally in-kernel), then q fused steps per tile —
+    must match the global nonlinear roll rollout at f64 roundoff."""
+    sm, st = setup
+    # deeper water for a stable nonlinear perturbation
+    from mpas_ocean_tpu.structured.model import StructState
+
+    h = st.layer_thickness + 90.0
+    st = StructState(
+        ssh=h.sum(-1) - sm.struct_mesh.resting_thickness_sum,
+        layer_thickness=h, normal_velocity=st.normal_velocity,
+    )
+    ssm = ShardedStructuredModel(
+        sm.struct_mesh, devices=jax.devices()[:n_devices]
+    )
+    if q == 0:
+        # 8 devices on ny2=8 leaves one row per device: the 2-row nonlinear
+        # reach cannot be covered by a one-neighbor halo exchange
+        with pytest.raises(ValueError, match="rows per device"):
+            ssm.run_pallas(ssm.scatter(st), 5.0, 6, nonlinear=True)
+        return
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 5.0, n, nonlinear=True)
+    out = ssm.gather(
+        ssm.run_pallas(ssm.scatter(st), 5.0, n, q=q, nonlinear=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+@pytest.mark.parametrize("n_devices,q", [(2, 2), (4, 1)])
+def test_sharded_pallas_forward_backward_matches_global(setup, n_devices, q):
+    """Superstep path with the forward-backward stepper (reach 2)."""
+    sm, st = setup
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, n, fb=True)
+    ssm = ShardedStructuredModel(
+        sm.struct_mesh, devices=jax.devices()[:n_devices]
+    )
+    out = ssm.gather(ssm.run_pallas(ssm.scatter(st), 10.0, n, q=q, fb=True))
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
+def test_sharded_pallas_warns_on_reduced_q(setup):
+    """An explicitly requested superstep q that cannot be honored
+    (indivisible n_steps / halo limit / VMEM fit) must warn, not silently
+    shrink."""
+    sm, st = setup
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:2])
+    with pytest.warns(UserWarning, match="reduced the requested superstep"):
+        ssm.run_pallas(ssm.scatter(st), 10.0, 6, q=4)  # 4 does not divide 6
