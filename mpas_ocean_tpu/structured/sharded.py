@@ -734,49 +734,59 @@ class ShardedStructuredModel:
             ),
         }
 
-    def run(self, local, dt, n_steps: int, nonlinear: bool = False,
-            forcing=None, tracer_kappa: float = 0.0,
-            tracer_upwind: float = 1.0, strat=None):
+    def _run_prep(self, local, nonlinear, forcing, strat):
         if nonlinear:
-            sm = self.smesh
-            if sm.edge_mask is not None:
-                raise NotImplementedError(
-                    "nonlinear structured dynamics require a fully periodic "
-                    "lattice (same restriction as structured_step)"
-                )
-            if not sm.vertex_cell_terms or sm.f_vertex is None:
-                raise ValueError(
-                    "StructMesh lacks vertex stencils; build it via "
-                    "StructuredModel so hex_layout extracts them"
-                )
-            # the derived-field exchange is exact on the 1-ring halo only
-            # because the vertex-stage taps stay within these row offsets
-            # (machine-extracted, so verify rather than trust)
-            assert all(t[3] in (0, 1) for t in sm.vertex_cell_terms), (
-                "vertex-cell stencil reaches outside rows {0, +1}"
-            )
-            assert all(t[4] in (-1, 0) for t in sm.edge_vertex_terms), (
-                "edge-vertex stencil reaches outside rows {-1, 0}"
-            )
+            self._nl_validate()
         lstrat = None
         if strat is not None:
             w = np.asarray(strat.phi_weights)
             lstrat = self._put(np.broadcast_to(w, (self.n_parts,) + w.shape))
-        return self._run_jit(
-            local, self._f_local, self._rts_local, self._mask_local,
+        return (
+            self._f_local, self._rts_local, self._mask_local,
             self._fv_local if nonlinear else None,
             self.scatter_forcing(forcing),
             self._cmask_local if "t" in local else None, lstrat,
-            float(dt), n_steps, nonlinear, tracer_kappa, tracer_upwind,
+        )
+
+    def run(self, local, dt, n_steps: int, nonlinear: bool = False,
+            forcing=None, tracer_kappa: float = 0.0,
+            tracer_upwind: float = 1.0, strat=None):
+        args = self._run_prep(local, nonlinear, forcing, strat)
+        return self._run_jit(
+            local, *args, float(dt), n_steps, nonlinear, tracer_kappa,
+            tracer_upwind,
+        )
+
+    def objective(self, local, dt, n_steps: int, nonlinear: bool = False,
+                  forcing=None, tracer_kappa: float = 0.0,
+                  tracer_upwind: float = 1.0, strat=None):
+        """Replicated scalar objective sum(ssh_final^2) of an n-step
+        sharded rollout — DIFFERENTIABLE through the whole loop:
+        ``jax.grad(lambda l: model.objective(l, dt, n))(local)`` yields the
+        same gradient as the global rollout's (tests pin f64-roundoff
+        agreement; the reference needs Enzyme plus hand-written rules for
+        this reverse, reference: test/enzyme/test_Enzyme_end2end.jl:78-92 —
+        here ppermute transposes to ppermute and the slab step is pure
+        jnp). The reverse sweep uses two-level (sqrt) checkpointing, so
+        memory is O(sqrt(n) * slab) per device. Input halo rows are
+        rebuilt from the interior before the loop, so the cotangent lands
+        entirely on interior rows and ``gather`` of the gradient dict
+        reassembles the global gradient."""
+        args = self._run_prep(local, nonlinear, forcing, strat)
+        return self._run_jit(
+            local, *args, float(dt), n_steps, nonlinear, tracer_kappa,
+            tracer_upwind, True,
         )
 
     @partial(
         jax.jit, static_argnames=("self", "dt", "n_steps", "nonlinear",
-                                  "tracer_kappa", "tracer_upwind")
+                                  "tracer_kappa", "tracer_upwind",
+                                  "objective")
     )
     def _run_jit(self, local, f_local, rts_local, mask_local, fv_local,
                  forcel, cmask_local, strat_local, dt, n_steps,
-                 nonlinear=False, tracer_kappa=0.0, tracer_upwind=1.0):
+                 nonlinear=False, tracer_kappa=0.0, tracer_upwind=1.0,
+                 objective=False):
         axis, n_parts, rows = self.axes, self.n_parts, self.rows
         overlap = self.overlap
         terms = self.smesh.coriolis_terms
@@ -945,6 +955,34 @@ class ShardedStructuredModel:
                 body = body_nonlinear
             else:
                 body = body_overlap if (overlap and rows >= 3) else body_serial
+            if objective:
+                # differentiable whole-loop objective: rebuild the input
+                # halos from the interior (so the cotangent lands entirely
+                # on interior rows and `gather` of the gradient dict is the
+                # global gradient), run the scan under two-level sqrt
+                # checkpointing, and psum the final sum(ssh^2)
+                import math
+
+                local = {
+                    kk: _with_halo(v[:, 1:-1], axis, n_parts)
+                    for kk, v in local.items()
+                }
+                step = jax.checkpoint(body)
+                b = max(1, math.isqrt(n_steps))
+                a, rem = divmod(n_steps, b)
+
+                def chunk(c, _):
+                    c2, _ = jax.lax.scan(step, c, length=b)
+                    return c2, None
+
+                out = local
+                if a:
+                    out, _ = jax.lax.scan(jax.checkpoint(chunk), out,
+                                          length=a)
+                if rem:
+                    out, _ = jax.lax.scan(step, out, length=rem)
+                s = jnp.sum(out["ssh"][:, 1:-1] ** 2)
+                return jax.lax.psum(s, axis)
             out, _ = jax.lax.scan(body, local, length=n_steps)
             return jax.tree.map(lambda a: a[None], out)
 
@@ -960,7 +998,7 @@ class ShardedStructuredModel:
             device_fn,
             mesh=self.device_mesh,
             in_specs=(specs, fspec, rspec, mspec, vspec, wspec, cspec, sspec),
-            out_specs=specs,
+            out_specs=P() if objective else specs,
         )(local, f_local, rts_local, mask_local, fv_local, forcel,
           cmask_local, strat_local)
 
@@ -1023,7 +1061,7 @@ class ShardedStructuredModel:
                    row_tile: int | None = None, forcing=None,
                    tracer_kappa: float = 0.0, tracer_upwind: float = 1.0,
                    strat=None, interpret=None, nonlinear: bool = False,
-                   fb: bool = False):
+                   fb: bool = False, _objective: bool = False):
         """Communication-avoiding sharded rollout on the fused tile kernel.
 
         ``run`` does one roll-stencil step and one halo exchange per
@@ -1166,16 +1204,17 @@ class ShardedStructuredModel:
         return self._run_pallas_jit(
             local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q, fv_q,
             n_steps, int(q), int(rt), consts, tropts, bool(interpret),
-            nl_terms, bool(fb),
+            nl_terms, bool(fb), bool(_objective),
         )
 
     @partial(
         jax.jit, static_argnames=("self", "n_steps", "q", "rt", "consts",
-                                  "tropts", "interpret", "nl_terms", "fb")
+                                  "tropts", "interpret", "nl_terms", "fb",
+                                  "objective")
     )
     def _run_pallas_jit(self, local, f_q, rts_q, mask_q, force_q, cmask_q,
                         strat_q, fv_q, n_steps, q, rt, consts, tropts,
-                        interpret, nl_terms=None, fb=False):
+                        interpret, nl_terms=None, fb=False, objective=False):
         from .pallas_model import _make_tiled_step_call
 
         axis, n_parts, R = self.axes, self.n_parts, self.rows
@@ -1226,21 +1265,9 @@ class ShardedStructuredModel:
                 t, b = tile_halos(x)
                 return x[:, hq:-hq], t, b
 
-            f_c, f_t, f_b = split(sq(f_q))
-            rts_c, rts_t, rts_b = split(sq(rts_q))
-            if masked:
-                m_c, m_t, m_b = split(sq(mask_q))
-            if nonlinear:
-                fv_c, fv_t, fv_b = split(sq(fv_q))
-            if forced:
-                fl = sq(force_q)
-                w_c, w_t, w_b = split(fl["wind"].astype(dtype))
-                i_c, i_t, i_b = split(fl["fidx"])
-            if cell_masked:
-                cm_c, cm_t, cm_b = split(sq(cmask_q))
             strat_w = sq(strat_q).astype(dtype) if stratified else None
 
-            def body(carry, _):
+            def exchange(carry):
                 # ONE ppermute pair per field per q steps: my last/first hq
                 # interior rows become the neighbors' halo blocks
                 exts = {}
@@ -1248,34 +1275,174 @@ class ShardedStructuredModel:
                     top = jax.lax.ppermute(x[:, -hq:], axis, down)
                     bot = jax.lax.ppermute(x[:, :hq], axis, up)
                     exts[key] = jnp.concatenate([top, x, bot], axis=1)
+                return exts
+
+            def compute_pallas(cb, exts):
+                """One superstep on the halo-extended slab via the fused
+                tile kernel (centers recovered by slicing the extension).
+                ``cb`` carries every constant field explicitly — the
+                custom-VJP pair below must not capture tracers in closures."""
                 ssh_t, ssh_b = tile_halos(exts["ssh"])
                 h_t, h_b = tile_halos(exts["h"])
                 u_t, u_b = tile_halos(exts["u"])
+                ctr = lambda x: x[:, hq:-hq]
+                f_c_, f_t_, f_b_ = split(cb["f"])
+                r_c_, r_t_, r_b_ = split(cb["rts"])
                 args = (
-                    carry["ssh"], carry["h"], carry["u"], f_c, rts_c,
-                    ssh_t, h_t, u_t, f_t, rts_t,
-                    ssh_b, h_b, u_b, f_b, rts_b,
+                    ctr(exts["ssh"]), ctr(exts["h"]), ctr(exts["u"]),
+                    f_c_, r_c_,
+                    ssh_t, h_t, u_t, f_t_, r_t_,
+                    ssh_b, h_b, u_b, f_b_, r_b_,
                 )
                 if masked:
-                    args += (m_c, m_t, m_b)
+                    args += split(cb["mask"])
                 if nonlinear:
-                    args += (fv_c, fv_t, fv_b)
+                    args += split(cb["fv"])
                 if forced:
-                    args += (w_c, w_t, w_b, i_c, i_t, i_b)
+                    args += split(cb["wind"]) + split(cb["fidx"])
                 if with_tracers:
                     t_t, t_b = tile_halos(exts["t"])
-                    args += (carry["t"], t_t, t_b)
+                    args += (ctr(exts["t"]), t_t, t_b)
                 if cell_masked:
-                    args += (cm_c, cm_t, cm_b)
+                    args += split(cb["cmask"])
                 if stratified:
-                    args += (strat_w,)
+                    args += (cb["strat"],)
                 out = step_call(*args)
                 new = {"ssh": out[0], "h": out[1], "u": out[2]}
                 if with_tracers:
                     new["t"] = out[3]
-                return new, None
+                return new
+
+            cbundle = {"f": sq(f_q), "rts": sq(rts_q)}
+            if masked:
+                cbundle["mask"] = sq(mask_q)
+            if nonlinear:
+                cbundle["fv"] = sq(fv_q)
+            if forced:
+                flx = sq(force_q)
+                cbundle["wind"] = flx["wind"].astype(dtype)
+                cbundle["fidx"] = flx["fidx"]
+            if cell_masked:
+                cbundle["cmask"] = sq(cmask_q)
+            if stratified:
+                cbundle["strat"] = strat_w
+
+            if objective:
+                # pure-jnp reference of the superstep on the FULL extended
+                # slab (no tiling — identical values by 1-ring locality):
+                # the custom-VJP backward reverses THIS, so the gradient is
+                # exact for the same math the kernel runs
+                # NUMPY scalars, deliberately: jnp.asarray here would bind
+                # under the active jit trace and produce tracers, which the
+                # custom-VJP backward closure must not capture (its python
+                # callable is retraced at transpose time, outside this
+                # trace — a captured tracer then leaks into that jaxpr as
+                # an unloadable constant). np scalars in the field dtype
+                # are concrete and round identically.
+                dt_s = np.asarray(consts[0], dtype)
+                inv_dc = np.asarray(consts[1], dtype)
+                s_div = np.asarray(consts[2], dtype)
+                ci = 3
+                if forced:
+                    dlin, dquad, rayl = (
+                        np.asarray(consts[ci], dtype),
+                        np.asarray(consts[ci + 1], dtype),
+                        np.asarray(consts[ci + 2], dtype),
+                    )
+                    ci += 3
+                if nonlinear:
+                    ke_s = np.asarray(consts[ci], dtype)
+                    curl_s = np.asarray(consts[ci + 1], dtype)
+                    vc_terms, ev_terms = nl_terms
+                terms_ = terms
+                reach_ = 2 if (nonlinear or fb) else 1
+
+                def compute_ref(cb, exts):
+                    full = R + 2 * hq
+                    ssh = tuple(exts["ssh"][p] for p in range(2))
+                    h = tuple(exts["h"][p] for p in range(2))
+                    u = tuple(exts["u"][c] for c in range(6))
+                    tr = (
+                        tuple(exts["t"][i2]
+                              for i2 in range(exts["t"].shape[0]))
+                        if with_tracers else None
+                    )
+                    for j in range(q):
+                        rows_j = R + 2 * reach_ * (q - 1 - j)
+                        off = reach_ * j
+                        win = lambda x, n_pl: tuple(
+                            x[c][off : full - off] for c in range(n_pl)
+                        )
+                        forc_j = None
+                        if forced:
+                            forc_j = (
+                                win(cb["wind"], 6),
+                                win(cb["fidx"], 6),
+                                tuple(cb["fidx"][6 + c][off : full - off]
+                                      for c in range(6)),
+                                dlin, dquad, rayl,
+                            )
+                        sw = cb["strat"] if stratified else None
+                        if nonlinear:
+                            ssh, h, u, tr = _step_slab_nl(
+                                ssh, h, u, win(cb["f"], 6), win(cb["rts"], 2),
+                                win(cb["fv"], 4), dt_s, inv_dc, s_div, ke_s,
+                                curl_s, terms_, vc_terms, ev_terms, rows_j,
+                                forc_j, tr, tropts, sw,
+                            )
+                        else:
+                            ssh, h, u, tr = _step_slab(
+                                ssh, h, u, win(cb["f"], 6), win(cb["rts"], 2),
+                                dt_s, inv_dc, s_div, terms_, rows_j,
+                                win(cb["mask"], 6) if masked else None,
+                                forc_j, tr, tropts,
+                                win(cb["cmask"], 2) if cell_masked else None,
+                                sw, fb,
+                            )
+                    new = {"ssh": jnp.stack(ssh), "h": jnp.stack(h),
+                           "u": jnp.stack(u)}
+                    if with_tracers:
+                        new["t"] = jnp.stack(tr)
+                    return new
+
+                superstep = jax.custom_vjp(compute_pallas)
+
+                def _ss_fwd(cb, exts):
+                    return compute_pallas(cb, exts), (cb, exts)
+
+                def _ss_bwd(res, g):
+                    cb, exts = res
+                    _, vjp = jax.vjp(compute_ref, cb, exts)
+                    return vjp(g)
+
+                superstep.defvjp(_ss_fwd, _ss_bwd)
+            else:
+                superstep = compute_pallas
+
+            def body(carry, _):
+                return superstep(cbundle, exchange(carry)), None
 
             interior = {kk: v[:, 1:-1] for kk, v in local.items()}
+            if objective:
+                import math
+
+                n_ss = n_steps // q
+                step = jax.checkpoint(body)
+                b = max(1, math.isqrt(n_ss))
+                a, rem = divmod(n_ss, b)
+
+                def chunkfn(c, _):
+                    c2, _ = jax.lax.scan(step, c, length=b)
+                    return c2, None
+
+                out = interior
+                if a:
+                    out, _ = jax.lax.scan(jax.checkpoint(chunkfn), out,
+                                          length=a)
+                if rem:
+                    out, _ = jax.lax.scan(step, out, length=rem)
+                s = jnp.sum(out["ssh"] ** 2)
+                return jax.lax.psum(s, axis)
             final, _ = jax.lax.scan(body, interior, length=n_steps // q)
             # re-attach the 1-row halo `run`/`gather`/`checksum` expect
             out = {
@@ -1291,8 +1458,31 @@ class ShardedStructuredModel:
             in_specs=(specs, pspec(f_q), pspec(rts_q), pspec(mask_q),
                       pspec(force_q), pspec(cmask_q), pspec(strat_q),
                       pspec(fv_q)),
-            out_specs=specs,
+            out_specs=P() if objective else specs,
             # the pallas_call's ShapeDtypeStruct outputs carry no
             # varying-mesh-axes annotation; skip the vma checker
             check_vma=False,
         )(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q, fv_q)
+
+    def objective_pallas(self, local, dt, n_steps: int, *,
+                         q: int | None = None, row_tile: int | None = None,
+                         forcing=None, tracer_kappa: float = 0.0,
+                         tracer_upwind: float = 1.0, strat=None,
+                         interpret=None, nonlinear: bool = False,
+                         fb: bool = False):
+        """Replicated scalar sum(ssh_final^2) of an n-step superstep
+        rollout (run_pallas) — DIFFERENTIABLE at fused-forward speed: the
+        primal runs the communication-avoiding Pallas superstep; the
+        reverse runs a custom VJP whose backward reverses the equal-math
+        pure-jnp window rollout per superstep (ppermute transposes to
+        ppermute outside the kernel), under two-level sqrt checkpointing
+        over supersteps. ``jax.grad`` w.r.t. ``local`` matches the global
+        rollout's gradient at f64 roundoff (test-pinned). The input dict's
+        halo rows are unused (the superstep rebuilds halos by exchange), so
+        the gradient lands on interior rows and ``gather`` reassembles it."""
+        return self.run_pallas(
+            local, dt, n_steps, q=q, row_tile=row_tile, forcing=forcing,
+            tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
+            strat=strat, interpret=interpret, nonlinear=nonlinear, fb=fb,
+            _objective=True,
+        )

@@ -393,3 +393,82 @@ def test_sharded_pallas_warns_on_reduced_q(setup):
     ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:2])
     with pytest.warns(UserWarning, match="reduced the requested superstep"):
         ssm.run_pallas(ssm.scatter(st), 10.0, 6, q=4)  # 4 does not divide 6
+
+
+@pytest.mark.parametrize("nonlinear", [False, True])
+def test_sharded_objective_grad_matches_global(setup, nonlinear):
+    """Differentiable sharded fast path: jax.grad through
+    ShardedStructuredModel.objective (checkpointed scan of the slab bodies,
+    ppermute transposed to ppermute) must equal the global rollout's
+    gradient at f64 roundoff. `gather` of the gradient dict reassembles the
+    global gradient because the input halo rows carry zero cotangent."""
+    sm, st = setup
+    from mpas_ocean_tpu.structured.model import StructState
+
+    if nonlinear:
+        h = st.layer_thickness + 90.0
+        st = StructState(
+            ssh=h.sum(-1) - sm.struct_mesh.resting_thickness_sum,
+            layer_thickness=h, normal_velocity=st.normal_velocity,
+        )
+    n, dt = 6, 5.0
+
+    def gobj(s):
+        out = structured_run_loop(s, sm.struct_mesh, dt, n,
+                                  nonlinear=nonlinear)
+        return jnp.sum(out.ssh ** 2)
+
+    gref = jax.grad(gobj)(st)
+    oref = gobj(st)
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:4])
+    local = ssm.scatter(st)
+    o = ssm.objective(local, dt, n, nonlinear=nonlinear)
+    np.testing.assert_allclose(float(o), float(oref), rtol=1e-12)
+    g = jax.grad(
+        lambda l: ssm.objective(l, dt, n, nonlinear=nonlinear)
+    )(local)
+    gg = ssm.gather(g)
+    for name in ("ssh", "layer_thickness", "normal_velocity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gg, name)), np.asarray(getattr(gref, name)),
+            rtol=0, atol=1e-11,
+        )
+
+
+@pytest.mark.parametrize("kw", [{}, {"nonlinear": True}, {"fb": True}])
+def test_sharded_objective_pallas_grad_matches_global(setup, kw):
+    """Differentiable communication-avoiding superstep: the primal runs
+    the fused Pallas tile kernel, the custom-VJP backward reverses the
+    equal-math pure-jnp window rollout — jax.grad must match the global
+    rollout's gradient at f64 roundoff for linear, nonlinear and
+    forward-backward dynamics."""
+    sm, st = setup
+    from mpas_ocean_tpu.structured.model import StructState
+
+    if kw.get("nonlinear"):
+        h = st.layer_thickness + 90.0
+        st = StructState(
+            ssh=h.sum(-1) - sm.struct_mesh.resting_thickness_sum,
+            layer_thickness=h, normal_velocity=st.normal_velocity,
+        )
+    n, dt = 6, 5.0
+
+    def gobj(s):
+        out = structured_run_loop(s, sm.struct_mesh, dt, n, **kw)
+        return jnp.sum(out.ssh ** 2)
+
+    gref = jax.grad(gobj)(st)
+    oref = gobj(st)
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:2])
+    local = ssm.scatter(st)
+    o = ssm.objective_pallas(local, dt, n, q=2, **kw)
+    np.testing.assert_allclose(float(o), float(oref), rtol=1e-12)
+    g = jax.grad(
+        lambda l: ssm.objective_pallas(l, dt, n, q=2, **kw)
+    )(local)
+    gg = ssm.gather(g)
+    for name in ("ssh", "layer_thickness", "normal_velocity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gg, name)), np.asarray(getattr(gref, name)),
+            rtol=0, atol=1e-11,
+        )
