@@ -66,6 +66,14 @@ class StructMesh:
     vertex_cell_terms: tuple = static_field(default=())
     edge_vertex_terms: tuple = static_field(default=())
     f_vertex: jax.Array | None = None  # (2, 2, ny2, nx)
+    # wall-masked nonlinear extension (culled channels): per-site kite
+    # weights renormalized over LIVE cells (one plane per vertex_cell_terms
+    # entry — the lattice counterpart of the gather path's partial-kite
+    # normalization, ops/operators.interpolate_cell_to_vertex) and the
+    # live-vertex mask guarding the PV division. None on periodic lattices
+    # (static 1/3 weights stay bitwise-unchanged there).
+    vertex_kite_planes: jax.Array | None = None  # (len(vc_terms), ny2, nx)
+    vertex_mask: jax.Array | None = None  # (2, 2, ny2, nx)
 
 
 def _shift(x: jnp.ndarray, dm: int, di: int) -> jnp.ndarray:
@@ -132,13 +140,48 @@ def kinetic_energy_cell(u, mesh: StructMesh):
 
 def cell_to_vertex_kite(h, mesh: StructMesh):
     """Kite-area cell->vertex average -> (2, 2, ny2, nx, ...), from the
-    machine-extracted stencil (ops/operators.interpolate_cell_to_vertex)."""
+    machine-extracted stencil (ops/operators.interpolate_cell_to_vertex).
+    On wall-masked lattices the static 1/3 weights are replaced by the
+    per-site live-renormalized kite planes (partial kites at boundary
+    vertices, zero at dead vertices)."""
+    kw = mesh.vertex_kite_planes
     out = [[None, None], [None, None]]
-    for (kind, p_out, p_in, dm, di, w) in mesh.vertex_cell_terms:
-        contrib = w * _shift(h[p_in], dm, di)
+    for t, (kind, p_out, p_in, dm, di, w) in enumerate(mesh.vertex_cell_terms):
+        wgt = w if kw is None else kw[t].reshape(
+            kw[t].shape + (1,) * (h.ndim - 3)
+        )
+        contrib = wgt * _shift(h[p_in], dm, di)
         cur = out[kind][p_out]
         out[kind][p_out] = contrib if cur is None else cur + contrib
     return jnp.stack([jnp.stack(planes) for planes in out])
+
+
+def pv_on_vertex_struct(u, h, mesh: StructMesh):
+    """q_v = (f_v + zeta_v) / h_v on the lattice; wall-masked lattices
+    guard the division at dead vertices and zero their PV (the gather
+    path's safe-denominator + vertex-mask convention,
+    models/shallow_water.potential_vorticity_on_vertex)."""
+    zeta = curl_on_vertex(u, mesh)
+    h_v = cell_to_vertex_kite(h, mesh)
+    if mesh.vertex_mask is None:
+        return (mesh.f_vertex[..., None] + zeta) / h_v
+    vm = mesh.vertex_mask.reshape(mesh.vertex_mask.shape + (1,) * (h_v.ndim - 4))
+    safe = jnp.where(vm > 0, h_v, jnp.ones_like(h_v))
+    return (mesh.f_vertex[..., None] + zeta) / safe * vm
+
+
+def _check_nl_mesh(mesh: StructMesh):
+    if not mesh.vertex_cell_terms:
+        raise ValueError(
+            "StructMesh lacks vertex stencils; build it via "
+            "StructuredModel so hex_layout extracts them"
+        )
+    if mesh.edge_mask is not None and mesh.vertex_kite_planes is None:
+        raise NotImplementedError(
+            "wall-masked nonlinear dynamics need the masked vertex "
+            "constants (vertex_kite_planes/vertex_mask) — build the "
+            "StructMesh via StructuredModel(parent_horz=..., keep_cells=...)"
+        )
 
 
 def vertex_to_edge_mean(v, mesh: StructMesh):
@@ -255,21 +298,12 @@ def structured_step(
         phi = montgomery_potential(state.ssh, state.layer_thickness, strat)
         tend_u = -grad_on_edge(phi, mesh)
     if nonlinear:
-        if mesh.edge_mask is not None:
-            raise NotImplementedError(
-                "nonlinear structured dynamics require a fully periodic "
-                "lattice; use the gather or matrix path for walled channels"
-            )
-        if not mesh.vertex_cell_terms:
-            raise ValueError(
-                "StructMesh lacks vertex stencils; build it via "
-                "StructuredModel so hex_layout extracts them"
-            )
+        _check_nl_mesh(mesh)
         ke = kinetic_energy_cell(state.normal_velocity, mesh)
         tend_u = tend_u - grad_on_edge(ke, mesh)
-        zeta = curl_on_vertex(state.normal_velocity, mesh)
-        h_v = cell_to_vertex_kite(state.layer_thickness, mesh)
-        q_v = (mesh.f_vertex[..., None] + zeta) / h_v
+        q_v = pv_on_vertex_struct(
+            state.normal_velocity, state.layer_thickness, mesh
+        )
         q_e = vertex_to_edge_mean(q_v, mesh)
         half = jnp.asarray(0.5, q_e.dtype)
         tend_u = tend_u + half * (
@@ -334,9 +368,9 @@ def structured_rk4_step(
         if nonlinear:
             ke = kinetic_energy_cell(s.normal_velocity, mesh)
             tend_u = tend_u - grad_on_edge(ke, mesh)
-            zeta = curl_on_vertex(s.normal_velocity, mesh)
-            h_v = cell_to_vertex_kite(s.layer_thickness, mesh)
-            q_v = (mesh.f_vertex[..., None] + zeta) / h_v
+            q_v = pv_on_vertex_struct(
+                s.normal_velocity, s.layer_thickness, mesh
+            )
             q_e = vertex_to_edge_mean(q_v, mesh)
             half = jnp.asarray(0.5, q_e.dtype)
             tend_u = tend_u + half * (
@@ -358,10 +392,8 @@ def structured_rk4_step(
             )
         return tend_u, tend_h, tend_t
 
-    if nonlinear and mesh.edge_mask is not None:
-        raise NotImplementedError(
-            "nonlinear structured dynamics require a fully periodic lattice"
-        )
+    if nonlinear:
+        _check_nl_mesh(mesh)
     u0, h0 = state.normal_velocity, state.layer_thickness
     ht0 = h0[..., None, :] * state.tracers if with_tracers else None
 
@@ -417,16 +449,12 @@ def structured_fb_step(
 
         tend_u = -grad_on_edge(montgomery_potential(ssh, h, strat), mesh)
     if nonlinear:
-        if mesh.edge_mask is not None:
-            raise NotImplementedError(
-                "nonlinear structured dynamics require a fully periodic "
-                "lattice; use the gather or matrix path for walled channels"
-            )
+        _check_nl_mesh(mesh)
         ke = kinetic_energy_cell(state.normal_velocity, mesh)
         tend_u = tend_u - grad_on_edge(ke, mesh)
-        zeta = curl_on_vertex(state.normal_velocity, mesh)
-        h_v = cell_to_vertex_kite(state.layer_thickness, mesh)
-        q_v = (mesh.f_vertex[..., None] + zeta) / h_v
+        q_v = pv_on_vertex_struct(
+            state.normal_velocity, state.layer_thickness, mesh
+        )
         q_e = vertex_to_edge_mean(q_v, mesh)
         half = jnp.asarray(0.5, q_e.dtype)
         tend_u = tend_u + half * (
@@ -506,6 +534,8 @@ class StructuredModel:
 
         edge_mask = None
         cell_mask = None
+        vertex_kite_planes = None
+        vertex_mask = None
         if parent_horz is None:
             self.cell_gids = None
             self.edge_gids = None
@@ -535,6 +565,32 @@ class StructuredModel:
             cell_mask = jnp.asarray(lay.cells_to_struct(keep.astype(dtype)))
             rts_parent = np.zeros(parent_horz.n_cells, dtype=dtype)
             rts_parent[self.cell_gids] = np.asarray(vert.resting_thickness_sum)
+            # masked vertex constants for nonlinear dynamics on walls: tap
+            # liveness planes renormalize the kite weights over live cells
+            # (uniform kites, so weight ∝ the periodic stencil weight) and
+            # define the live-vertex mask
+            keep_struct = lay.cells_to_struct(keep.astype(np.float64))
+            vt = lay.vertex_cell_terms
+            live = []
+            for (kind, p_out, p_in, dm, di, w) in vt:
+                lv = np.roll(
+                    np.roll(keep_struct[p_in], -dm, axis=0), -di, axis=1
+                )
+                live.append(w * lv)
+            live = np.stack(live)  # (n_terms, ny2, nx)
+            sums = np.zeros((2, 2) + keep_struct.shape[1:])
+            for t, (kind, p_out, *_r) in enumerate(vt):
+                sums[kind, p_out] += live[t]
+            safe_sums = np.where(sums > 0, sums, 1.0)
+            vertex_kite_planes = jnp.asarray(
+                np.stack(
+                    [
+                        live[t] / safe_sums[vt[t][0], vt[t][1]]
+                        for t in range(len(vt))
+                    ]
+                ).astype(dtype)
+            )
+            vertex_mask = jnp.asarray((sums > 0).astype(dtype))
 
         rts = lay.cells_to_struct(rts_parent)
         terms = tuple(
@@ -560,6 +616,8 @@ class StructuredModel:
             f_vertex=jnp.asarray(
                 lay.vertices_to_struct(np.asarray(lattice_horz.duals.f))
             ),
+            vertex_kite_planes=vertex_kite_planes,
+            vertex_mask=vertex_mask,
         )
         # uniformity requirements for the scalar metric shortcut
         assert np.allclose(

@@ -80,11 +80,14 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
     live-cell masks) guards the content/h division on culled lattices.
 
     ``nl`` is None for the reference's linear core, or
-    (f_vert, vc_terms, ev_terms, s_ke, s_curl) — vertex-Coriolis planes
-    [kind*2+p], the machine-extracted kite and endpoint stencils
-    (hex_layout.py), and the KE / curl metric scalars — selecting the full
+    (f_vert, vc_terms, ev_terms, s_ke, s_curl, vmask, kitew) —
+    vertex-Coriolis planes [kind*2+p], the machine-extracted kite and
+    endpoint stencils (hex_layout.py), the KE / curl metric scalars, and
+    (wall-masked lattices only, else None) the live-vertex mask planes +
+    per-site live-renormalized kite weight planes — selecting the full
     vector-invariant momentum equation (model.structured_step nonlinear
-    branch) fused into the same kernel.
+    branch, incl. its masked-vertex boundary handling) fused into the same
+    kernel.
 
     Layout note: ALL fields carry the level axis last (singleton for 2-D
     fields). In VMEM the last axis is the lane dimension, so a 2-D field
@@ -152,7 +155,7 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
             c = f_out * 2 + p_out
             acc[c] = contrib if acc[c] is None else acc[c] + contrib
     else:
-        f_vert, vc_terms, ev_terms, s_ke, s_curl = nl
+        f_vert, vc_terms, ev_terms, s_ke, s_curl, vmask, kitew = nl
         # cell kinetic energy and its edge gradient
         sq = [u[c] * u[c] for c in range(6)]
         ke = []
@@ -177,13 +180,24 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
             zeta[1 * 2 + p] = (
                 u[E * 2 + p] + nw_of_e[p] - u[NE * 2 + p]
             ) * s_curl
-        # kite thickness average -> layer PV -> edge PV
+        # kite thickness average -> layer PV -> edge PV (per-site live-
+        # renormalized kite weights + guarded division on walled lattices,
+        # mirroring model.pv_on_vertex_struct)
         hv = [None] * 4
-        for kind, p_out, p_in, dm, di, w in vc_terms:
-            c = w * _shift(h[p_in], dm, di)
+        for t, (kind, p_out, p_in, dm, di, w) in enumerate(vc_terms):
+            wgt = w if kitew is None else kitew[t]
+            c = wgt * _shift(h[p_in], dm, di)
             i = kind * 2 + p_out
             hv[i] = c if hv[i] is None else hv[i] + c
-        qv = [(f_vert[i] + zeta[i]) / hv[i] for i in range(4)]
+        if vmask is None:
+            qv = [(f_vert[i] + zeta[i]) / hv[i] for i in range(4)]
+        else:
+            qv = [
+                (f_vert[i] + zeta[i])
+                / jnp.where(vmask[i] > 0, hv[i], jnp.ones_like(hv[i]))
+                * vmask[i]
+                for i in range(4)
+            ]
         qe = [None] * 6
         for f_out, p_out, kind, p_in, dm, di in ev_terms:
             c = _shift(qv[kind * 2 + p_in], dm, di)
@@ -263,12 +277,20 @@ def _step_planes(ssh, h, u, f_edge, rts, dt, inv_dc, s_div, terms, masks=None,
 
 def _nl_pack(scal_ref, fvert_ref, nl_terms):
     """Assemble _step_planes' ``nl`` tuple from kernel refs + static
-    stencils (None when the linear core is selected)."""
+    stencils (None when the linear core is selected). The fvert operand
+    carries 4 planes on periodic lattices, or 4 + 4 vertex-mask + 12 kite-
+    weight planes on wall-masked ones (see _nl_setup) — the plane count
+    selects the masked-vertex branch."""
     if nl_terms is None:
         return None
     vc_terms, ev_terms = nl_terms
     f_vert = tuple(fvert_ref[i] for i in range(4))
-    return (f_vert, vc_terms, ev_terms, scal_ref[0, 3], scal_ref[0, 4])
+    vmask = kitew = None
+    if fvert_ref.shape[0] > 4:
+        vmask = tuple(fvert_ref[4 + i] for i in range(4))
+        kitew = tuple(fvert_ref[8 + t] for t in range(len(vc_terms)))
+    return (f_vert, vc_terms, ev_terms, scal_ref[0, 3], scal_ref[0, 4],
+            vmask, kitew)
 
 
 def _rollout_kernel(
@@ -511,20 +533,25 @@ def fits_in_vmem(mesh: StructMesh, k: int, itemsize: int = 4,
 
 def _nl_setup(mesh: StructMesh, dtype, nonlinear: bool):
     """(nl_terms, f_vert operand) for the fused kernels, validating the
-    mesh supports the nonlinear step (same rules as model.structured_step)."""
+    mesh supports the nonlinear step (same rules as model.structured_step).
+    On wall-masked lattices the operand stacks [f_vertex (4); vertex_mask
+    (4); vertex_kite_planes (12)] so ONE plane group carries every
+    per-vertex constant the masked step needs."""
     if not nonlinear:
         return None, None
+    from .model import _check_nl_mesh
+
+    _check_nl_mesh(mesh)
+    ny2, nx = mesh.ny2, mesh.nx
+    f_vert = mesh.f_vertex.reshape(4, ny2, nx, 1).astype(dtype)
     if mesh.edge_mask is not None:
-        raise NotImplementedError(
-            "nonlinear structured dynamics require a fully periodic "
-            "lattice; use the gather or matrix path for walled channels"
+        f_vert = jnp.concatenate(
+            [
+                f_vert,
+                mesh.vertex_mask.reshape(4, ny2, nx, 1).astype(dtype),
+                mesh.vertex_kite_planes[:, :, :, None].astype(dtype),
+            ]
         )
-    if not mesh.vertex_cell_terms:
-        raise ValueError(
-            "StructMesh lacks vertex stencils; build it via "
-            "StructuredModel so hex_layout extracts them"
-        )
-    f_vert = mesh.f_vertex.reshape(4, mesh.ny2, mesh.nx, 1).astype(dtype)
     return (mesh.vertex_cell_terms, mesh.edge_vertex_terms), f_vert
 
 
@@ -604,7 +631,9 @@ def pallas_run_loop(
     The whole prognostic state must fit in VMEM (~64x64 cells x 100 levels
     per core); for larger meshes use model.structured_run_loop (HBM-
     streaming rolls) or the BSR matrix path. ``nonlinear=True`` fuses the
-    vector-invariant momentum equation (periodic lattices only). Tracers
+    vector-invariant momentum equation — wall-masked (culled channel/basin)
+    lattices included, via the masked vertex constants StructuredModel
+    precomputes (partial kites + live-vertex guard). Tracers
     (state.tracers, models/tracers.py) fuse into the same kernel — each
     tracer is one more pair of VMEM parity planes advected by the step's
     flux. ``forcing`` (struct-layout, StructuredModel.to_struct_forcing)
@@ -703,7 +732,9 @@ def _tiled_step_kernel(
         masks_full = None
     if nl_terms is not None:
         fv_ref, fv_t, fv_b, *rest = rest
-        fv_full = tuple(pad(fv_ref, fv_t, fv_b, c) for c in range(4))
+        fv_full = tuple(
+            pad(fv_ref, fv_t, fv_b, c) for c in range(fv_ref.shape[0])
+        )
     if forced:
         # wind planes + compressed int32 level-index planes, halo-padded
         # like every other constant field (see _forcing_setup)
@@ -777,6 +808,8 @@ def _tiled_step_kernel(
                 ssh, h, u, win(f_full), win(rts_full), win(fv_full),
                 dt, inv_dc, s_div, ke_scale, curl_scale, terms,
                 vc_terms, ev_terms, rows_j, forc_j, tr, tropts, strat_w,
+                win(masks_full) if masked else None,
+                win(cm_full) if cell_masked else None,
             )
         else:
             ssh, h, u, tr = _step_slab(
@@ -858,11 +891,6 @@ def _make_tiled_step_call(
     stratification weights."""
     stratified = strat_shape is not None
     nonlinear = nl_terms is not None
-    if nonlinear and masked:
-        raise NotImplementedError(
-            "nonlinear tiled kernel does not support wall masks yet; "
-            "use the gather or matrix path for walled channels"
-        )
     if nonlinear and fb:
         raise NotImplementedError(
             "forward-backward + nonlinear needs a 3-row-per-step reach; "
@@ -919,7 +947,10 @@ def _make_tiled_step_call(
     if masked:
         in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
     if nonlinear:
-        in_specs += [center_spec(4, rt, 1), halo_spec(4, 1), halo_spec(4, 1)]
+        # 4 f_vertex planes, +16 vertex-mask/kite-weight planes when walled
+        nl_p = 4 + (4 + len(nl_terms[0]) if masked else 0)
+        in_specs += [center_spec(nl_p, rt, 1), halo_spec(nl_p, 1),
+                     halo_spec(nl_p, 1)]
     if forced:
         in_specs += [
             center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1),
@@ -1075,9 +1106,10 @@ def pallas_tiled_run_loop(
     blocking — q-fold fewer HBM passes over the state for O(q^2) extra
     boundary-row compute). Tracers and layered stratification ride the
     same tiles. ``nonlinear`` fuses the vector-invariant momentum equation
-    (periodic lattices only; derived fields recomputed locally on the
-    2-rows-per-step window, sharded._step_slab_nl); ``fb`` the
-    forward-backward scheme (also reach 2)."""
+    (walled lattices included — masked vertex constants ride the f_vertex
+    plane group; derived fields recomputed locally on the 2-rows-per-step
+    window, sharded._step_slab_nl); ``fb`` the forward-backward scheme
+    (also reach 2)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ny2, nx = mesh.ny2, mesh.nx
@@ -1197,9 +1229,9 @@ def structured_auto_run_loop(
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
             strat=strat, fb=fb, forcing=forcing,
         )
-    if (nonlinear and fb) or (nonlinear and mesh.edge_mask is not None):
-        # combinations the tiled kernel fences off (reach-3 stencil /
-        # masked vertex quantities): stream the roll model
+    if nonlinear and fb:
+        # the one combination the tiled kernel fences off (reach-3
+        # stencil): stream the roll model
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
@@ -1235,12 +1267,19 @@ def _adjoint_segment_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     gs_ref, gh_ref, gu_ref, *rest, terms, b, masked, nl_terms=None,
     n_tracers=0, tropts=(0.0, 1.0), cell_masked=False, stratified=False,
+    forced=False,
 ):
     """Reverse one b-step segment: inputs are the segment-start primal state
     and the cotangent at the segment end; outputs the cotangent at the
     segment start plus the segment's d(dt) contribution. Tracers ride as
     one more state slot — the adjoint step is the same in-kernel jax.vjp of
-    _step_planes, so the tracer transpose stencils fuse like the rest."""
+    _step_planes, so the tracer transpose stencils fuse like the rest.
+    ``forced`` adds momentum-forcing inputs and the segment's d(wind) plane
+    + d(drag_linear, drag_quadratic, rayleigh) accumulators — the forcing
+    term is elementwise, so its transpose fuses at negligible cost. The
+    one-hot LEVEL-MASK cotangents are not produced (the masks arrive as
+    compressed int index planes; they are structural selectors — use the
+    checkpointed-roll reverse if d(mask) is ever needed)."""
     if masked:
         mask_ref, *rest = rest
         masks = tuple(mask_ref[c] for c in range(6))
@@ -1255,6 +1294,15 @@ def _adjoint_segment_kernel(
         strat_w = sw_ref[...]
     else:
         strat_w = None
+    if forced:
+        fwind_ref, fidx_ref, *rest = rest
+        # hoist the one-hot expansion out of the recompute/reverse loops
+        # (same trick as _rollout_kernel)
+        f_top = tuple(_level_onehot(fidx_ref[c], h_ref[0]) for c in range(6))
+        f_bot = tuple(
+            _level_onehot(fidx_ref[6 + c], h_ref[0]) for c in range(6)
+        )
+        wind0 = tuple(fwind_ref[c] for c in range(6))
     cmask = None
     if n_tracers:
         if cell_masked:
@@ -1266,21 +1314,28 @@ def _adjoint_segment_kernel(
         tr_ref = gt_ref = gt_out = None
         gs_out, gh_out, gu_out, *rest = rest
     if stratified:
-        dsw_out, ddt_out = rest
-    else:
-        (ddt_out,) = rest
+        dsw_out, *rest = rest
+    if forced:
+        dwind_out, dcoef_out, *rest = rest
+    (ddt_out,) = rest
     dt = scal_ref[0, 0]
     inv_dc = scal_ref[0, 1]
     s_div = scal_ref[0, 2]
     nl = _nl_pack(scal_ref, fvert_ref, nl_terms)
     f_edge = tuple(f_ref[c] for c in range(6))
     rts = tuple(rts_ref[p] for p in range(2))
+    coefs0 = (
+        (scal_ref[0, 6], scal_ref[0, 7], scal_ref[0, 8]) if forced else None
+    )
 
-    def step_fn(s, t, w):
+    def step_fn(s, t, w, wind=None, coefs=None):
         ssh, h, u, tr = s
+        forc = (
+            (wind, f_top, f_bot) + coefs if forced else None
+        )
         return _step_planes(
             ssh, h, u, f_edge, rts, t, inv_dc, s_div, terms, masks, nl,
-            tr, tropts, cmask, w,
+            tr, tropts, cmask, w, False, forc,
         )
 
     # forward recompute: b primal states live in VMEM (b is chosen so they
@@ -1292,7 +1347,10 @@ def _adjoint_segment_kernel(
         tuple(tr_ref[i] for i in range(2 * n_tracers)) if n_tracers else None,
     )]
     for _ in range(b - 1):
-        states.append(step_fn(states[-1], dt, strat_w))
+        states.append(step_fn(
+            states[-1], dt, strat_w,
+            wind0 if forced else None, coefs0,
+        ))
 
     cot = (
         tuple(gs_ref[p] for p in range(2)),
@@ -1302,9 +1360,20 @@ def _adjoint_segment_kernel(
     )
     ddt = jnp.zeros((), dt.dtype)
     dsw = jnp.zeros_like(strat_w) if stratified else None
+    dwind = dcoef = None
     for j in range(b - 1, -1, -1):
-        _, vjp = jax.vjp(step_fn, states[j], dt, strat_w)
-        cot, ddt_j, dsw_j = vjp(cot)
+        if forced:
+            _, vjp = jax.vjp(step_fn, states[j], dt, strat_w, wind0, coefs0)
+            cot, ddt_j, dsw_j, dw_j, dc_j = vjp(cot)
+            dwind = dw_j if dwind is None else tuple(
+                a + bb for a, bb in zip(dwind, dw_j)
+            )
+            dcoef = dc_j if dcoef is None else tuple(
+                a + bb for a, bb in zip(dcoef, dc_j)
+            )
+        else:
+            _, vjp = jax.vjp(step_fn, states[j], dt, strat_w)
+            cot, ddt_j, dsw_j = vjp(cot)
         ddt = ddt + ddt_j
         if stratified:
             dsw = dsw + dsw_j
@@ -1317,6 +1386,12 @@ def _adjoint_segment_kernel(
         gt_out[i] = cot[3][i]
     if stratified:
         dsw_out[...] = dsw
+    if forced:
+        for c in range(6):
+            dwind_out[c] = dwind[c]
+        dcoef_out[...] = jnp.stack(
+            [dcoef[0], dcoef[1], dcoef[2]]
+        ).reshape(1, 3)
     ddt_out[...] = ddt[None, None]
 
 
@@ -1325,10 +1400,12 @@ def _adjoint_segment_kernel(
 )
 def _adjoint_segment(
     ckpt, cot, f_edge, rts, scal, mask, f_vert=None, cmask=None, strat_w=None,
-    *, terms, b, interpret, nl_terms=None, tropts=(0.0, 1.0),
+    fwind=None, fidx=None, *, terms, b, interpret, nl_terms=None,
+    tropts=(0.0, 1.0),
 ):
-    """One fused reverse-segment call: (ckpt, cot_end) -> (cot_start, ddt).
-    ``ckpt``/``cot`` are (ssh, h, u) or (ssh, h, u, tracer planes)."""
+    """One fused reverse-segment call: (ckpt, cot_end) -> (cot_start, ddt
+    [, dsw][, dwind, dcoef]). ``ckpt``/``cot`` are (ssh, h, u) or
+    (ssh, h, u, tracer planes)."""
     ssh, h, u = ckpt[:3]
     gs, gh, gu = cot[:3]
     with_tr = len(ckpt) == 4
@@ -1337,10 +1414,12 @@ def _adjoint_segment(
     n_tracers = tr.shape[0] // 2 if with_tr else 0
     masked = mask is not None
     cell_masked = cmask is not None
+    forced = fwind is not None
     kernel = functools.partial(
         _adjoint_segment_kernel, terms=terms, b=b, masked=masked,
         nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
         cell_masked=cell_masked, stratified=strat_w is not None,
+        forced=forced,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = (scal, ssh, h, u, f_edge, rts, gs, gh, gu)
@@ -1350,6 +1429,8 @@ def _adjoint_segment(
         operands += (f_vert,)
     if strat_w is not None:
         operands += (strat_w,)
+    if forced:
+        operands += (fwind, fidx)
     out_shape = [
         jax.ShapeDtypeStruct(gs.shape, gs.dtype),
         jax.ShapeDtypeStruct(gh.shape, gh.dtype),
@@ -1364,12 +1445,15 @@ def _adjoint_segment(
         out_shape.append(jax.ShapeDtypeStruct(gt.shape, gt.dtype))
     if strat_w is not None:
         out_shape.append(jax.ShapeDtypeStruct(strat_w.shape, strat_w.dtype))
+    if forced:
+        out_shape.append(jax.ShapeDtypeStruct(fwind.shape, fwind.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((1, 3), scal.dtype))
     out_shape.append(jax.ShapeDtypeStruct((1, 1), scal.dtype))
     n_in = len(operands)
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     flops_step = step_flop_count(
         ny2, nx, k, len(terms), masked, nonlinear=nl_terms is not None,
-        n_tracers=n_tracers,
+        n_tracers=n_tracers, forced=forced,
     )
     cot_bytes = sum(
         g.size * g.dtype.itemsize for g in ((gs, gh, gu) + ((gt,) if with_tr else ()))
@@ -1392,12 +1476,13 @@ def _adjoint_segment(
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
+    *out, ddt = out
+    dwind = dcoef = dsw = None
+    if forced:
+        *out, dwind, dcoef = out
     if strat_w is not None:
-        *cot_out, dsw, ddt = out
-    else:
-        *cot_out, ddt = out
-        dsw = None
-    return tuple(cot_out), ddt[0, 0], dsw
+        *out, dsw = out
+    return tuple(out), ddt[0, 0], dsw, dwind, dcoef
 
 
 # the adjoint segment kernel is the VMEM-hungriest thing in the repo (b
@@ -1409,7 +1494,8 @@ _ADJ_VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
-                  nonlinear: bool = False, n_tracers: int = 0):
+                  nonlinear: bool = False, n_tracers: int = 0,
+                  forced: bool = False):
     """Pick (b, m): segments of b steps reversed in-VMEM, grouped m segments
     per outer checkpoint. b: largest divisor of n_steps whose b resident
     primal states + working set fit the VMEM budget; m: divisor of
@@ -1426,7 +1512,12 @@ def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
     # each tracer: 2 more resident planes per state + ~12 planes of vjp
     # residuals (edge fluxes, upwind signs, the divide)
     per_step += 14 * n_tracers
-    b_max = int((_ADJ_VMEM_BUDGET / plane - 44 - 4 * n_tracers) // per_step)
+    # forcing: 12 resident one-hot planes + ~8 planes/step of elementwise
+    # vjp residuals (inv_h, |u|, sign, the drag chain)
+    base = 44 + 4 * n_tracers + (14 if forced else 0)
+    if forced:
+        per_step += 8
+    b_max = int((_ADJ_VMEM_BUDGET / plane - base) // per_step)
     if b_max < 1:
         return None
     b = max(d for d in range(1, min(b_max, n_steps) + 1) if n_steps % d == 0)
@@ -1446,8 +1537,8 @@ def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
 )
 def _pallas_forward_ckpts(
     ssh0, h0, u0, f_edge, rts, scal, mask=None, f_vert=None, tracers0=None,
-    cmask=None, strat_w=None, *, terms, n_steps, big, interpret,
-    nl_terms=None, tropts=(0.0, 1.0),
+    cmask=None, strat_w=None, fwind=None, fidx=None, *, terms, n_steps, big,
+    interpret, nl_terms=None, tropts=(0.0, 1.0),
 ):
     """Fused forward in ``big``-step segments, emitting the state at the
     start of each segment (the outer checkpoints the reverse sweep needs).
@@ -1460,7 +1551,7 @@ def _pallas_forward_ckpts(
     def fwd_outer(c, _):
         o = _pallas_rollout(
             c[0], c[1], c[2], f_edge, rts, scal, mask, f_vert,
-            c[3] if with_tr else None, cmask, strat_w,
+            c[3] if with_tr else None, cmask, strat_w, fwind, fidx,
             terms=terms, n_steps=big, interpret=interpret, nl_terms=nl_terms,
             tropts=tropts,
         )
@@ -1477,24 +1568,25 @@ def _pallas_forward_ckpts(
 )
 def _pallas_adjoint_from_ckpts(
     outer_ckpts, f_edge, rts, scal, cot0, mask=None, f_vert=None, cmask=None,
-    strat_w=None, *, terms, b, m, interpret, nl_terms=None,
-    tropts=(0.0, 1.0),
+    strat_w=None, fwind=None, fidx=None, *, terms, b, m, interpret,
+    nl_terms=None, tropts=(0.0, 1.0),
 ):
     """Reverse sweep given the outer checkpoints: per outer group (reversed),
     rebuild the m inner checkpoints with the fused forward kernel, then
     reverse-scan the fused adjoint segment kernel over them.
     ``cot0`` is (gs, gh, gu[, gt]); returns (cot_start tuple, d_dt,
-    d_strat_w-or-None)."""
+    d_strat_w-or-None, d_wind-or-None, d_coefs-or-None)."""
     with_tr = len(cot0) == 4
     stratified = strat_w is not None
+    forced = fwind is not None
 
     def rev_outer(carry, ckpt):
-        cot, ddt, dsw = carry
+        cot, ddt, dsw, dwind, dcoef = carry
 
         def fwd_inner(c, _):
             o = _pallas_rollout(
                 c[0], c[1], c[2], f_edge, rts, scal, mask, f_vert,
-                c[3] if with_tr else None, cmask, strat_w,
+                c[3] if with_tr else None, cmask, strat_w, fwind, fidx,
                 terms=terms, n_steps=b, interpret=interpret,
                 nl_terms=nl_terms, tropts=tropts,
             )
@@ -1503,30 +1595,38 @@ def _pallas_adjoint_from_ckpts(
         _, inner_ckpts = jax.lax.scan(fwd_inner, ckpt, length=m)
 
         def rev_inner(carry2, ick):
-            cot2, ddt2, dsw2 = carry2
-            cot2, ddt_j, dsw_j = _adjoint_segment(
+            cot2, ddt2, dsw2, dw2, dc2 = carry2
+            cot2, ddt_j, dsw_j, dw_j, dc_j = _adjoint_segment(
                 ick, cot2, f_edge, rts, scal, mask, f_vert, cmask, strat_w,
+                fwind, fidx,
                 terms=terms, b=b, interpret=interpret, nl_terms=nl_terms,
                 tropts=tropts,
             )
             if stratified:
                 dsw2 = dsw2 + dsw_j
-            return (cot2, ddt2 + ddt_j, dsw2), None
+            if forced:
+                dw2 = dw2 + dw_j
+                dc2 = dc2 + dc_j
+            return (cot2, ddt2 + ddt_j, dsw2, dw2, dc2), None
 
-        (cot, ddt, dsw), _ = jax.lax.scan(
-            rev_inner, (cot, ddt, dsw), inner_ckpts, reverse=True
+        (cot, ddt, dsw, dwind, dcoef), _ = jax.lax.scan(
+            rev_inner, (cot, ddt, dsw, dwind, dcoef), inner_ckpts,
+            reverse=True,
         )
-        return (cot, ddt, dsw), None
+        return (cot, ddt, dsw, dwind, dcoef), None
 
     dsw0 = jnp.zeros_like(strat_w) if stratified else None
-    (cot, ddt, dsw), _ = jax.lax.scan(
-        rev_outer, (tuple(cot0), jnp.zeros((), scal.dtype), dsw0),
+    dwind0 = jnp.zeros_like(fwind) if forced else None
+    dcoef0 = jnp.zeros((1, 3), scal.dtype) if forced else None
+    (cot, ddt, dsw, dwind, dcoef), _ = jax.lax.scan(
+        rev_outer,
+        (tuple(cot0), jnp.zeros((), scal.dtype), dsw0, dwind0, dcoef0),
         outer_ckpts, reverse=True,
     )
-    return cot, ddt, dsw
+    return cot, ddt, dsw, dwind, dcoef
 
 
-def _adjoint_aux(mesh: StructMesh, dt, dtype):
+def _adjoint_aux(mesh: StructMesh, dt, dtype, forcing=None):
     """Plane-layout constant fields the adjoint kernels need."""
     ny2, nx = mesh.ny2, mesh.nx
     f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
@@ -1536,7 +1636,7 @@ def _adjoint_aux(mesh: StructMesh, dt, dtype):
         if mesh.edge_mask is None
         else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
     )
-    return f_edge, rts, _scal(mesh, dt, dtype), mask
+    return f_edge, rts, _scal(mesh, dt, dtype, forcing), mask
 
 
 def _cot_from_planes(cot, ny2, nx, k):
@@ -1554,10 +1654,14 @@ def pallas_adjoint_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int, g: StructState,
     *, plan=None, interpret=None, nonlinear: bool = False,
     tracer_kappa: float = 0.0, tracer_upwind: float = 1.0, strat=None,
+    forcing=None,
 ):
     """Fused-kernel VJP of an n-step rollout: given the rollout's input
     ``state`` and an output cotangent ``g``, returns (d_state, d_dt) — the
     reverse sweep runs in Pallas segment kernels (see module comment).
+    With ``forcing`` (struct layout), returns (d_state, d_dt, d_forcing)
+    where d_forcing carries the exact wind and drag/Rayleigh-coefficient
+    cotangents (level-mask cotangents are zero — structural selectors).
     ``interpret=True`` runs the kernels in interpret mode (CPU tests)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1567,21 +1671,22 @@ def pallas_adjoint_rollout(
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     if plan is None:
         plan = _adjoint_plan(n_steps, ny2, nx, k, dtype.itemsize, nonlinear,
-                             n_tr)
+                             n_tr, forcing is not None)
     if plan is None:
         raise ValueError("state too large for the fused adjoint segments")
     b, m = plan
-    f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+    f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype, forcing)
     nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
     tr, cmask, tropts = _tracer_setup(
         state, mesh, dtype, tracer_kappa, tracer_upwind
     )
     sw = _strat_w(strat, dtype)
+    fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
     _, ckpts = _pallas_forward_ckpts(
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
-        f_edge, rts, scal, mask, f_vert, tr, cmask, sw,
+        f_edge, rts, scal, mask, f_vert, tr, cmask, sw, fwind, fidx,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
         interpret=bool(interpret), nl_terms=nl_terms, tropts=tropts,
     )
@@ -1592,13 +1697,34 @@ def pallas_adjoint_rollout(
     )
     if n_tr:
         cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
-    cot, ddt, _ = _pallas_adjoint_from_ckpts(
-        ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw,
+    cot, ddt, _, dwind, dcoef = _pallas_adjoint_from_ckpts(
+        ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw, fwind, fidx,
         terms=mesh.coriolis_terms, b=b, m=m, interpret=bool(interpret),
         nl_terms=nl_terms, tropts=tropts,
     )
     d_state = _cot_from_planes(cot, ny2, nx, k)
-    return d_state, ddt.astype(jnp.asarray(dt).dtype)
+    d_dt = ddt.astype(jnp.asarray(dt).dtype)
+    if forcing is None:
+        return d_state, d_dt
+    return d_state, d_dt, _forcing_cotangent(forcing, dwind, dcoef, ny2, nx)
+
+
+def _forcing_cotangent(forcing, dwind, dcoef, ny2, nx):
+    """Assemble the struct-layout Forcing cotangent from the fused adjoint
+    kernel's accumulators: exact wind + scalar coefficients; level-mask
+    cotangents are ZERO by construction (the fused kernels carry the masks
+    as compressed int index planes — structural selectors, not tunable
+    fields; the checkpointed-roll reverse produces them if ever needed)."""
+    return forcing.replace(
+        wind_edge=dwind.reshape(3, 2, ny2, nx).astype(
+            forcing.wind_edge.dtype
+        ),
+        top_mask=jnp.zeros_like(forcing.top_mask),
+        bottom_mask=jnp.zeros_like(forcing.bottom_mask),
+        drag_linear=dcoef[0, 0].astype(forcing.drag_linear.dtype),
+        drag_quadratic=dcoef[0, 1].astype(forcing.drag_quadratic.dtype),
+        rayleigh=dcoef[0, 2].astype(forcing.rayleigh.dtype),
+    )
 
 
 def _checkpointed_roll_rollout(
@@ -1645,8 +1771,10 @@ def pallas_rollout_diff(
     the whole-loop reverse the reference validates with Enzyme
     (reference: test/enzyme/test_Enzyme_end2end.jl:78-92) at the fused
     path's forward speed. ``forcing`` (struct layout) is a differentiated
-    input: its cotangent (wind, drag and Rayleigh coefficients, level
-    masks) comes out exact through the checkpointed-roll reverse."""
+    input: the fused adjoint segments accumulate the exact wind and
+    drag/Rayleigh-coefficient cotangents in-kernel (level-mask cotangents
+    are zero there — structural selectors; the checkpointed-roll fallback
+    produces them exactly when the fused path does not apply)."""
     return structured_auto_run_loop(
         state, mesh, dt, n_steps, nonlinear=nonlinear,
         tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind, strat=strat,
@@ -1655,29 +1783,24 @@ def pallas_rollout_diff(
 
 
 def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
-                       nonlinear: bool = False):
+                       nonlinear: bool = False, forced: bool = False):
     """(b, m) when the fused adjoint applies on this backend/size, else None."""
     k = state.layer_thickness.shape[-1]
     itemsize = state.layer_thickness.dtype.itemsize
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     if jax.default_backend() != "tpu" or not fits_in_vmem(
-        mesh, k, itemsize, n_tr
+        mesh, k, itemsize, n_tr, forced
     ):
         return None
     return _adjoint_plan(n_steps, mesh.ny2, mesh.nx, k, itemsize, nonlinear,
-                         n_tr)
+                         n_tr, forced)
 
 
 def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
                  tracer_kappa=0.0, tracer_upwind=1.0, strat=None,
                  forcing=None):
-    # forced rollouts: fused/tiled forward, checkpointed-roll reverse (the
-    # exact Forcing cotangent rides the fallback vjp; a fused forced
-    # adjoint segment would need extra d_wind/d_coefficient outputs)
-    plan = (
-        None if forcing is not None
-        else _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
-    )
+    plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear,
+                              forcing is not None)
     if plan is None:
         out = pallas_rollout_diff(
             state, mesh, dt, n_steps, nonlinear, tracer_kappa, tracer_upwind,
@@ -1692,16 +1815,18 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
     k = state.layer_thickness.shape[-1]
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     dtype = state.layer_thickness.dtype
-    f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+    f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype, forcing)
     nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
     tr, cmask, tropts = _tracer_setup(
         state, mesh, dtype, tracer_kappa, tracer_upwind
     )
+    fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
     final, ckpts = _pallas_forward_ckpts(
         state.ssh[..., None],
         state.layer_thickness,
         state.normal_velocity.reshape(6, ny2, nx, k),
         f_edge, rts, scal, mask, f_vert, tr, cmask, _strat_w(strat, dtype),
+        fwind, fidx,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
         interpret=False, nl_terms=nl_terms, tropts=tropts,
     )
@@ -1711,24 +1836,26 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
         normal_velocity=final[2].reshape(3, 2, ny2, nx, k),
         tracers=_tr_unplanes(final[3], ny2, nx, k) if n_tr else None,
     )
-    return out, (ckpts, state, mesh, dt, strat, None)
+    return out, (ckpts, state, mesh, dt, strat, forcing)
 
 
 def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
     ckpts, state, mesh, dt, strat, forcing = res
     if ckpts is not None:
-        plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear)
+        plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear,
+                                  forcing is not None)
         b, m = plan
         ny2, nx = mesh.ny2, mesh.nx
         k = state.layer_thickness.shape[-1]
         n_tr = 0 if state.tracers is None else state.tracers.shape[3]
         dtype = state.layer_thickness.dtype
-        f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype)
+        f_edge, rts, scal, mask = _adjoint_aux(mesh, dt, dtype, forcing)
         nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
         _, cmask, tropts = _tracer_setup(
             state, mesh, dtype, tracer_kappa, tracer_upwind
         )
         sw = _strat_w(strat, dtype)
+        fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
         cot0 = (
             g.ssh[..., None].astype(dtype),
             g.layer_thickness.astype(dtype),
@@ -1736,8 +1863,9 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
         )
         if n_tr:
             cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
-        cot, ddt, dsw = _pallas_adjoint_from_ckpts(
+        cot, ddt, dsw, dwind, dcoef = _pallas_adjoint_from_ckpts(
             ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw,
+            fwind, fidx,
             terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
             nl_terms=nl_terms, tropts=tropts,
         )
@@ -1751,7 +1879,11 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
                 phi_weights=dsw.astype(strat.phi_weights.dtype),
                 densities=jnp.zeros_like(strat.densities),
             )
-        return d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat, None
+        d_forcing = None
+        if forcing is not None:
+            d_forcing = _forcing_cotangent(forcing, dwind, dcoef, ny2, nx)
+        return (d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat,
+                d_forcing)
     # fallback (CPU / beyond-VMEM meshes / forced runs): sqrt-checkpointed
     # roll reverse — strat and forcing are differentiated inputs here too,
     # so d(phi_weights) and the Forcing cotangent are exact

@@ -294,12 +294,16 @@ def _derived_slab(h, u, mesh_sc, rows):
     1-ring halo exact).
 
     mesh_sc: (inv_dc, ke_scale, curl_scale, f_vertex_pad, vc_terms,
-    ev_terms) — static scalars/stencils + padded f_vertex planes.
+    ev_terms[, vmask_pad, kitew_pad]) — static scalars/stencils + padded
+    f_vertex planes; the optional trailing pair (wall-masked lattices)
+    carries the live-vertex mask planes and per-site live-renormalized
+    kite weight planes (model.pv_on_vertex_struct's boundary handling).
     Vertex fields (zeta, h_v, q_v) are computed on padded rows
     [0, rows+1): their cell/edge taps only reach dm in {0, +1}, and the
     edge PV endpoint taps only reach dm in {-1, 0}, so that row range is
     both locally computable and sufficient (asserted at model build)."""
-    inv_dc, ke_scale, curl_scale, f_v, vc_terms, ev_terms = mesh_sc
+    inv_dc, ke_scale, curl_scale, f_v, vc_terms, ev_terms, *opt = mesh_sc
+    vmask, kitew = opt if opt else (None, None)
 
     # thickness flux on interior rows
     flux = []
@@ -344,11 +348,20 @@ def _derived_slab(h, u, mesh_sc, rows):
         (uE1[:n] + shp(uNW1, 0, 1) - uNE1[:n]) * curl_scale,   # B, p=1
     ]
     h_v = [None] * 4
-    for kind, p_out, p_in, dm, di, w in vc_terms:
-        contrib = w * shp(h[p_in], dm, di)
+    for t, (kind, p_out, p_in, dm, di, w) in enumerate(vc_terms):
+        wgt = w if kitew is None else kitew[t][:n]
+        contrib = wgt * shp(h[p_in], dm, di)
         c = kind * 2 + p_out
         h_v[c] = contrib if h_v[c] is None else h_v[c] + contrib
-    q_v = [(f_v[c][:n] + zeta[c]) / h_v[c] for c in range(4)]
+    if vmask is None:
+        q_v = [(f_v[c][:n] + zeta[c]) / h_v[c] for c in range(4)]
+    else:
+        q_v = [
+            (f_v[c][:n] + zeta[c])
+            / jnp.where(vmask[c][:n] > 0, h_v[c], jnp.ones_like(h_v[c]))
+            * vmask[c][:n]
+            for c in range(4)
+        ]
 
     # edge PV = endpoint mean of q_v, interior rows (taps dm in {-1, 0}:
     # q_v rows [0, rows+1) cover padded rows 1+dm .. rows+dm)
@@ -364,12 +377,15 @@ def _derived_slab(h, u, mesh_sc, rows):
 
 def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                           terms, rows, forc=None, tr=None,
-                          tropts=(0.0, 1.0), strat_w=None):
+                          tropts=(0.0, 1.0), strat_w=None, masks=None,
+                          cmask=None):
     """Stage B of the nonlinear slab step: with 1-ring-padded prognostic
     AND derived slabs, produce the new interior rows (+ tracers when ``tr``
     is given — the tracer flux reads the PADDED exchanged thickness flux,
     so one derived round covers it). Same math/order as
-    structured/model.structured_step(nonlinear=True)."""
+    structured/model.structured_step(nonlinear=True). ``masks`` pins
+    wall/dead-edge velocity to zero and masks the tracer diffusion;
+    ``cmask`` guards the tracer content/h division on culled lattices."""
     h_new, ssh_new = [], []
     for p in (0, 1):
         total = (
@@ -448,6 +464,8 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
             un = un + dt * _apply_forcing(
                 _interior(u[c], rows), he_i, forc_i, c
             )
+        if masks is not None:
+            un = un * _interior(masks[c], rows)
         u_new.append(un)
 
     t_new = None
@@ -470,7 +488,10 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                     if kappa:
                         hn = _roll_nx(h[pin][dm : dm + rows + 1], di)
                         hep = 0.5 * (hn + h[p][: rows + 1])
-                        g = g - (kappa * hep) * ((tn - tp) * inv_dc)
+                        diff = kappa * hep
+                        if masks is not None:
+                            diff = diff * masks[fam * 2 + p][: rows + 1]
+                        g = g - diff * ((tn - tp) * inv_dc)
                     gfl[(fam, p)] = g
             for p in (0, 1):
                 total = (
@@ -487,14 +508,22 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                     _interior(h[p], rows) * _interior(tr[t * 2 + p], rows)
                     - (dt * s_div) * total
                 )
-                t_new.append(content / h_new[p])
+                if cmask is not None:
+                    cm = _interior(cmask[p], rows)
+                    safe = jnp.where(
+                        cm > 0, h_new[p], jnp.ones_like(h_new[p])
+                    )
+                    t_new.append(content / safe * cm)
+                else:
+                    t_new.append(content / h_new[p])
         t_new = tuple(t_new)
     return tuple(ssh_new), tuple(h_new), tuple(u_new), t_new
 
 
 def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
                   curl_scale, terms, vc_terms, ev_terms, rows, forc=None,
-                  tr=None, tropts=(0.0, 1.0), strat_w=None):
+                  tr=None, tropts=(0.0, 1.0), strat_w=None, masks=None,
+                  cmask=None):
     """One NONLINEAR (vector-invariant) forward-Euler step computed fully
     locally on TWO-halo-padded planes (rows+4) -> interior rows.
 
@@ -504,8 +533,19 @@ def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
     halo — the communication-free form the q-step tiled Pallas kernel and
     sharded superstep need (halo rows are consumed 2 per side per step).
     Same math/order as _derived_slab + _apply_slab_nonlinear, so all
-    nonlinear paths agree to roundoff."""
-    mesh_sc = (inv_dc, ke_scale, curl_scale, f_v, vc_terms, ev_terms)
+    nonlinear paths agree to roundoff.
+
+    ``f_v`` carries 4 planes on periodic lattices, or the stacked
+    [f_vertex (4); vertex_mask (4); kite weights (12)] on wall-masked ones
+    (pallas_model._nl_setup layout); ``masks``/``cmask`` then pin
+    wall-edge velocity / guard the tracer division exactly like the linear
+    slab step."""
+    if len(f_v) > 4:
+        fvert, vmask, kitew = f_v[:4], f_v[4:8], f_v[8:]
+        mesh_sc = (inv_dc, ke_scale, curl_scale, fvert, vc_terms, ev_terms,
+                   vmask, kitew)
+    else:
+        mesh_sc = (inv_dc, ke_scale, curl_scale, f_v, vc_terms, ev_terms)
     flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows + 2)
     inner = lambda t: tuple(x[1:-1] for x in t)
     if forc is not None:
@@ -515,6 +555,8 @@ def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
         inner(ssh), inner(h), inner(u), flux, (ke[0], ke[1]), q_e,
         inner(rts), dt, inv_dc, s_div, terms, rows, forc,
         inner(tr) if tr is not None else None, tropts, strat_w,
+        inner(masks) if masks is not None else None,
+        inner(cmask) if cmask is not None else None,
     )
 
 
@@ -587,10 +629,7 @@ class ShardedStructuredModel:
         if struct_mesh.f_vertex is None:
             self._fv_local = None
         else:
-            fv = np.asarray(struct_mesh.f_vertex).reshape(
-                4, ny2, struct_mesh.nx, 1
-            )
-            self._fv_local = self._put(self._slab(fv))
+            self._fv_local = self._put(self._slab(self._fv_planes()))
         if struct_mesh.cell_mask is None:
             self._cmask_local = None
         else:
@@ -834,9 +873,14 @@ class ShardedStructuredModel:
                 masks = None
             if nonlinear:
                 fv_loc = sq(fv_loc)
-                f_v = tuple(fv_loc[c].astype(dtype) for c in range(4))
-                mesh_sc = (inv_dc, ke_scale, curl_scale, f_v,
-                           vc_terms, ev_terms)
+                n_fv = fv_loc.shape[0]
+                f_v = tuple(fv_loc[c].astype(dtype) for c in range(n_fv))
+                if n_fv > 4:
+                    mesh_sc = (inv_dc, ke_scale, curl_scale, f_v[:4],
+                               vc_terms, ev_terms, f_v[4:8], f_v[8:])
+                else:
+                    mesh_sc = (inv_dc, ke_scale, curl_scale, f_v,
+                               vc_terms, ev_terms)
 
             def body_serial(carry, _):
                 ssh = tuple(carry["ssh"][p] for p in range(2))
@@ -940,7 +984,7 @@ class ShardedStructuredModel:
                     (padded[6], padded[7]),
                     tuple(padded[8 + c] for c in range(6)),
                     rts, dt, inv_dc, s_div, terms, rows, forc,
-                    tr, tropts, strat_w,
+                    tr, tropts, strat_w, masks, cmask,
                 )
                 new = {
                     "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
@@ -1002,14 +1046,27 @@ class ShardedStructuredModel:
         )(local, f_local, rts_local, mask_local, fv_local, forcel,
           cmask_local, strat_local)
 
-    def _nl_validate(self):
+    def _fv_planes(self):
+        """Per-vertex constant planes (4, ny2, nx, 1), or the stacked
+        [f_vertex; vertex_mask; kite weights] (20, ny2, nx, 1) on
+        wall-masked lattices (pallas_model._nl_setup layout)."""
         sm = self.smesh
-        if sm.edge_mask is not None:
-            raise NotImplementedError(
-                "nonlinear structured dynamics require a fully periodic "
-                "lattice (same restriction as structured_step)"
-            )
-        if not sm.vertex_cell_terms or sm.f_vertex is None:
+        ny2, nx = sm.ny2, sm.nx
+        fv = np.asarray(sm.f_vertex).reshape(4, ny2, nx, 1)
+        if sm.edge_mask is not None and sm.vertex_kite_planes is not None:
+            fv = np.concatenate([
+                fv,
+                np.asarray(sm.vertex_mask).reshape(4, ny2, nx, 1),
+                np.asarray(sm.vertex_kite_planes)[:, :, :, None],
+            ])
+        return fv
+
+    def _nl_validate(self):
+        from .model import _check_nl_mesh
+
+        sm = self.smesh
+        _check_nl_mesh(sm)
+        if sm.f_vertex is None:
             raise ValueError(
                 "StructMesh lacks vertex stencils; build it via "
                 "StructuredModel so hex_layout extracts them"
@@ -1052,8 +1109,9 @@ class ShardedStructuredModel:
             cm = np.asarray(self.smesh.cell_mask)[..., None]
             out["cmask"] = self._put(self._slab(cm, halo=hq).astype(npdt))
         if nonlinear:
-            fv = np.asarray(self.smesh.f_vertex).reshape(4, ny2, nx, 1)
-            out["fv"] = self._put(self._slab(fv, halo=hq).astype(npdt))
+            out["fv"] = self._put(
+                self._slab(self._fv_planes(), halo=hq).astype(npdt)
+            )
         cache[key] = out
         return out
 
@@ -1386,9 +1444,12 @@ class ShardedStructuredModel:
                         if nonlinear:
                             ssh, h, u, tr = _step_slab_nl(
                                 ssh, h, u, win(cb["f"], 6), win(cb["rts"], 2),
-                                win(cb["fv"], 4), dt_s, inv_dc, s_div, ke_s,
-                                curl_s, terms_, vc_terms, ev_terms, rows_j,
-                                forc_j, tr, tropts, sw,
+                                win(cb["fv"], cb["fv"].shape[0]), dt_s,
+                                inv_dc, s_div, ke_s, curl_s, terms_,
+                                vc_terms, ev_terms, rows_j, forc_j, tr,
+                                tropts, sw,
+                                win(cb["mask"], 6) if masked else None,
+                                win(cb["cmask"], 2) if cell_masked else None,
                             )
                         else:
                             ssh, h, u, tr = _step_slab(

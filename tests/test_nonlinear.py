@@ -240,24 +240,117 @@ def test_structured_nonlinear_matches_gather():
     assert np.abs(np.asarray(out_s.ssh - out_g.ssh)).max() < 1e-9
 
 
-def test_structured_nonlinear_rejects_walls():
+def _channel_setup(nx=16, K=2):
     from mpas_ocean_tpu.mesh import planar_hex_mesh
     from mpas_ocean_tpu.mesh.cull import cull_cells
     from mpas_ocean_tpu.mesh.mesh import Mesh
     from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
     from mpas_ocean_tpu.structured import StructuredModel
 
-    nx = 16
-    parent = planar_hex_mesh(nx, nx, 1000.0, f0=1e-4)
+    dc = 1000.0
+    parent = planar_hex_mesh(nx, nx, dc, f0=1e-4)
     y = np.asarray(parent.cells.y)
-    keep = (y > y.min()) & (y < y.max())
-    culled = cull_cells(parent, keep)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(parent, keep)
     vert = make_vertical_mesh(
-        culled, n_vert_levels=1,
-        resting_thickness=np.full((culled.n_cells, 1), 100.0),
+        chan, n_vert_levels=K,
+        resting_thickness=np.full((chan.n_cells, K), 50.0),
     )
-    mesh = Mesh(horz=culled, vert=vert).to_device()
+    mesh = Mesh(horz=chan, vert=vert).to_device()
     sm = StructuredModel(mesh, nx, nx, parent_horz=parent, keep_cells=keep)
-    prog = _wavy_state(mesh, 0.1)
-    with pytest.raises(NotImplementedError, match="periodic"):
-        sm.run(sm.to_struct(prog), 1.0, 2, nonlinear=True)
+    rng = np.random.default_rng(3)
+    x = np.asarray(chan.cells.x)
+    h = np.full((chan.n_cells, K), 50.0) + 0.5 * np.cos(
+        2 * np.pi * x / (x.max() + dc)
+    )[:, None]
+    u = 0.05 * rng.normal(size=(chan.n_edges, K))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=update_ssh(jnp.asarray(h), mesh),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    return mesh, sm, prog
+
+
+def test_structured_nonlinear_walls_match_gather():
+    """WALL-MASKED nonlinear dynamics on every structured path: the
+    per-site live-renormalized kite weights + guarded PV division
+    (StructMesh.vertex_kite_planes / vertex_mask) reproduce the culled
+    gather path's boundary-vertex handling (ops/operators.
+    interpolate_cell_to_vertex partial kites) at f64 roundoff — roll,
+    fused-VMEM, tiled (2q-halos), sharded slab and sharded superstep."""
+    import jax as _jax
+
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import (
+        pallas_run_loop, pallas_tiled_run_loop,
+    )
+    from mpas_ocean_tpu.structured.sharded import ShardedStructuredModel
+
+    mesh, sm, prog = _channel_setup()
+    st = sm.to_struct(prog)
+    smesh = sm.struct_mesh
+    n, dt = 8, 2.0
+    out_g = ocn_run_loop(prog, mesh, dt, n, nonlinear=True)
+    ref = structured_run_loop(st, smesh, dt, n, nonlinear=True)
+    ref_u = sm.from_struct(ref)
+    assert np.abs(
+        np.asarray(ref_u.normal_velocity - out_g.normal_velocity)
+    ).max() < 1e-13
+    assert np.abs(np.asarray(ref_u.ssh - out_g.ssh)).max() < 1e-12
+
+    out_f = pallas_run_loop(st, smesh, dt, n, interpret=True, nonlinear=True)
+    out_t = pallas_tiled_run_loop(
+        st, smesh, dt, n, row_tile=4, interpret=True, q=2, nonlinear=True
+    )
+    ssm = ShardedStructuredModel(smesh, devices=_jax.devices()[:2])
+    out_r = ssm.gather(ssm.run(ssm.scatter(st), dt, n, nonlinear=True))
+    out_p = ssm.gather(
+        ssm.run_pallas(ssm.scatter(st), dt, n, q=2, nonlinear=True)
+    )
+    for out in (out_f, out_t, out_r, out_p):
+        np.testing.assert_allclose(
+            np.asarray(out.normal_velocity),
+            np.asarray(ref.normal_velocity),
+            rtol=0, atol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-12
+        )
+
+
+def test_structured_nonlinear_walls_adjoint():
+    """Fused adjoint segments with the wall-masked nonlinear operand
+    (stacked f_vertex/vertex-mask/kite planes) match the roll vjp."""
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import pallas_adjoint_rollout
+
+    mesh, sm, prog = _channel_setup(nx=8)
+    st = sm.to_struct(prog)
+    smesh = sm.struct_mesh
+    n, dt = 6, 2.0
+    out, vjp = jax.vjp(
+        lambda s, t: structured_run_loop(s, smesh, t, n, True), st, dt
+    )
+    g = jax.tree.map(lambda a: a + 0.5, out)
+    d_ref, ddt_ref = vjp(g)
+    d_st, ddt = pallas_adjoint_rollout(
+        st, smesh, dt, n, g, plan=(2, 3), interpret=True, nonlinear=True
+    )
+    for a, b in zip(jax.tree.leaves(d_st), jax.tree.leaves(d_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+        )
+    np.testing.assert_allclose(float(ddt), float(ddt_ref), rtol=1e-9)
+
+
+def test_structured_nonlinear_handbuilt_mask_still_rejects():
+    """A hand-built masked StructMesh WITHOUT the masked vertex constants
+    must still refuse nonlinear runs with a helpful error."""
+    from mpas_ocean_tpu.structured.model import structured_step
+
+    mesh, sm, prog = _channel_setup(nx=8)
+    smesh = sm.struct_mesh.replace(vertex_kite_planes=None, vertex_mask=None)
+    with pytest.raises(NotImplementedError, match="masked vertex"):
+        structured_step(sm.to_struct(prog), smesh, 1.0, nonlinear=True)

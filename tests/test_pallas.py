@@ -378,7 +378,10 @@ def test_pallas_nonlinear_adjoint_segments_match_roll_vjp(setup):
     np.testing.assert_allclose(float(ddt), float(ddt_ref), rtol=1e-9)
 
 
-def test_pallas_nonlinear_rejects_masked_lattice():
+def test_pallas_nonlinear_masked_lattice_runs():
+    """Wall-masked nonlinear now runs in the fused kernel (the masked
+    vertex constants ride the f_vertex plane group) — and matches the roll
+    model; a StructMesh stripped of those constants still refuses."""
     from mpas_ocean_tpu.mesh.cull import cull_cells
 
     parent = planar_hex_mesh(8, 8, 1000.0, f0=1e-4)
@@ -398,8 +401,17 @@ def test_pallas_nonlinear_rejects_masked_lattice():
             normal_velocity=jnp.zeros((culled.n_edges, 1)),
         )
     )
-    with pytest.raises(NotImplementedError, match="periodic"):
-        pallas_run_loop(st, sm.struct_mesh, 1.0, 2, interpret=True,
+    ref = structured_run_loop(st, sm.struct_mesh, 1.0, 2, nonlinear=True)
+    out = pallas_run_loop(st, sm.struct_mesh, 1.0, 2, interpret=True,
+                          nonlinear=True)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity), np.asarray(ref.normal_velocity),
+        rtol=0, atol=1e-13,
+    )
+    stripped = sm.struct_mesh.replace(vertex_kite_planes=None,
+                                      vertex_mask=None)
+    with pytest.raises(NotImplementedError, match="masked vertex"):
+        pallas_run_loop(st, stripped, 1.0, 2, interpret=True,
                         nonlinear=True)
 
 
@@ -504,7 +516,7 @@ def test_pallas_tiled_fb_masked_forced_channel():
     )
 
 
-def test_pallas_tiled_nonlinear_rejects_masked_and_fb():
+def test_pallas_tiled_nonlinear_rejects_fb_combo():
     from mpas_ocean_tpu.structured.pallas_model import _make_tiled_step_call
 
     with pytest.raises(NotImplementedError, match="reach"):
@@ -512,8 +524,63 @@ def test_pallas_tiled_nonlinear_rejects_masked_and_fb():
             4, 8, 2, np.float64, terms=(), rt=2, q=1, consts=(1.0, 1.0, 1.0),
             nl_terms=((), ()), fb=True,
         )
-    with pytest.raises(NotImplementedError, match="wall"):
-        _make_tiled_step_call(
-            4, 8, 2, np.float64, terms=(), rt=2, q=1, consts=(1.0, 1.0, 1.0),
-            nl_terms=((), ()), masked=True,
+
+
+def test_pallas_forced_adjoint_segments_match_roll_vjp():
+    """Fused adjoint segments for FORCED rollouts (wind + both drags +
+    Rayleigh): d_state, d_dt and the Forcing cotangent (exact wind plane +
+    scalar coefficients) must match the checkpointed-roll vjp — the
+    wind-stress-sensitivity reverse the Stommel/gyre family needs, now at
+    fused-segment speed instead of the HBM-bound fallback."""
+    from mpas_ocean_tpu.models.forcing import make_forcing
+    from mpas_ocean_tpu.structured.pallas_model import pallas_adjoint_rollout
+
+    horz = planar_hex_mesh(NX, NY, 1000.0, f0=1e-4, beta=1e-11)
+    vert = make_vertical_mesh(
+        horz, n_vert_levels=K,
+        resting_thickness=np.full((horz.n_cells, K), 10.0),
+    )
+    mesh = Mesh(horz=horz, vert=vert).to_device()
+    sm = StructuredModel(mesh, NX, NY)
+    forcing = make_forcing(
+        mesh, wind_stress_zonal=0.1, bottom_drag_linear=1e-4,
+        bottom_drag_quadratic=2e-3, rayleigh=1e-5,
+    )
+    sf = sm.to_struct_forcing(forcing)
+    rng = np.random.default_rng(7)
+    h = np.full((horz.n_cells, K), 10.0) + 0.01 * rng.normal(
+        size=(horz.n_cells, K)
+    )
+    u = 0.01 * rng.normal(size=(horz.n_edges, K))
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    smesh = sm.struct_mesh
+    n, dt = 6, 5.0
+    out, vjp = jax.vjp(
+        lambda s, t, f: structured_run_loop(s, smesh, t, n, forcing=f),
+        st, dt, sf,
+    )
+    g = jax.tree.map(lambda a: a + 0.5, out)
+    d_ref, ddt_ref, df_ref = vjp(g)
+    d_st, ddt, df = pallas_adjoint_rollout(
+        st, smesh, dt, n, g, plan=(2, 3), interpret=True, forcing=sf
+    )
+    for a, b in zip(jax.tree.leaves(d_st), jax.tree.leaves(d_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
         )
+    np.testing.assert_allclose(float(ddt), float(ddt_ref), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(df.wind_edge), np.asarray(df_ref.wind_edge),
+        rtol=1e-10, atol=1e-13,
+    )
+    for nm in ("drag_linear", "drag_quadratic", "rayleigh"):
+        np.testing.assert_allclose(
+            float(getattr(df, nm)), float(getattr(df_ref, nm)), rtol=1e-9
+        )
+    # level-mask cotangents are deliberately zero on the fused path
+    assert float(jnp.abs(df.top_mask).max()) == 0.0

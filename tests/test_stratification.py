@@ -257,7 +257,7 @@ def test_fused_segment_strat_weight_cotangent(strat_setup):
         jnp.zeros_like(out.layer_thickness),
         jnp.zeros((6, ny2, nx, k), dtype),
     )
-    _, _, dsw = _pallas_adjoint_from_ckpts(
+    _, _, dsw, _, _ = _pallas_adjoint_from_ckpts(
         ckpts, f_edge, rts, scal, cot0, mask, None, None, sw,
         terms=smesh.coriolis_terms, b=b, m=m, interpret=True,
     )

@@ -155,10 +155,12 @@ def test_sharded_structured_nonlinear_matches_global(setup, n_devices):
     )
 
 
-def test_sharded_structured_nonlinear_rejects_masked():
-    """Wall-masked lattices must refuse nonlinear slab runs (dead-slot PV
-    is meaningless), mirroring structured_step's restriction."""
+def test_sharded_structured_nonlinear_masked_runs():
+    """Wall-masked nonlinear slab runs now work (masked vertex constants
+    ride the stacked f_vertex slab); a mesh stripped of those constants
+    still refuses with a helpful error."""
     from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.structured.model import structured_run_loop as srl
 
     dc = 1000.0
     horz = planar_hex_mesh(NX, NY, dc, f0=1e-4)
@@ -172,13 +174,29 @@ def test_sharded_structured_nonlinear_rejects_masked():
     mesh = Mesh(horz=chan, vert=vert).to_device()
     sm = StructuredModel(mesh, NX, NY, parent_horz=horz, keep_cells=keep)
     ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:2])
-    prog = PrognosticVars(
-        ssh=jnp.zeros(chan.n_cells),
-        layer_thickness=jnp.full((chan.n_cells, K), 10.0),
-        normal_velocity=jnp.zeros((chan.n_edges, K)),
+    rng = np.random.default_rng(4)
+    h = np.full((chan.n_cells, K), 10.0) + 0.01 * rng.normal(
+        size=(chan.n_cells, K)
     )
-    with pytest.raises(NotImplementedError, match="periodic"):
-        ssm.run(ssm.scatter(sm.to_struct(prog)), 10.0, 2, nonlinear=True)
+    u = 0.01 * rng.normal(size=(chan.n_edges, K))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    ref = srl(st, sm.struct_mesh, 10.0, 4, nonlinear=True)
+    out = ssm.gather(ssm.run(ssm.scatter(st), 10.0, 4, nonlinear=True))
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity), np.asarray(ref.normal_velocity),
+        rtol=0, atol=1e-13,
+    )
+    stripped = sm.struct_mesh.replace(vertex_kite_planes=None,
+                                      vertex_mask=None)
+    ssm2 = ShardedStructuredModel(stripped, devices=jax.devices()[:2])
+    with pytest.raises(NotImplementedError, match="masked vertex"):
+        ssm2.run(ssm2.scatter(st), 10.0, 2, nonlinear=True)
 
 
 @pytest.mark.parametrize(
