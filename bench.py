@@ -370,11 +370,7 @@ def measure_superstep(device, sm, prog, dt, steps, reps: int = 1) -> float:
     return _time_fn(run, reps)
 
 
-def measure_tiled_large(device, reps: int = 1):
-    """Production-scale config (256x256 cells x 100 levels, ~2.6 GB of
-    state+temps traffic per step) on the tiled Pallas path — the HBM-
-    streaming regime deployment meshes run in (the fused-VMEM path only
-    covers meshes whose whole state fits on-chip). Returns (gp/s, s/step)."""
+def build_large(nx=256, k=None, dtype=np.float32):
     import jax.numpy as jnp
 
     from mpas_ocean_tpu.mesh import planar_hex_mesh
@@ -382,13 +378,11 @@ def measure_tiled_large(device, reps: int = 1):
     from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
     from mpas_ocean_tpu.models.shallow_water import PrognosticVars
     from mpas_ocean_tpu.structured import StructuredModel
-    from mpas_ocean_tpu.structured.pallas_model import pallas_tiled_run_loop
     from mpas_ocean_tpu.verification.inertial_gravity_wave import (
         InertialGravityWave,
     )
 
-    nx, k, steps = 256, LEVELS, max(10, STEPS // 8)
-    dtype = np.float32
+    k = k or LEVELS
     dc = 10000.0e3 / nx
     horz = planar_hex_mesh(nx, nx, dc, f0=1e-4, dtype=dtype)
     igw = InertialGravityWave(lx=nx * dc / 1e3)
@@ -404,18 +398,118 @@ def measure_tiled_large(device, reps: int = 1):
         layer_thickness=jnp.asarray(h.astype(dtype)),
         normal_velocity=jnp.asarray(u.astype(dtype)),
     )
-    sm = StructuredModel(mesh, nx, nx)
+    return mesh, StructuredModel(mesh, nx, nx), prog
+
+
+def measure_tiled_large(device, sm, prog, k, steps, reps: int = 1, *,
+                        q: int = 2, nonlinear: bool = False,
+                        fb: bool = False, roll: bool = False):
+    """Production-scale config (256x256 cells x 100 levels) on the tiled
+    Pallas path — the HBM-streaming regime deployment meshes run in (the
+    fused-VMEM path only covers meshes whose whole state fits on-chip).
+    ``nonlinear``/``fb`` run the reach-2 variants (2q-row halos);
+    ``roll=True`` times the HBM-bound roll model instead (the old
+    beyond-VMEM fallback, kept as the comparison line). Returns
+    (gp/s, s/step)."""
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import pallas_tiled_run_loop
+
+    dtype = prog.layer_thickness.dtype.type
     st = jax.device_put(sm.to_struct(prog), device)
     smesh = jax.device_put(sm.struct_mesh, device)
+    n_cells = sm.struct_mesh.ny2 * 2 * sm.struct_mesh.nx
 
     def run():
-        out = pallas_tiled_run_loop(
-            st, smesh, dtype(30.0), steps, interpret=False, q=2
-        )
+        if roll:
+            out = structured_run_loop(st, smesh, dtype(30.0), steps,
+                                      nonlinear, fb=fb)
+        else:
+            out = pallas_tiled_run_loop(
+                st, smesh, dtype(30.0), steps, interpret=False, q=q,
+                nonlinear=nonlinear, fb=fb,
+            )
         return float(out.ssh.sum())
 
     t = _time_fn(run, reps)
-    return mesh.n_cells * k * steps / t, t / steps
+    return n_cells * k * steps / t, t / steps
+
+
+def measure_sharded_adjoint(device, sm, prog, dt, steps, reps: int = 1):
+    """Gradient through the sharded superstep objective (P=1 degenerate
+    ring): custom-VJP Pallas primal + pure-jnp window-rollout reverse under
+    sqrt checkpointing — the multi-chip differentiable fast path's
+    per-device cost. Same optimistic-proxy caveat as measure_superstep."""
+    from mpas_ocean_tpu.structured import ShardedStructuredModel
+
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=[device])
+    local = ssm.scatter(sm.to_struct(prog))
+    grad_fn = jax.jit(
+        jax.grad(lambda l: ssm.objective_pallas(l, dt, steps, q=2))
+    )
+
+    def run():
+        g = grad_fn(local)
+        return float(g["ssh"].sum())
+
+    return _time_fn(run, reps)
+
+
+def measure_scaling_virtual():
+    """Devices->efficiency on an 8-virtual-device CPU mesh, for both
+    sharded models (slab `run` + superstep q=4). NOT chip truth — a
+    collective-count/structure proxy that pins the scaling shape and makes
+    collective regressions visible (BASELINE's >=70% weak-scaling gate is
+    judged on real multi-chip hardware). Runs in a subprocess because the
+    virtual-device CPU platform must be configured before JAX initializes."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') + "
+        "' --xla_force_host_platform_device_count=8').strip()\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import json\n"
+        "from mpas_ocean_tpu.tools.scaling import measure_scaling\n"
+        "out = {\n"
+        " 'slab_run': measure_scaling(rows_per_device=8, nx=32, levels=8,"
+        " steps=48),\n"
+        " 'superstep_q4': measure_scaling(rows_per_device=8, nx=32,"
+        " levels=8, steps=48, path='pallas', q=4),\n"
+        "}\n"
+        "print('SCALING_JSON ' + json.dumps(out))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("SCALING_JSON "):
+                full = json.loads(line[len("SCALING_JSON "):])
+                out = {"note": (
+                    "8-VIRTUAL-device CPU mesh: collective-structure "
+                    "proxy, not chip truth (gate: >=0.70 weak efficiency "
+                    "on real multi-chip hardware, BASELINE.md)"
+                )}
+                for key, recs in full.items():
+                    out[key] = [
+                        {kk: r2[kk] for kk in
+                         ("devices", "gridpoints_per_sec", "efficiency")}
+                        for r2 in recs
+                    ]
+                return out
+        return {"error": (r.stderr or "no output").strip()[-400:]}
+    except Exception as e:  # pragma: no cover
+        return {"error": repr(e)[:400]}
+
+
+def _prog(msg):
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -426,16 +520,20 @@ def main():
     sm = StructuredModel(mesh, NX, NX)
 
     accel = jax.devices()[0]
+    _prog("unstructured gather path")
     t_unstruct = measure(accel, mesh, prog, dt, max(10, STEPS // 20), 1)
+    _prog("matrix/BSR path")
     t_matrix = measure_matrix(accel, mesh, prog, dt, max(10, STEPS // 4), 1)
 
     # the reference's literal perf config (coastal Kelvin wave channel):
     # masked-lattice fused path (fast) + general-mesh matrix path (fallback)
+    _prog("kelvin channel builds")
     kmesh, kprog, kdt, ksm = build_kelvin()
     k_steps = max(10, STEPS // 4)
     t_kelvin_mat = measure_matrix(accel, kmesh, kprog, kdt, k_steps, 1)
     t_kelvin = measure_structured_auto(accel, ksm, kprog, kdt, STEPS, REPS)
     kelvin_gp = kmesh.n_cells * LEVELS  # live (non-culled) gridpoints only
+    _prog("roll path")
     t_roll = measure_structured(accel, sm, prog, dt, STEPS, REPS)
     if accel.platform == "tpu":
         try:
@@ -453,6 +551,7 @@ def main():
     # peaks (an FMA-chain VMEM kernel and a streaming add — empirical speed
     # of light, not datasheet guesses). Round-1 VERDICT item 6.
     if accel.platform == "tpu":
+        _prog("measured peaks")
         vpu_peak = measure_vpu_peak()
         hbm_peak = measure_hbm_bw()
     else:
@@ -468,24 +567,52 @@ def main():
     )
 
     if accel.platform == "tpu":
-        large_gps, large_spstep = measure_tiled_large(accel)
+        large_nx = 256
+        lmesh, lsm, lprog = build_large(large_nx, LEVELS)
+        large_steps = max(10, STEPS // 8)
+        _prog("tiled large (linear)")
+        large_gps, large_spstep = measure_tiled_large(
+            accel, lsm, lprog, LEVELS, large_steps
+        )
+        _prog("tiled large (nonlinear)")
+        large_nl_gps, large_nl_spstep = measure_tiled_large(
+            accel, lsm, lprog, LEVELS, large_steps, nonlinear=True
+        )
+        _prog("tiled large (fb)")
+        large_fb_gps, _ = measure_tiled_large(
+            accel, lsm, lprog, LEVELS, large_steps, fb=True
+        )
+        roll_steps = max(10, STEPS // 32)
+        _prog("roll large (nonlinear)")
+        large_nl_roll_gps, _ = measure_tiled_large(
+            accel, lsm, lprog, LEVELS, roll_steps, nonlinear=True, roll=True
+        )
         # >= STEPS//2 so the ~25 ms fixed dispatch+readback latency of this
         # tunneled chip stays <2% of the measurement (at STEPS//16 it
         # inflated the per-step number ~1.5x)
         adj_steps = max(8, STEPS // 2)
+        _prog("fused adjoint")
         t_adj = measure_adjoint(accel, sm, prog, dt, adj_steps)
         adj_spstep = t_adj / adj_steps
+        sadj_steps = max(8, STEPS // 8)
+        _prog("sharded adjoint")
+        t_sadj = measure_sharded_adjoint(accel, sm, prog, dt, sadj_steps)
+        sadj_spstep = t_sadj / sadj_steps
+        _prog("fused nonlinear")
         t_nl = measure_pallas(accel, sm, prog, dt, STEPS, 1, nonlinear=True)
         nl_gps = n_gridpoints * STEPS / t_nl
         t_tr = measure_pallas_tracers(accel, mesh, sm, prog, dt, STEPS, 1)
         tr_gps = n_gridpoints * STEPS / t_tr
         t_st = measure_pallas_strat(accel, mesh, sm, prog, dt, STEPS, 1)
         st_gps = n_gridpoints * STEPS / t_st
+        _prog("superstep")
         t_ss = measure_superstep(accel, sm, prog, dt, STEPS, 1)
         ss_gps = n_gridpoints * STEPS / t_ss
     else:
         large_gps = large_spstep = adj_spstep = nl_gps = float("nan")
-        tr_gps = st_gps = ss_gps = float("nan")
+        tr_gps = st_gps = ss_gps = sadj_spstep = float("nan")
+        large_nl_gps = large_fb_gps = large_nl_roll_gps = float("nan")
+        large_nl_spstep = float("nan")
 
     # static halo-overlap profile of an 8-part decomposition of this mesh
     # (single real chip here; the sharded tests execute the same code on 8
@@ -496,6 +623,65 @@ def main():
     pstats = partition_stats(
         build_partition(mesh, 8), itemsize=4, n_vert_levels=LEVELS
     )
+
+    # ---- per-path roofline accounting (round-3 VERDICT item 4): measured
+    # time vs the chip's measured VPU/HBM peaks, with explicit traffic
+    # models so "X Gp/s" is attributable to a bound, not a mystery ----
+    from mpas_ocean_tpu.structured.pallas_model import _pick_row_tile
+
+    def tiled_model(ny2_, nx_, k_, t_step, q_=2, reach_=1):
+        """Traffic/compute model of the tiled path: per q-step superstep
+        the kernel reads centers (1x state) + halo blocks (2*reach*q/rt x)
+        and writes 1x; the XLA halo-block extraction reads the state
+        strided and writes the blocks (~2 more passes of the halo
+        fraction). Constant singleton planes are O(1/K) and ignored."""
+        rt_ = _pick_row_tile(ny2_, nx_, k_, 4, q_)
+        state_b = (2 * 1 + 2 * k_ + 6 * k_) * ny2_ * nx_ * 4
+        halo_frac = 2.0 * reach_ * q_ / rt_
+        bytes_step = state_b * (2.0 + 3.0 * halo_frac) / q_
+        fl = step_flop_count(ny2_, nx_, k_, len(sm.struct_mesh.coriolis_terms))
+        return {
+            "row_tile": rt_,
+            "mfu": fl / t_step / vpu_peak,
+            "hbm_gbps_modeled": bytes_step / t_step / 1e9,
+            "hbm_frac_modeled": bytes_step / t_step / hbm_peak,
+        }
+
+    from mpas_ocean_tpu.structured.pallas_model import step_flop_count
+
+    if accel.platform == "tpu":
+        tiled_roof = tiled_model(128, 256, LEVELS, large_spstep)
+        tiled_nl_roof = tiled_model(128, 256, LEVELS, large_nl_spstep,
+                                    q_=2, reach_=2)
+        ss_roof = tiled_model(NX // 2, NX, LEVELS, t_ss / STEPS)
+        # matrix/BSR path: operand bytes measured from the actual
+        # MatrixModel arrays; ~4 state passes for state/tendency temps.
+        # mfu_physics counts only the USEFUL physics flops (same fl_step
+        # as every other path), so paths are comparable; the MXU does more
+        # raw multiply-adds than that on the padded blocks.
+        from mpas_ocean_tpu.models.matrix_model import MatrixModel
+
+        mm = MatrixModel.from_mesh(mesh)
+        mat_bytes = sum(
+            np.prod(x.shape) * x.dtype.itemsize
+            for x in jax.tree.leaves(mm)
+            if hasattr(x, "shape")
+        )
+        t_mat_step = t_matrix / max(10, STEPS // 4)
+        mat_roof = {
+            "operand_bytes": int(mat_bytes),
+            "mfu_physics": fl_step / t_mat_step / vpu_peak,
+            "hbm_gbps_modeled": (mat_bytes + 4 * state_bytes)
+            / t_mat_step / 1e9,
+            "hbm_frac_modeled": (mat_bytes + 4 * state_bytes)
+            / t_mat_step / hbm_peak,
+        }
+    else:
+        tiled_roof = tiled_nl_roof = ss_roof = mat_roof = {}
+
+    # devices->efficiency on the virtual CPU mesh (round-3 VERDICT item 6)
+    _prog("virtual-8 scaling sweep")
+    scaling = measure_scaling_virtual()
 
     try:
         cpus = jax.devices("cpu")
@@ -538,8 +724,12 @@ def main():
                     "cpu_gridpoints_per_sec": cpu_value,
                     "large_mesh_tiled_gridpoints_per_sec": large_gps,
                     "large_mesh_tiled_seconds_per_step": large_spstep,
+                    "large_mesh_nonlinear_tiled_gridpoints_per_sec": large_nl_gps,
+                    "large_mesh_nonlinear_roll_gridpoints_per_sec": large_nl_roll_gps,
+                    "large_mesh_fb_tiled_gridpoints_per_sec": large_fb_gps,
                     "large_mesh_config": "256x256 hex, 100 levels (HBM-streaming tiled path)",
                     "adjoint_rollout_seconds_per_step": adj_spstep,
+                    "sharded_adjoint_seconds_per_step": sadj_spstep,
                     "nonlinear_fused_gridpoints_per_sec": nl_gps,
                     "tracer2_fused_gridpoints_per_sec": tr_gps,
                     "baroclinic_fused_gridpoints_per_sec": st_gps,
@@ -559,13 +749,20 @@ def main():
                         / (t_roll / STEPS)
                         / hbm_peak,
                         "flops_per_step": fl_step,
+                        "tiled_path": tiled_roof,
+                        "tiled_nonlinear_path": tiled_nl_roof,
+                        "superstep_path": ss_roof,
+                        "matrix_path": mat_roof,
                         "note": (
                             "peaks are MEASURED sustained rates on this "
                             "chip (streaming-FMA VMEM kernel; 128-pass HBM "
                             "sweep), not datasheet numbers; roll_hbm_* uses "
-                            "a rough 8-state-passes/step traffic model"
+                            "a rough 8-state-passes/step traffic model; "
+                            "*_path entries use the explicit traffic models "
+                            "in bench.tiled_model"
                         ),
                     },
+                    "scaling_virtual8": scaling,
                     "sharded_overlap": {
                         "overlappable_compute_frac": pstats[
                             "overlappable_compute_frac"

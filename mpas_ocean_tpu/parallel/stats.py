@@ -59,6 +59,14 @@ def partition_stats(part: PartitionedMesh, itemsize: int = 4,
     # is scheduled while they fly. overlappable_compute_frac = share of the
     # per-step element-updates that are independent of the exchange;
     # mini_redundancy_frac = extra work the early boundary pass re-does.
+    # SCALING NOTE: the mini mesh is a fixed-width (~2-ring) band around
+    # each part's boundary, so redundancy scales as perimeter/area —
+    # O(1/sqrt(cells_per_part)) for compact 2-D parts. The ~67% measured
+    # on 64^2/8 parts (512 cells/part) drops to a few percent at
+    # production part sizes (>=10^5 cells/part); but on DEGENERATE
+    # partitions (depth-1 row slabs, tiny parts) the band covers most of
+    # the part and overlap stops paying — check this fraction before
+    # trusting overlap=True on a new decomposition.
     overlap_stats = {}
     if overlap:
         from .overlap import build_boundary_mini

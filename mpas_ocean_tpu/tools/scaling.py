@@ -68,6 +68,8 @@ def measure_scaling(
     mode: str = "weak",
     device_counts=None,
     dtype=np.float32,
+    path: str = "run",
+    q: int = 4,
 ) -> list[dict]:
     """Sweep device counts; returns one record per count with throughput
     and efficiency. NOTE: wall-clock numbers are meaningful on real
@@ -103,7 +105,11 @@ def measure_scaling(
         local = ssm.scatter(st)
 
         def run():
-            out = ssm.run(local, dtype(30.0), steps)
+            if path == "pallas":
+                # communication-avoiding superstep (q steps per exchange)
+                out = ssm.run_pallas(local, dtype(30.0), steps, q=q)
+            else:
+                out = ssm.run(local, dtype(30.0), steps)
             return float(ssm.checksum(out))
 
         run()  # compile + warm
@@ -120,6 +126,7 @@ def measure_scaling(
         rec = {
             "devices": n,
             "mode": mode,
+            "path": path,
             "lattice": f"{nx}x{ny}x{levels}",
             "gridpoints": gridpoints,
             "gridpoints_per_sec": thr,
