@@ -402,7 +402,7 @@ def build_large(nx=256, k=None, dtype=np.float32):
 
 
 def measure_tiled_large(device, sm, prog, k, steps, reps: int = 1, *,
-                        q: int = 2, nonlinear: bool = False,
+                        q: int | None = None, nonlinear: bool = False,
                         fb: bool = False, roll: bool = False):
     """Production-scale config (256x256 cells x 100 levels) on the tiled
     Pallas path — the HBM-streaming regime deployment meshes run in (the
@@ -627,21 +627,28 @@ def main():
     # ---- per-path roofline accounting (round-3 VERDICT item 4): measured
     # time vs the chip's measured VPU/HBM peaks, with explicit traffic
     # models so "X Gp/s" is attributable to a bound, not a mystery ----
-    from mpas_ocean_tpu.structured.pallas_model import _pick_row_tile
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _pick_row_tile, auto_tile_plan,
+    )
 
-    def tiled_model(ny2_, nx_, k_, t_step, q_=2, reach_=1):
+    def tiled_model(ny2_, nx_, k_, t_step, q_=None, reach_=1,
+                    nonlinear_=False):
         """Traffic/compute model of the tiled path: per q-step superstep
         the kernel reads centers (1x state) + halo blocks (2*reach*q/rt x)
         and writes 1x; the XLA halo-block extraction reads the state
         strided and writes the blocks (~2 more passes of the halo
         fraction). Constant singleton planes are O(1/K) and ignored."""
-        rt_ = _pick_row_tile(ny2_, nx_, k_, 4, q_)
+        if q_ is None:
+            rt_, q_ = auto_tile_plan(ny2_, nx_, k_, 4, 0, reach_, nonlinear_)
+        else:
+            rt_ = _pick_row_tile(ny2_, nx_, k_, 4, q_, 0, reach_, nonlinear_)
         state_b = (2 * 1 + 2 * k_ + 6 * k_) * ny2_ * nx_ * 4
         halo_frac = 2.0 * reach_ * q_ / rt_
         bytes_step = state_b * (2.0 + 3.0 * halo_frac) / q_
         fl = step_flop_count(ny2_, nx_, k_, len(sm.struct_mesh.coriolis_terms))
         return {
             "row_tile": rt_,
+            "q": q_,
             "mfu": fl / t_step / vpu_peak,
             "hbm_gbps_modeled": bytes_step / t_step / 1e9,
             "hbm_frac_modeled": bytes_step / t_step / hbm_peak,
@@ -652,8 +659,8 @@ def main():
     if accel.platform == "tpu":
         tiled_roof = tiled_model(128, 256, LEVELS, large_spstep)
         tiled_nl_roof = tiled_model(128, 256, LEVELS, large_nl_spstep,
-                                    q_=2, reach_=2)
-        ss_roof = tiled_model(NX // 2, NX, LEVELS, t_ss / STEPS)
+                                    reach_=2, nonlinear_=True)
+        ss_roof = tiled_model(NX // 2, NX, LEVELS, t_ss / STEPS, q_=2)
         # matrix/BSR path: operand bytes measured from the actual
         # MatrixModel arrays; ~4 state passes for state/tendency temps.
         # mfu_physics counts only the USEFUL physics flops (same fl_step

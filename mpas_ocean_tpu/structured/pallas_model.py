@@ -832,12 +832,16 @@ def tile_cost_planes(n_tracers: int = 0, nonlinear: bool = False) -> int:
     """Plane-equivalent VMEM working set of one tiled-kernel window: ~80
     planes — 18 input + 10 output block planes double-buffered by the
     pipeline, plus ~24 planes of step temporaries; each tracer adds ~14
-    more (2 in + 2 out double-buffered + flux temporaries); the nonlinear
-    step carries ~40 extra planes of derived-field temporaries (KE, PV,
-    kite planes + the local recompute window). The SINGLE cost model shared
-    by _pick_row_tile and the sharded superstep's fit check — keep them
-    from drifting by always going through tile_window_fits."""
-    return (120 if nonlinear else 80) + 14 * n_tracers
+    more (2 in + 2 out double-buffered + flux temporaries). CALIBRATED on
+    v5e against Mosaic compile success on 256x256x100 f32 (round-4 sweep):
+    linear compiles at 8 window rows x 80 planes (84 MB) and fails at 12
+    (125 MB); nonlinear compiles at 8 rows and fails at 12, i.e. its live
+    set is ~70 planes — the derived-field temporaries (KE/PV/kite) largely
+    REUSE the linear step's flux/grad slots, they don't add to them. The
+    SINGLE cost model shared by _pick_row_tile and the sharded superstep's
+    fit check — keep them from drifting by always going through
+    tile_window_fits."""
+    return (70 if nonlinear else 80) + 14 * n_tracers
 
 
 def tile_window_fits(rt: int, q: int, nx: int, k: int, itemsize: int,
@@ -865,6 +869,26 @@ def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
                             nonlinear):
             return rt
     return 1
+
+
+def auto_tile_plan(ny2: int, nx: int, k: int, itemsize: int,
+                   n_tracers: int = 0, reach: int = 1,
+                   nonlinear: bool = False, n_steps: int = 0):
+    """(row_tile, q) for the tiled rollout: deepest temporal blocking whose
+    row tile stays at least as large as the halo it carries (a smaller
+    tile re-computes more halo rows than it advances interior rows —
+    measured slower than shallower blocking on every config swept)."""
+    q = 1
+    for cand in (4, 2):
+        if n_steps and n_steps % cand:
+            continue
+        rt_c = _pick_row_tile(ny2, nx, k, itemsize, cand, n_tracers, reach,
+                              nonlinear)
+        if rt_c >= 2 * reach * cand:
+            q = cand
+            break
+    return _pick_row_tile(ny2, nx, k, itemsize, q, n_tracers, reach,
+                          nonlinear), q
 
 
 def _make_tiled_step_call(
@@ -1118,7 +1142,13 @@ def pallas_tiled_run_loop(
     dtype = state.layer_thickness.dtype
     reach = 2 if (nonlinear or fb) else 1
     if q is None:
-        q = 1
+        if row_tile is None:
+            _, q = auto_tile_plan(ny2, nx, k, dtype.itemsize, n_tr, reach,
+                                  nonlinear, n_steps)
+        else:
+            q = max(1, row_tile // (2 * reach))
+            while n_steps % q:
+                q -= 1
     q = max(1, min(int(q), n_steps))
     while n_steps % q:
         q -= 1
@@ -1240,7 +1270,7 @@ def structured_auto_run_loop(
                                    tracer_upwind=tracer_upwind, strat=strat,
                                    fb=fb)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False,
-                                 q=2, tracer_kappa=tracer_kappa,
+                                 q=None, tracer_kappa=tracer_kappa,
                                  tracer_upwind=tracer_upwind, strat=strat,
                                  forcing=forcing, nonlinear=nonlinear,
                                  fb=fb)
