@@ -22,6 +22,33 @@ Mesh locality matters: the bandwidth of the block pattern (B = max distinct
 input blocks per output block-row) scales the matrix bytes. Generated hex
 meshes are row-major (B ~ 3-4); arbitrary NetCDF meshes should be RCM-
 reordered first (native/mesh_preprocess.cpp).
+
+PERFORMANCE BOUND (measured, v5e, round 4 — why this path is at its
+formulation's roofline and further "obvious" optimizations do not pay):
+
+- The per-step cost is dominated by the Coriolis/tangential matrix (~10
+  nnz/row): ~102 us/apply at K=100 on the 64x64 headline mesh — i.e. the
+  whole matrix step (~106 us) is essentially one corf apply.
+- It is NOT HBM-bound: storing the blocks in bf16 (bitwise-identical
+  results — XLA's default-precision f32 TPU matmul already rounds both
+  operands to bf16) halves the streamed bytes and changes the time by <1%.
+- It is NOT at MXU peak either: 1.57 GFLOP/apply at 102 us = ~15 TF/s
+  effective, far under the bf16 MXU peak — the bound is the batched
+  (nb*B, 128, 128)x(128, K) dot-general's per-matmul pipeline overhead.
+- Narrower blocks do not help: the band grows inversely (bs_c 128->16
+  moves bytes only 32->24 MB, measured times within 10%) because the
+  block-row width histogram is tight (interior rows uniformly use 5
+  blocks — there are no padded zero slots to skip).
+- A per-diagonal (block-Toeplitz) layout with rolled operands measures
+  1.7x SLOWER (streams near-empty diagonals), and a Pallas matvec with
+  VMEM-resident x + scalar-prefetched block columns measures 5x slower
+  (single-dot MXU utilization + per-grid-step operand refetch).
+
+The structural waste is within-block sparsity (~1.6% density), which no
+dense-block schedule can recover; recovering it needs value-level sparsity
+(row gathers), which TPUs execute at tens of GB/s — the very thing this
+module exists to avoid. Meshes with lattice structure should use
+structured/ (6x faster); this path is the general-mesh fallback.
 """
 
 from __future__ import annotations
