@@ -25,8 +25,58 @@ from .init import ModelSetup, ocn_init, ocn_init_alarms, plan_steps
 from .run_loop import ocn_run_loop, ocn_run_loop_with_outputs
 
 
+def _try_structured_model(mesh):
+    """StructuredModel when the mesh is a generator-ordered uniform hex
+    lattice, else None. HexLayout validates row-major ordering and exact
+    lattice geometry, so false positives cannot slip through (culled
+    channels / spheres / file meshes in other orders fall back)."""
+    try:
+        from ..structured import StructuredModel
+
+        dc = float(np.asarray(mesh.horz.edges.dc_edge)[0])
+        nx = int(round(mesh.horz.lx / dc))
+        if nx <= 0 or mesh.n_cells % nx:
+            return None
+        ny = mesh.n_cells // nx
+        if ny % 2 or nx * ny != mesh.n_cells:
+            return None
+        return StructuredModel(mesh, nx, ny)
+    except Exception:
+        return None
+
+
+def _structured_rollout(sm, prog, setup, dt, n_steps, dtype):
+    """One fast-path rollout chunk: fused/tiled Pallas for f32 on TPU
+    (structured_auto_run_loop), HBM-streaming roll stencils otherwise
+    (TPU Mosaic has no f64; CPU interpret adds nothing over roll)."""
+    from ..forward.time_integration import ForwardBackward, RungeKutta4
+    from ..structured.model import structured_run_loop
+    from ..structured.pallas_model import structured_auto_run_loop
+
+    st = sm.to_struct(prog)
+    sf = (None if setup.forcing is None
+          else sm.to_struct_forcing(setup.forcing))
+    fb = setup.integrator is ForwardBackward
+    rk4 = setup.integrator is RungeKutta4
+    kw = dict(nonlinear=setup.nonlinear, forcing=sf,
+              tracer_kappa=setup.tracer_kappa,
+              tracer_upwind=setup.tracer_upwind, strat=setup.strat)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype).itemsize <= 4
+        and not rk4
+    )
+    if use_pallas:
+        out = structured_auto_run_loop(st, sm.struct_mesh, dtype(dt),
+                                       n_steps, fb=fb, **kw)
+    else:
+        out = structured_run_loop(st, sm.struct_mesh, dtype(dt), n_steps,
+                                  rk4=rk4, fb=fb, **kw)
+    return sm.from_struct(out)
+
+
 def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
-            monitor: str | None = None):
+            monitor: str | None = None, path: str = "auto"):
     """Run the configured simulation; returns (setup, final prognostic state).
 
     ``use_config_dt=False`` keeps reference behavior (dt recomputed from mesh
@@ -35,6 +85,13 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
     ``monitor``: path of a JSON-lines file to receive in-run physics
     metrics (volume, kinetic energy, max |u|, ssh RMS — sampled on device,
     infra/monitor.py); health warnings are printed at the end.
+
+    ``path``: 'auto' routes uniform hex-lattice configs onto the
+    structured fast paths (fused/tiled Pallas on TPU f32, roll stencils
+    otherwise — the same physics at up to ~50x the gather loop; interval
+    outputs run as fast-path chunks); 'gather' forces the general-mesh
+    loop (also used automatically when a monitor series is requested or
+    the mesh is not a lattice).
     """
     print(f"Initializing with config: {config_fp}")
     setup, prog = ocn_init(config_fp, dtype=dtype)
@@ -60,6 +117,15 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
     want_interval_outputs = bool(
         output_every and n_steps % output_every == 0 and n_steps > output_every
     )
+    # fast-path routing: uniform hex lattices run the structured paths
+    # (the monitor series needs the gather loop's on-device sampling)
+    sm_fast = None
+    if path == "auto" and monitor is None:
+        sm_fast = _try_structured_model(mesh)
+        if sm_fast is not None:
+            print("path: structured fast path (lattice detected)")
+        else:
+            print("path: general-mesh gather loop")
     if monitor is not None:
         from ..infra.monitor import check_health, write_jsonl
         from .run_loop import ocn_run_loop_with_monitor
@@ -99,13 +165,26 @@ def ocn_run(config_fp, dtype=np.float64, use_config_dt: bool = False,
         print(f"monitor series written: {monitor}")
     elif want_interval_outputs:
         n_outputs = n_steps // output_every
-        prog, outputs = ocn_run_loop_with_outputs(
-            prog, mesh, dtype(dt), n_steps, n_outputs, setup.integrator,
-            nonlinear=setup.nonlinear, forcing=setup.forcing,
-            tracer_kappa=setup.tracer_kappa,
-            tracer_upwind=setup.tracer_upwind,
-            strat=setup.strat,
-        )
+        if sm_fast is not None:
+            import jax.numpy as jnp
+
+            snaps = []
+            for _ in range(n_outputs):
+                prog = _structured_rollout(
+                    sm_fast, prog, setup, dt, output_every, dtype
+                )
+                snaps.append(prog)
+            outputs = jax.tree.map(lambda *xs: jnp.stack(xs), *snaps)
+        else:
+            prog, outputs = ocn_run_loop_with_outputs(
+                prog, mesh, dtype(dt), n_steps, n_outputs, setup.integrator,
+                nonlinear=setup.nonlinear, forcing=setup.forcing,
+                tracer_kappa=setup.tracer_kappa,
+                tracer_upwind=setup.tracer_upwind,
+                strat=setup.strat,
+            )
+    elif sm_fast is not None:
+        prog = _structured_rollout(sm_fast, prog, setup, dt, n_steps, dtype)
     else:
         prog = ocn_run_loop(
             prog, mesh, dtype(dt), n_steps, setup.integrator,
@@ -205,16 +284,26 @@ def main(argv=None):
         else:
             monitor = argv[i + 1]
             del argv[i : i + 2]
+    path = "auto"
+    if "--path" in argv:
+        i = argv.index("--path")
+        if i + 1 >= len(argv) or argv[i + 1] not in ("auto", "gather"):
+            print("--path requires 'auto' or 'gather'")
+            argv = []
+        else:
+            path = argv[i + 1]
+            del argv[i : i + 2]
     if len(argv) != 1 or not os.path.isfile(argv[0]):
         print(
             "usage: python -m mpas_ocean_tpu.forward.driver "
-            "[--ad] [--monitor metrics.jsonl] <config.yml>"
+            "[--ad] [--monitor metrics.jsonl] [--path auto|gather] "
+            "<config.yml>"
         )
         return 1
     if with_ad:
         ocn_run_with_ad(argv[0])
     else:
-        ocn_run(argv[0], monitor=monitor)
+        ocn_run(argv[0], monitor=monitor, path=path)
     return 0
 
 

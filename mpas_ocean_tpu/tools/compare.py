@@ -96,29 +96,76 @@ def compare_output(path, case: str = "igw", lx: float = 10000.0, f0: float = 1e-
         "rmse_normalVelocity": rmse(u[:, 0], u_exact),
         "rms_ssh_exact": float(np.sqrt(np.mean(ssh_exact**2))),
     }
-    return result, (x_c, y_c, ssh, ssh_exact)
+    return result, (x_c, y_c, ssh, ssh_exact, coords)
+
+
+def _cell_patches(coords):
+    """Cell polygons from the output's mesh connectivity (verticesOnCell,
+    1-based 0-padded, the MPAS file convention) with vertices shifted to
+    the cell center's nearest periodic image so wrap-around cells draw as
+    compact polygons. Returns a list of (n_i, 2) arrays, or None when the
+    file lacks vertex data (e.g. a bare MPAS-Fortran output without its
+    mesh file)."""
+    for k in ("xVertex", "yVertex", "verticesOnCell", "nEdgesOnCell",
+              "xCell", "yCell"):
+        if k not in coords:
+            return None
+    xv = np.asarray(coords["xVertex"], dtype=np.float64)
+    yv = np.asarray(coords["yVertex"], dtype=np.float64)
+    voc = np.asarray(coords["verticesOnCell"], dtype=np.int64)
+    nec = np.asarray(coords["nEdgesOnCell"], dtype=np.int64)
+    xc = np.asarray(coords["xCell"], dtype=np.float64)
+    yc = np.asarray(coords["yCell"], dtype=np.float64)
+    # periodic extents estimated from the vertex cloud (plot-only)
+    lx = xv.max() - xv.min() + np.diff(np.unique(np.round(xv, 6))).min()
+    ly = yv.max() - yv.min() + np.diff(np.unique(np.round(yv, 6))).min()
+    patches = []
+    for i in range(voc.shape[0]):
+        ids = voc[i, : nec[i]] - 1  # 1-based -> 0-based
+        ids = ids[ids >= 0]
+        px, py = xv[ids].copy(), yv[ids].copy()
+        if lx > 0:
+            px -= np.round((px - xc[i]) / lx) * lx
+        if ly > 0:
+            py -= np.round((py - yc[i]) / ly) * ly
+        patches.append(np.stack([px, py], axis=1))
+    return patches
 
 
 def plot_comparison(fields, out_path):
-    """Numeric / exact / difference scatter panels (standing in for the
-    reference's polaris plot_horiz_field panels, compare.py:132-167)."""
+    """Numeric / exact / difference panels rendered as TRUE cell patches
+    (the reference's polaris plot_horiz_field panels, compare.py:132-167),
+    falling back to scatter when the output carries no vertex
+    connectivity."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from matplotlib.collections import PolyCollection
 
-    x, y, ssh, ssh_exact = fields
+    x, y, ssh, ssh_exact = fields[:4]
+    coords = fields[4] if len(fields) > 4 else {}
+    patches = _cell_patches(coords)
     fig, axes = plt.subplots(1, 3, figsize=(15, 4), constrained_layout=True)
     for ax, data, title in zip(
         axes,
         (ssh, ssh_exact, ssh - ssh_exact),
         ("numerical ssh", "exact ssh", "difference"),
     ):
-        sc = ax.scatter(x / 1e3, y / 1e3, c=data, s=8, cmap="RdBu_r")
+        if patches is not None:
+            pc = PolyCollection(
+                [p / 1e3 for p in patches], array=np.asarray(data),
+                cmap="RdBu_r", edgecolors="none",
+            )
+            ax.add_collection(pc)
+            ax.autoscale_view()
+            fig.colorbar(pc, ax=ax)
+        else:
+            sc = ax.scatter(x / 1e3, y / 1e3, c=data, s=8, cmap="RdBu_r")
+            fig.colorbar(sc, ax=ax)
         ax.set_title(title)
         ax.set_xlabel("x [km]")
         ax.set_ylabel("y [km]")
-        fig.colorbar(sc, ax=ax)
     fig.savefig(out_path, dpi=120)
     return out_path
 

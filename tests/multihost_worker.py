@@ -79,6 +79,37 @@ def main():
     )
     rel = abs(chk - want) / max(1.0, abs(want))
     assert rel < 1e-12, f"checksum mismatch: {chk} vs {want} (rel {rel})"
+
+    # communication-avoiding superstep across BOTH processes: the 2q-halo
+    # ppermutes cross the dcn boundary (gloo on CPU), the per-device
+    # compute runs the fused tile kernel (interpret mode here)
+    out2 = ssm.run_pallas(ssm.scatter(st), 10.0, 4, q=2)
+    chk2 = float(ssm.checksum(out2))
+    ref2 = structured_run_loop(st, sm.struct_mesh, 10.0, 4)
+    want2 = float(
+        jnp.sum(ref2.ssh) + jnp.sum(ref2.layer_thickness)
+        + jnp.sum(ref2.normal_velocity)
+    )
+    rel2 = abs(chk2 - want2) / max(1.0, abs(want2))
+    assert rel2 < 1e-12, f"superstep mismatch: {chk2} vs {want2} ({rel2})"
+
+    # differentiable multi-process objective: replicated value + gradient
+    # checksum against the single-process global rollout
+    local = ssm.scatter(st)
+    oval = float(ssm.objective(local, 10.0, 3))
+    oref = float(jnp.sum(structured_run_loop(st, sm.struct_mesh, 10.0, 3).ssh ** 2))
+    assert abs(oval - oref) / max(1.0, abs(oref)) < 1e-12, (oval, oref)
+    g = jax.grad(lambda l: ssm.objective(l, 10.0, 3))(local)
+    gsum = float(
+        jax.jit(lambda t: sum(jnp.sum(x) for x in jax.tree.leaves(t)))(g)
+    )
+    gref_tree = jax.grad(
+        lambda s: jnp.sum(
+            structured_run_loop(s, sm.struct_mesh, 10.0, 3).ssh ** 2
+        )
+    )(st)
+    gref = float(sum(jnp.sum(x) for x in jax.tree.leaves(gref_tree)))
+    assert abs(gsum - gref) / max(1.0, abs(gref)) < 1e-10, (gsum, gref)
     print(f"MULTIHOST_OK pid={pid} chk={chk!r}")
 
 

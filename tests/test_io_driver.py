@@ -385,3 +385,59 @@ def test_driver_nonlinear_config(tmp_path):
         np.abs(np.asarray(prog_nl.normal_velocity - prog_lin.normal_velocity)).max()
         > 0
     )
+
+
+def test_compare_plot_renders_cell_patches(igw_case, tmp_path):
+    """plot_comparison must render TRUE cell polygons from the output's own
+    verticesOnCell/xVertex connectivity (the reference's polaris
+    plot_horiz_field panels, reference: src/compare.py:132-167), not a
+    scatter approximation; scatter remains the fallback when vertex data
+    is absent."""
+    d, cfg = igw_case
+    setup, prog = ocn_run(cfg)
+    out_fp = os.path.join(d, "output.nc")
+    from mpas_ocean_tpu.tools.compare import (
+        _cell_patches, compare_output, plot_comparison,
+    )
+
+    result, fields = compare_output(out_fp, "igw", lx=16 * 200.0)
+    coords = fields[4]
+    patches = _cell_patches(coords)
+    assert patches is not None and len(patches) == 16 * 16
+    # hexagon patches: 6 vertices each, compact (no periodic smearing)
+    dc = 200.0e3
+    for p in patches[:: 37]:
+        assert p.shape == (6, 2)
+        assert (p[:, 0].max() - p[:, 0].min()) < 2 * dc
+        assert (p[:, 1].max() - p[:, 1].min()) < 2 * dc
+    png = tmp_path / "cmp.png"
+    plot_comparison(fields, str(png))
+    assert png.exists() and png.stat().st_size > 0
+    # scatter fallback still works without vertex data
+    bare = {k: v for k, v in coords.variables.items() if "Vertex" not in k}
+    assert _cell_patches(bare) is None
+    png2 = tmp_path / "cmp2.png"
+    plot_comparison(fields[:4] + (bare,), str(png2))
+    assert png2.exists()
+
+
+def test_driver_fast_path_routing(igw_case, capsys):
+    """The CLI driver auto-routes lattice configs onto the structured fast
+    path (reference: its driver hardcodes one backend and one loop,
+    src/driver/mpas_ocean.jl:28); results match the gather loop at f64
+    roundoff and --path gather forces the general loop."""
+    d, cfg = igw_case
+    setup_f, prog_f = ocn_run(cfg)
+    out = capsys.readouterr().out
+    assert "structured fast path (lattice detected)" in out
+    setup_g, prog_g = ocn_run(cfg, path="gather")
+    out = capsys.readouterr().out
+    assert "structured fast path" not in out
+    np.testing.assert_allclose(
+        np.asarray(prog_f.ssh), np.asarray(prog_g.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(prog_f.normal_velocity),
+        np.asarray(prog_g.normal_velocity),
+        rtol=0, atol=1e-12,
+    )
