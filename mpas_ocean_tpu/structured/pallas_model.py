@@ -506,6 +506,34 @@ def _scal(mesh: StructMesh, dt, dtype, forcing=None):
     ).reshape(1, 9)
 
 
+def _tiled_scal(mesh: StructMesh, dt, dtype, forcing=None,
+                nonlinear: bool = False):
+    """Runtime (1, 8) scalar vector for the tiled kernels: [dt, 1/dc,
+    dv/A, drag_linear, drag_quadratic, rayleigh, ke_scale, curl_scale].
+    jnp-computed, deliberately: dt AND the mesh metric scalars are
+    differentiated inputs of pallas_rollout_diff, so under grad/jit they
+    arrive as tracers and cannot be baked into the compiled kernel."""
+    z = jnp.zeros((), dtype)
+    dc = jnp.asarray(mesh.dc, dtype)
+    dv = jnp.asarray(mesh.dv, dtype)
+    area = jnp.asarray(mesh.area_cell, dtype)
+    if forcing is None:
+        fs = [z, z, z]
+    else:
+        fs = [
+            jnp.asarray(forcing.drag_linear, dtype),
+            jnp.asarray(forcing.drag_quadratic, dtype),
+            jnp.asarray(forcing.rayleigh, dtype),
+        ]
+    if nonlinear:
+        nl = [0.25 * dc * dv / area, dc / (area * 0.5)]
+    else:
+        nl = [z, z]
+    return jnp.stack(
+        [jnp.asarray(dt, dtype), 1.0 / dc, dv / area, *fs, *nl]
+    ).reshape(1, 8)
+
+
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
@@ -701,9 +729,9 @@ def pallas_run_loop(
 
 
 def _tiled_step_kernel(
-    ssh_ref, h_ref, u_ref, f_ref, rts_ref,
+    scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
-    terms, rows, consts, masked, q, n_tracers=0, tropts=(0.0, 1.0),
+    terms, rows, masked, q, n_tracers=0, tropts=(0.0, 1.0),
     cell_masked=False, stratified=False, forced=False, nl_terms=None,
     fb=False,
 ):
@@ -765,24 +793,23 @@ def _tiled_step_kernel(
         ssh_out, h_out, u_out = rest
         t_out = None
 
-    # scalars are compile-time constants: an SMEM scalar input would need a
-    # rank-2 index map under the tile grid, which Mosaic fails to legalize
-    # ("func.return (i64, i64)"). Bind them to the field dtype so scalar
-    # arithmetic rounds identically to the roll/slab paths (python-float
-    # scalars would otherwise carry f64 precision through one extra product).
-    dtype = h_ref.dtype
-    dt = jnp.asarray(consts[0], dtype)
-    inv_dc = jnp.asarray(consts[1], dtype)
-    s_div = jnp.asarray(consts[2], dtype)
-    i = 3
+    # ALL scalars ride a RUNTIME (1, 8) VMEM operand (_tiled_scal layout:
+    # dt, 1/dc, dv/A, drag_lin, drag_quad, rayleigh, ke_scale, curl_scale).
+    # They cannot be compile-time constants: dt AND the mesh metrics are
+    # differentiated inputs of pallas_rollout_diff, so they arrive as
+    # tracers under grad/jit. (An SMEM scalar operand would need a rank-2
+    # index map under the tile grid, which Mosaic fails to legalize —
+    # hence VMEM.)
+    dt = scal_ref[0, 0]
+    inv_dc = scal_ref[0, 1]
+    s_div = scal_ref[0, 2]
     if forced:
-        dlin = jnp.asarray(consts[i], dtype)
-        dquad = jnp.asarray(consts[i + 1], dtype)
-        rayl = jnp.asarray(consts[i + 2], dtype)
-        i += 3
+        dlin = scal_ref[0, 3]
+        dquad = scal_ref[0, 4]
+        rayl = scal_ref[0, 5]
     if nl_terms is not None:
-        ke_scale = jnp.asarray(consts[i], dtype)
-        curl_scale = jnp.asarray(consts[i + 1], dtype)
+        ke_scale = scal_ref[0, 6]
+        curl_scale = scal_ref[0, 7]
         vc_terms, ev_terms = nl_terms
 
     ssh = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
@@ -892,7 +919,7 @@ def auto_tile_plan(ny2: int, nx: int, k: int, itemsize: int,
 
 
 def _make_tiled_step_call(
-    n_rows: int, nx: int, k: int, dtype, *, terms, rt: int, q: int, consts,
+    n_rows: int, nx: int, k: int, dtype, *, terms, rt: int, q: int,
     tropts=(0.0, 1.0), masked=False, forced=False, n_tracers=0,
     cell_masked=False, strat_shape=None, interpret=False, nl_terms=None,
     fb=False,
@@ -924,7 +951,7 @@ def _make_tiled_step_call(
     hq = reach * q
     n_tiles = n_rows // rt
     kernel = functools.partial(
-        _tiled_step_kernel, terms=terms, rows=rt, consts=consts,
+        _tiled_step_kernel, terms=terms, rows=rt,
         masked=masked, q=q, n_tracers=n_tracers, tropts=tropts,
         cell_masked=cell_masked, stratified=stratified, forced=forced,
         nl_terms=nl_terms, fb=fb,
@@ -961,13 +988,16 @@ def _make_tiled_step_call(
         center_spec(6, rt, k),
     ]
     in_specs = [
+        # runtime scalar vector (_tiled_scal), same block for every tile
+        pl.BlockSpec((1, 8), lambda t: (t * 0, t * 0),
+                     memory_space=pltpu.VMEM),
         center_spec(2, rt, 1),   # ssh
         center_spec(2, rt, k),   # h
         center_spec(6, rt, k),   # u
         center_spec(6, rt, 1),   # f
         center_spec(2, rt, 1),   # rts
     ] + group() + group()        # top halos, bottom halos
-    aliases = {0: 0, 1: 1, 2: 2}
+    aliases = {1: 0, 2: 1, 3: 2}
     if masked:
         in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
     if nonlinear:
@@ -1016,14 +1046,14 @@ def _make_tiled_step_call(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "terms", "row_tile", "n_steps", "interpret", "consts", "q", "tropts",
+        "terms", "row_tile", "n_steps", "interpret", "q", "tropts",
         "nl_terms", "fb",
     ),
 )
 def _pallas_tiled_rollout(
-    ssh, h, u, f_edge, rts, mask=None, tracers=None, cmask=None,
+    scal_t, ssh, h, u, f_edge, rts, mask=None, tracers=None, cmask=None,
     strat_w=None, fwind=None, fidx=None, f_vert=None, *,
-    terms, row_tile, n_steps, interpret, consts, q=1, tropts=(0.0, 1.0),
+    terms, row_tile, n_steps, interpret, q=1, tropts=(0.0, 1.0),
     nl_terms=None, fb=False,
 ):
     masked = mask is not None
@@ -1038,7 +1068,7 @@ def _pallas_tiled_rollout(
     rt = row_tile
     n_tiles = ny2 // rt
     step_call = _make_tiled_step_call(
-        ny2, nx, k, h.dtype, terms=terms, rt=rt, q=q, consts=consts,
+        ny2, nx, k, h.dtype, terms=terms, rt=rt, q=q,
         tropts=tropts, masked=masked, forced=forced, n_tracers=n_tracers,
         cell_masked=cell_masked,
         strat_shape=None if strat_w is None else strat_w.shape,
@@ -1095,7 +1125,7 @@ def _pallas_tiled_rollout(
         h_t, h_b = halos(h_c)
         u_t, u_b = halos(u_c)
         args = (
-            ssh_c, h_c, u_c, f_edge, rts,
+            scal_t, ssh_c, h_c, u_c, f_edge, rts,
             ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
         )
         if masked:
@@ -1176,48 +1206,13 @@ def pallas_tiled_run_loop(
         state, mesh, dtype, tracer_kappa, tracer_upwind
     )
     cmask = None if cmask is None else cmask.reshape(2, ny2, nx, 1)
-    # round the constants in the field dtype (so e.g. 1/dc is the f32
-    # quotient, not the f32 cast of the f64 quotient)
-    npdt = np.dtype(dtype)
-    consts = (
-        float(np.asarray(dt).astype(npdt)),
-        float(
-            (np.ones((), npdt) / np.asarray(mesh.dc).astype(npdt)).astype(npdt)
-        ),
-        float(
-            (
-                np.asarray(mesh.dv).astype(npdt)
-                / np.asarray(mesh.area_cell).astype(npdt)
-            ).astype(npdt)
-        ),
-    )
     fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
-    if forcing is not None:
-        # forcing coefficients are compile-time constants in the tiled
-        # kernel (the SMEM-scalar route does not legalize under the tile
-        # grid — see the consts note in _tiled_step_kernel)
-        consts += (
-            float(np.asarray(forcing.drag_linear).astype(npdt)),
-            float(np.asarray(forcing.drag_quadratic).astype(npdt)),
-            float(np.asarray(forcing.rayleigh).astype(npdt)),
-        )
-    if nonlinear:
-        # the nonlinear metric scalars, rounded like the other consts
-        consts += (
-            float(
-                (0.25 * np.asarray(mesh.dc) * np.asarray(mesh.dv)
-                 / np.asarray(mesh.area_cell)).astype(npdt)
-            ),
-            float(
-                (np.asarray(mesh.dc)
-                 / (np.asarray(mesh.area_cell) * 0.5)).astype(npdt)
-            ),
-        )
     out = _pallas_tiled_rollout(
+        _tiled_scal(mesh, dt, dtype, forcing, nonlinear),
         ssh, h, u, f_edge, rts, mask, tr, cmask, _strat_w(strat, dtype),
         fwind, fidx, f_vert,
         terms=mesh.coriolis_terms, row_tile=int(row_tile),
-        n_steps=n_steps, interpret=bool(interpret), consts=consts, q=int(q),
+        n_steps=n_steps, interpret=bool(interpret), q=int(q),
         tropts=tropts, nl_terms=nl_terms, fb=fb,
     )
     ssh_f, h_f, u_f = out[:3]

@@ -780,11 +780,57 @@ class ShardedStructuredModel:
         if strat is not None:
             w = np.asarray(strat.phi_weights)
             lstrat = self._put(np.broadcast_to(w, (self.n_parts,) + w.shape))
+        # a dict is an ALREADY-SCATTERED forcing slab set (scatter_forcing)
+        # — passed through untouched so it can be a differentiated input
+        forcel = (
+            forcing if isinstance(forcing, dict)
+            else self.scatter_forcing(forcing)
+        )
         return (
             self._f_local, self._rts_local, self._mask_local,
             self._fv_local if nonlinear else None,
-            self.scatter_forcing(forcing),
+            forcel,
             self._cmask_local if "t" in local else None, lstrat,
+        )
+
+    def gather_forcing_grad(self, d_forcel, struct_forcing):
+        """Slab-layout forcing cotangent (jax.grad of `objective` w.r.t. a
+        pre-scattered `scatter_forcing` dict) -> struct-layout Forcing
+        cotangent matching ``struct_forcing``'s leaves. Interior rows
+        reassemble the wind and level-mask planes (halo rows carry zero
+        cotangent because the objective rebuilds forcing halos from the
+        interior); the per-device scalar cotangents sum. This is the
+        multi-chip wind-stress/drag sensitivity — the production adjoint
+        the single-chip fused path provides via pallas_rollout_diff."""
+        ny2, nx = self.smesh.ny2, self.smesh.nx
+
+        def unslab(x):
+            x = np.asarray(x)[:, :, 1:-1]
+            return np.concatenate(list(x), axis=1)
+
+        wind = unslab(d_forcel["wind"])[..., 0]
+        top = unslab(d_forcel["top"])
+        bot = unslab(d_forcel["bot"])
+        f = struct_forcing
+        return f.replace(
+            wind_edge=jnp.asarray(
+                wind.reshape(f.wind_edge.shape), f.wind_edge.dtype
+            ),
+            top_mask=jnp.asarray(
+                top.reshape(f.top_mask.shape), f.top_mask.dtype
+            ),
+            bottom_mask=jnp.asarray(
+                bot.reshape(f.bottom_mask.shape), f.bottom_mask.dtype
+            ),
+            drag_linear=jnp.asarray(
+                np.asarray(d_forcel["dlin"]).sum(), f.drag_linear.dtype
+            ),
+            drag_quadratic=jnp.asarray(
+                np.asarray(d_forcel["dquad"]).sum(), f.drag_quadratic.dtype
+            ),
+            rayleigh=jnp.asarray(
+                np.asarray(d_forcel["rayl"]).sum(), f.rayleigh.dtype
+            ),
         )
 
     def run(self, local, dt, n_steps: int, nonlinear: bool = False,
@@ -857,6 +903,19 @@ class ShardedStructuredModel:
             rts = tuple(rts_loc[p] for p in range(2))
             if forcel is not None:
                 fl = sq(forcel)
+                if objective:
+                    # rebuild the forcing slabs' halo rows from their
+                    # interior (like the state below), so a gradient taken
+                    # w.r.t. the forcing slab dict lands entirely on
+                    # interior rows and gather_forcing_grad reassembles
+                    # the exact global Forcing cotangent
+                    fl = {
+                        k: (
+                            _with_halo(v[:, 1:-1], axis, n_parts)
+                            if v.ndim >= 3 else v
+                        )
+                        for k, v in fl.items()
+                    }
                 forc = (
                     tuple(fl["wind"][c].astype(dtype) for c in range(6)),
                     tuple(fl["top"][c].astype(dtype) for c in range(6)),
@@ -1211,16 +1270,15 @@ class ShardedStructuredModel:
         f_q, rts_q, mask_q = cs["f"], cs["rts"], cs["mask"]
         fv_q = cs["fv"] if nonlinear else None
         cmask_q = cs["cmask"] if n_tr else None
-        # scalars are compile-time kernel constants, rounded in the field
-        # dtype (same rounding as pallas_tiled_run_loop)
-        consts = (
-            float(np.asarray(dt).astype(npdt)),
-            float((np.ones((), npdt)
-                   / np.asarray(self.smesh.dc).astype(npdt)).astype(npdt)),
-            float((np.asarray(self.smesh.dv).astype(npdt)
-                   / np.asarray(self.smesh.area_cell).astype(npdt)
-                   ).astype(npdt)),
-        )
+        # ALL step scalars ride a runtime replicated (P, 1, 8) operand
+        # (pallas_model._tiled_scal layout) so any of them may be traced
+        scal_np = np.zeros((1, 8), npdt)
+        scal_np[0, 0] = np.asarray(dt).astype(npdt)
+        scal_np[0, 1] = np.ones((), npdt) / np.asarray(
+            self.smesh.dc
+        ).astype(npdt)
+        scal_np[0, 2] = (np.asarray(self.smesh.dv).astype(npdt)
+                         / np.asarray(self.smesh.area_cell).astype(npdt))
         force_q = None
         if forcing is not None:
             fcache = getattr(self, "_force_slab_cache", None)
@@ -1236,20 +1294,16 @@ class ShardedStructuredModel:
                     "fidx": self._put(self._slab(np.asarray(fidx), halo=hq)),
                 }
                 fcache[fkey] = force_q
-            consts += (
-                float(np.asarray(forcing.drag_linear).astype(npdt)),
-                float(np.asarray(forcing.drag_quadratic).astype(npdt)),
-                float(np.asarray(forcing.rayleigh).astype(npdt)),
-            )
+            scal_np[0, 3] = np.asarray(forcing.drag_linear).astype(npdt)
+            scal_np[0, 4] = np.asarray(forcing.drag_quadratic).astype(npdt)
+            scal_np[0, 5] = np.asarray(forcing.rayleigh).astype(npdt)
         nl_terms = None
         if nonlinear:
             sm = self.smesh
-            consts += (
-                float((0.25 * np.asarray(sm.dc) * np.asarray(sm.dv)
-                       / np.asarray(sm.area_cell)).astype(npdt)),
-                float((np.asarray(sm.dc)
-                       / (np.asarray(sm.area_cell) * 0.5)).astype(npdt)),
-            )
+            scal_np[0, 6] = (0.25 * np.asarray(sm.dc) * np.asarray(sm.dv)
+                             / np.asarray(sm.area_cell)).astype(npdt)
+            scal_np[0, 7] = (np.asarray(sm.dc)
+                             / (np.asarray(sm.area_cell) * 0.5)).astype(npdt)
             nl_terms = (sm.vertex_cell_terms, sm.edge_vertex_terms)
         strat_q = None
         if strat is not None:
@@ -1259,19 +1313,22 @@ class ShardedStructuredModel:
             float(np.asarray(tracer_kappa).astype(npdt)),
             float(np.asarray(tracer_upwind).astype(npdt)),
         )
+        scal_t = self._put(
+            np.broadcast_to(scal_np[None], (self.n_parts, 1, 8)).copy()
+        )
         return self._run_pallas_jit(
             local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q, fv_q,
-            n_steps, int(q), int(rt), consts, tropts, bool(interpret),
+            scal_t, n_steps, int(q), int(rt), tropts, bool(interpret),
             nl_terms, bool(fb), bool(_objective),
         )
 
     @partial(
-        jax.jit, static_argnames=("self", "n_steps", "q", "rt", "consts",
+        jax.jit, static_argnames=("self", "n_steps", "q", "rt",
                                   "tropts", "interpret", "nl_terms", "fb",
                                   "objective")
     )
     def _run_pallas_jit(self, local, f_q, rts_q, mask_q, force_q, cmask_q,
-                        strat_q, fv_q, n_steps, q, rt, consts, tropts,
+                        strat_q, fv_q, scal_t, n_steps, q, rt, tropts,
                         interpret, nl_terms=None, fb=False, objective=False):
         from .pallas_model import _make_tiled_step_call
 
@@ -1292,7 +1349,7 @@ class ShardedStructuredModel:
         T = R // rt
 
         step_call = _make_tiled_step_call(
-            R, nx, k, dtype, terms=terms, rt=rt, q=q, consts=consts,
+            R, nx, k, dtype, terms=terms, rt=rt, q=q,
             tropts=tropts, masked=masked, forced=forced, n_tracers=n_tr,
             cell_masked=cell_masked,
             strat_shape=None if strat_q is None else strat_q.shape[1:],
@@ -1302,9 +1359,10 @@ class ShardedStructuredModel:
         up = [(i, (i - 1) % n_parts) for i in range(n_parts)]
 
         def device_fn(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q,
-                      fv_q):
+                      fv_q, scal_t):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)
             local = sq(local)
+            scall = sq(scal_t).astype(dtype)  # (1, 8) runtime scalars
 
             def tile_halos(x):
                 """Halo-extended local planes (planes, R+2hq, nx, tr) ->
@@ -1347,6 +1405,7 @@ class ShardedStructuredModel:
                 f_c_, f_t_, f_b_ = split(cb["f"])
                 r_c_, r_t_, r_b_ = split(cb["rts"])
                 args = (
+                    cb["scal"],
                     ctr(exts["ssh"]), ctr(exts["h"]), ctr(exts["u"]),
                     f_c_, r_c_,
                     ssh_t, h_t, u_t, f_t_, r_t_,
@@ -1371,7 +1430,7 @@ class ShardedStructuredModel:
                     new["t"] = out[3]
                 return new
 
-            cbundle = {"f": sq(f_q), "rts": sq(rts_q)}
+            cbundle = {"f": sq(f_q), "rts": sq(rts_q), "scal": scall}
             if masked:
                 cbundle["mask"] = sq(mask_q)
             if nonlinear:
@@ -1390,33 +1449,22 @@ class ShardedStructuredModel:
                 # slab (no tiling — identical values by 1-ring locality):
                 # the custom-VJP backward reverses THIS, so the gradient is
                 # exact for the same math the kernel runs
-                # NUMPY scalars, deliberately: jnp.asarray here would bind
-                # under the active jit trace and produce tracers, which the
-                # custom-VJP backward closure must not capture (its python
-                # callable is retraced at transpose time, outside this
-                # trace — a captured tracer then leaks into that jaxpr as
-                # an unloadable constant). np scalars in the field dtype
-                # are concrete and round identically.
-                dt_s = np.asarray(consts[0], dtype)
-                inv_dc = np.asarray(consts[1], dtype)
-                s_div = np.asarray(consts[2], dtype)
-                ci = 3
-                if forced:
-                    dlin, dquad, rayl = (
-                        np.asarray(consts[ci], dtype),
-                        np.asarray(consts[ci + 1], dtype),
-                        np.asarray(consts[ci + 2], dtype),
-                    )
-                    ci += 3
+                # the runtime scalars ride the cb bundle as EXPLICIT
+                # custom-VJP inputs — a closure-captured tracer would leak
+                # into the transpose-time jaxpr as an unloadable constant
                 if nonlinear:
-                    ke_s = np.asarray(consts[ci], dtype)
-                    curl_s = np.asarray(consts[ci + 1], dtype)
                     vc_terms, ev_terms = nl_terms
                 terms_ = terms
                 reach_ = 2 if (nonlinear or fb) else 1
 
                 def compute_ref(cb, exts):
                     full = R + 2 * hq
+                    sc = cb["scal"]
+                    dt_s, inv_dc, s_div = sc[0, 0], sc[0, 1], sc[0, 2]
+                    if forced:
+                        dlin, dquad, rayl = sc[0, 3], sc[0, 4], sc[0, 5]
+                    if nonlinear:
+                        ke_s, curl_s = sc[0, 6], sc[0, 7]
                     ssh = tuple(exts["ssh"][p] for p in range(2))
                     h = tuple(exts["h"][p] for p in range(2))
                     u = tuple(exts["u"][c] for c in range(6))
@@ -1518,12 +1566,13 @@ class ShardedStructuredModel:
             mesh=self.device_mesh,
             in_specs=(specs, pspec(f_q), pspec(rts_q), pspec(mask_q),
                       pspec(force_q), pspec(cmask_q), pspec(strat_q),
-                      pspec(fv_q)),
+                      pspec(fv_q), pspec(scal_t)),
             out_specs=P() if objective else specs,
             # the pallas_call's ShapeDtypeStruct outputs carry no
             # varying-mesh-axes annotation; skip the vma checker
             check_vma=False,
-        )(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q, fv_q)
+        )(local, f_q, rts_q, mask_q, force_q, cmask_q, strat_q, fv_q,
+          scal_t)
 
     def objective_pallas(self, local, dt, n_steps: int, *,
                          q: int | None = None, row_tile: int | None = None,

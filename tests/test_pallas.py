@@ -521,7 +521,7 @@ def test_pallas_tiled_nonlinear_rejects_fb_combo():
 
     with pytest.raises(NotImplementedError, match="reach"):
         _make_tiled_step_call(
-            4, 8, 2, np.float64, terms=(), rt=2, q=1, consts=(1.0, 1.0, 1.0),
+            4, 8, 2, np.float64, terms=(), rt=2, q=1,
             nl_terms=((), ()), fb=True,
         )
 

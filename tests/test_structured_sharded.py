@@ -490,3 +490,89 @@ def test_sharded_objective_pallas_grad_matches_global(setup, kw):
             np.asarray(getattr(gg, name)), np.asarray(getattr(gref, name)),
             rtol=0, atol=1e-11,
         )
+
+
+def test_sharded_objective_forcing_gradient():
+    """Wind-stress / drag sensitivity through the MULTI-CHIP objective: a
+    pre-scattered forcing slab dict is a differentiated input; the
+    gathered cotangent (gather_forcing_grad) matches the global rollout's
+    Forcing cotangent at f64 roundoff — wind plane, BOTH level masks, and
+    the three scalar coefficients (summed across devices)."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.models.forcing import make_forcing
+    from mpas_ocean_tpu.models.shallow_water import update_ssh
+
+    nx, Kl = 16, 2
+    dc = 1000.0
+    parent = planar_hex_mesh(nx, nx, dc, f0=1e-4)
+    y = np.asarray(parent.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(parent, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=Kl,
+        resting_thickness=np.full((chan.n_cells, Kl), 50.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, nx, parent_horz=parent, keep_cells=keep)
+    forcing = make_forcing(
+        mesh, wind_stress_zonal=0.1, bottom_drag_linear=1e-4,
+        bottom_drag_quadratic=2e-3, rayleigh=1e-5,
+    )
+    sf = sm.to_struct_forcing(forcing)
+    rng = np.random.default_rng(3)
+    h = np.full((chan.n_cells, Kl), 50.0) + 0.1 * rng.normal(
+        size=(chan.n_cells, Kl)
+    )
+    u = 0.01 * rng.normal(size=(chan.n_edges, Kl))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=update_ssh(jnp.asarray(h), mesh),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    smesh = sm.struct_mesh
+    n, dt = 6, 5.0
+
+    def gobj(f):
+        out = structured_run_loop(st, smesh, dt, n, forcing=f)
+        return jnp.sum(out.ssh ** 2)
+
+    gref = jax.grad(gobj)(sf)
+    oref = gobj(sf)
+    ssm = ShardedStructuredModel(smesh, devices=jax.devices()[:2])
+    local = ssm.scatter(st)
+    fl = ssm.scatter_forcing(sf)
+    o = ssm.objective(local, dt, n, forcing=fl)
+    np.testing.assert_allclose(float(o), float(oref), rtol=1e-12)
+    dfl = jax.grad(lambda f: ssm.objective(local, dt, n, forcing=f))(fl)
+    df = ssm.gather_forcing_grad(dfl, sf)
+    for nm in ("wind_edge", "top_mask", "bottom_mask"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(df, nm)), np.asarray(getattr(gref, nm)),
+            rtol=0, atol=1e-13,
+        )
+    for nm in ("drag_linear", "drag_quadratic", "rayleigh"):
+        np.testing.assert_allclose(
+            float(getattr(df, nm)), float(getattr(gref, nm)), rtol=1e-10
+        )
+
+
+def test_tiled_traced_dt(setup):
+    """dt is a RUNTIME operand of the tiled kernel (it arrives as a tracer
+    when pallas_rollout_diff is differentiated under jit, where it is a
+    custom-VJP differentiable input) — a traced-dt tiled rollout must
+    trace/run and match the concrete-dt one exactly."""
+    from mpas_ocean_tpu.structured.pallas_model import pallas_tiled_run_loop
+
+    sm, st = setup
+    smesh = sm.struct_mesh
+    ref = pallas_tiled_run_loop(st, smesh, 10.0, 4, row_tile=4,
+                                interpret=True, q=2)
+    out = jax.jit(
+        lambda t: pallas_tiled_run_loop(st, smesh, t, 4, row_tile=4,
+                                        interpret=True, q=2)
+    )(jnp.asarray(10.0))
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=1e-14)
