@@ -594,6 +594,10 @@ def main():
         _prog("fused adjoint")
         t_adj = measure_adjoint(accel, sm, prog, dt, adj_steps)
         adj_spstep = t_adj / adj_steps
+        _prog("large-mesh tiled adjoint")
+        ladj_steps = max(10, STEPS // 80)
+        t_ladj = measure_adjoint(accel, lsm, lprog, dt, ladj_steps)
+        ladj_spstep = t_ladj / ladj_steps
         sadj_steps = max(8, STEPS // 8)
         _prog("sharded adjoint")
         t_sadj = measure_sharded_adjoint(accel, sm, prog, dt, sadj_steps)
@@ -610,7 +614,7 @@ def main():
         ss_gps = n_gridpoints * STEPS / t_ss
     else:
         large_gps = large_spstep = adj_spstep = nl_gps = float("nan")
-        tr_gps = st_gps = ss_gps = sadj_spstep = float("nan")
+        tr_gps = st_gps = ss_gps = sadj_spstep = ladj_spstep = float("nan")
         large_nl_gps = large_fb_gps = large_nl_roll_gps = float("nan")
         large_nl_spstep = float("nan")
 
@@ -736,6 +740,7 @@ def main():
                     "large_mesh_fb_tiled_gridpoints_per_sec": large_fb_gps,
                     "large_mesh_config": "256x256 hex, 100 levels (HBM-streaming tiled path)",
                     "adjoint_rollout_seconds_per_step": adj_spstep,
+                    "large_mesh_adjoint_seconds_per_step": ladj_spstep,
                     "sharded_adjoint_seconds_per_step": sadj_spstep,
                     "nonlinear_fused_gridpoints_per_sec": nl_gps,
                     "tracer2_fused_gridpoints_per_sec": tr_gps,

@@ -1752,6 +1752,398 @@ def _forcing_cotangent(forcing, dwind, dcoef, ny2, nx):
     )
 
 
+# ---------------------------------------------------------------------------
+# Tiled Pallas adjoint: the reverse sweep of BEYOND-VMEM rollouts.
+#
+# pallas_rollout_diff's fallback reverse replays the HBM-bound roll model
+# (~18x the tiled forward on 256x256x100). This section reverses one
+# timestep per tile in a single Pallas kernel instead: the kernel pads the
+# tile's primal window (center + q halo rows, exactly like the forward
+# tiled kernel), traces jax.vjp of the SAME q-step window function
+# in-kernel, and emits the cotangent of the whole window — center block
+# plus halo blocks, which the caller overlap-ADDS back into the global
+# cotangent (the exact transpose of the forward halo extraction). Combined
+# with two-level checkpointing (outer ckpts in HBM, inner states rebuilt
+# with the forward tiled kernel), the reverse runs at a small multiple of
+# the tiled forward's HBM traffic. Linear dynamics (with wall masks); the
+# other subsystems keep the checkpointed-roll reverse.
+# ---------------------------------------------------------------------------
+
+
+def _tiled_adjoint_kernel(
+    scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
+    ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
+    terms, rows, masked, q,
+):
+    """Reverse q timesteps on one tile: primal window state at the
+    SUPERSTEP START (same operands as _tiled_step_kernel) + cotangent of
+    the new interior -> cotangent of the padded window (center + halos,
+    separate outputs) and the d(scal) contribution."""
+    from .sharded import _step_slab
+
+    if masked:
+        m_ref, m_t, m_b, *rest = rest
+    (gs_ref, gh_ref, gu_ref,
+     gs_c, gh_c, gu_c, gs_ht, gh_ht, gu_ht, gs_hb, gh_hb, gu_hb,
+     dscal_out) = rest
+
+    def pad(center, top, bot, c):
+        return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
+
+    ssh0 = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
+    h0 = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
+    u0 = tuple(pad(u_ref, u_t, u_b, c) for c in range(6))
+    f_full = tuple(pad(f_ref, f_t, f_b, c) for c in range(6))
+    rts_full = tuple(pad(rts_ref, rts_t, rts_b, p) for p in range(2))
+    if masked:
+        masks_full = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
+    full = rows + 2 * q
+
+    def win_fn(state, scal):
+        ssh, h, u = state
+        dt = scal[0, 0]
+        inv_dc = scal[0, 1]
+        s_div = scal[0, 2]
+        for j in range(q):
+            rows_j = rows + 2 * (q - 1 - j)
+            off = j
+            win = lambda t: tuple(x[off : full - off] for x in t)
+            ssh, h, u, _ = _step_slab(
+                ssh, h, u, win(f_full), win(rts_full),
+                dt, inv_dc, s_div, terms, rows_j,
+                win(masks_full) if masked else None,
+            )
+        return ssh, h, u
+
+    cot_end = (
+        tuple(gs_ref[p] for p in range(2)),
+        tuple(gh_ref[p] for p in range(2)),
+        tuple(gu_ref[c] for c in range(6)),
+    )
+    _, vjp = jax.vjp(win_fn, (ssh0, h0, u0), scal_ref[...])
+    (cssh, ch, cu), dscal = vjp(cot_end)
+    for p in range(2):
+        gs_ht[p] = cssh[p][:q]
+        gs_c[p] = cssh[p][q : q + rows]
+        gs_hb[p] = cssh[p][q + rows :]
+        gh_ht[p] = ch[p][:q]
+        gh_c[p] = ch[p][q : q + rows]
+        gh_hb[p] = ch[p][q + rows :]
+    for c in range(6):
+        gu_ht[c] = cu[c][:q]
+        gu_c[c] = cu[c][q : q + rows]
+        gu_hb[c] = cu[c][q + rows :]
+    # (1, 8, 128) lane-padded block: a (1, 8) output violates Mosaic's
+    # (8, 128)-divisible block rule
+    dscal_out[...] = jnp.broadcast_to(dscal.reshape(1, 8, 1), (1, 8, 128))
+
+
+def _make_tiled_adjoint_call(
+    n_rows: int, nx: int, k: int, dtype, *, terms, rt: int, q: int,
+    masked=False, interpret=False,
+):
+    """Build the per-tile reverse pallas_call. Operand order mirrors
+    _make_tiled_step_call's (scal; state centers; top halos; bottom halos;
+    mask triplet), then the end-cotangent center blocks. Outputs: cotangent
+    center blocks, top-halo blocks, bottom-halo blocks (for ssh/h/u) and
+    the per-tile d(scal)."""
+    n_tiles = n_rows // rt
+    kernel = functools.partial(
+        _tiled_adjoint_kernel, terms=terms, rows=rt, masked=masked, q=q,
+    )
+
+    def center_spec(planes, r, tr):
+        return pl.BlockSpec(
+            (planes, r, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def halo_spec(planes, tr):
+        return pl.BlockSpec(
+            (planes, q, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def group():
+        return [
+            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
+            halo_spec(6, 1), halo_spec(2, 1),
+        ]
+
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda t: (t * 0, t * 0),
+                     memory_space=pltpu.VMEM),
+        center_spec(2, rt, 1),
+        center_spec(2, rt, k),
+        center_spec(6, rt, k),
+        center_spec(6, rt, 1),
+        center_spec(2, rt, 1),
+    ] + group() + group()
+    if masked:
+        in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+    in_specs += [
+        center_spec(2, rt, 1),   # cot ssh (interior)
+        center_spec(2, rt, k),   # cot h
+        center_spec(6, rt, k),   # cot u
+    ]
+    sds = lambda planes, r, tr: jax.ShapeDtypeStruct(
+        (planes, r, nx, tr), dtype
+    )
+    out_shape = [
+        sds(2, n_rows, 1), sds(2, n_rows, k), sds(6, n_rows, k),
+        sds(2, n_tiles * q, 1), sds(2, n_tiles * q, k),
+        sds(6, n_tiles * q, k),
+        sds(2, n_tiles * q, 1), sds(2, n_tiles * q, k),
+        sds(6, n_tiles * q, k),
+        jax.ShapeDtypeStruct((n_tiles, 8, 128), dtype),
+    ]
+    out_specs = [
+        center_spec(2, rt, 1), center_spec(2, rt, k), center_spec(6, rt, k),
+        halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
+        halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
+        pl.BlockSpec((1, 8, 128), lambda t: (t, t * 0, t * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET
+        ),
+        interpret=interpret,
+    )
+
+
+def _halo_unscatter(cot_global, cot_top, cot_bot, rt: int, q: int):
+    """Transpose of the forward halo extraction: overlap-ADD the per-tile
+    halo-block cotangents back into the global cotangent plane stack.
+    Tile t's top halo rows are global rows (t*rt - q .. t*rt - 1) mod ny2,
+    bottom rows ((t+1)*rt .. (t+1)*rt + q - 1) mod ny2."""
+    planes, ny2 = cot_global.shape[0], cot_global.shape[1]
+    n_tiles = ny2 // rt
+
+    def add_rows(y, blocks, offsets):
+        stacked = blocks.reshape(planes, n_tiles, q, *blocks.shape[2:])
+        for j, off in enumerate(offsets):
+            o = off % rt
+            sh = ((off - o) // rt) % n_tiles
+            v = stacked[:, :, j]
+            if sh:
+                # forward did base = roll(x[:, o::rt], -sh); transpose:
+                # roll back before adding
+                v = jnp.concatenate([v[:, n_tiles - sh :],
+                                     v[:, : n_tiles - sh]], axis=1)
+            y = y.at[:, o::rt].add(v)
+        return y
+
+    cot_global = add_rows(cot_global, cot_top, range(-q, 0))
+    cot_global = add_rows(cot_global, cot_bot, range(rt, rt + q))
+    return cot_global
+
+
+def _pallas_tiled_adjoint(
+    scal_t, ssh0, h0, u0, f_edge, rts, cot0, mask=None, *,
+    terms, row_tile, n_steps, b, interpret, q=1,
+):
+    """Reverse an n-step tiled rollout: forward for the outer checkpoints,
+    then the reverse sweep. Convenience wrapper over _tiled_fwd_ckpts +
+    _tiled_adjoint_from_ckpts (pallas_rollout_diff saves the checkpoints
+    during its own forward instead). Returns (cot ssh/h/u at t=0, d_scal)."""
+    _, ckpts = _tiled_fwd_ckpts(
+        scal_t, ssh0, h0, u0, f_edge, rts, mask,
+        terms=terms, row_tile=row_tile, n_steps=n_steps, b=b,
+        interpret=interpret, q=q,
+    )
+    return _tiled_adjoint_from_ckpts(
+        scal_t, ckpts, f_edge, rts, cot0, mask,
+        terms=terms, row_tile=row_tile, n_steps=n_steps, b=b,
+        interpret=interpret, q=q,
+    )
+
+
+def _tiled_calls(ny2, nx, k, dtype, mask, *, terms, rt, q, interpret,
+                 adjoint):
+    fwd_call = _make_tiled_step_call(
+        ny2, nx, k, dtype, terms=terms, rt=rt, q=q,
+        masked=mask is not None, interpret=interpret,
+    )
+    adj_call = None
+    if adjoint:
+        adj_call = _make_tiled_adjoint_call(
+            ny2, nx, k, dtype, terms=terms, rt=rt, q=q,
+            masked=mask is not None, interpret=interpret,
+        )
+    return fwd_call, adj_call
+
+
+def _tile_halo_fns(rt, q, n_tiles):
+    def halos(x):
+        def rows_at(offsets):
+            cols = []
+            for off in offsets:
+                o = off % rt
+                sh = ((off - o) // rt) % n_tiles
+                base = x[:, o::rt]
+                if sh:
+                    base = jnp.concatenate(
+                        [base[:, sh:], base[:, :sh]], axis=1
+                    )
+                cols.append(base)
+            stacked = jnp.stack(cols, axis=2)
+            return stacked.reshape(
+                x.shape[0], n_tiles * len(offsets), *x.shape[2:]
+            )
+
+        return rows_at(range(-q, 0)), rows_at(range(rt, rt + q))
+
+    return halos
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("terms", "row_tile", "n_steps", "b", "interpret", "q"),
+)
+def _tiled_fwd_ckpts(
+    scal_t, ssh0, h0, u0, f_edge, rts, mask=None, *,
+    terms, row_tile, n_steps, b, interpret, q=1,
+):
+    """Tiled forward emitting the state at the start of each b-superstep
+    group (the outer checkpoints the tiled reverse needs). Per-step values
+    are bitwise identical to the plain tiled rollout — same window math
+    per row."""
+    rt = row_tile
+    ny2, nx, k = h0.shape[1], h0.shape[2], h0.shape[3]
+    n_tiles = ny2 // rt
+    assert n_steps % q == 0 and (n_steps // q) % b == 0
+    m = (n_steps // q) // b
+    dtype = h0.dtype
+    fwd_call, _ = _tiled_calls(ny2, nx, k, dtype, mask, terms=terms, rt=rt,
+                               q=q, interpret=interpret, adjoint=False)
+    halos = _tile_halo_fns(rt, q, n_tiles)
+    f_t, f_b = halos(f_edge)
+    rts_t, rts_b = halos(rts)
+    if mask is not None:
+        m_t, m_b = halos(mask)
+
+    def fwd_superstep(carry):
+        ssh_c, h_c, u_c = carry
+        ssh_t, ssh_b = halos(ssh_c)
+        h_t, h_b = halos(h_c)
+        u_t, u_b = halos(u_c)
+        args = (
+            scal_t, ssh_c, h_c, u_c, f_edge, rts,
+            ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
+        )
+        if mask is not None:
+            args += (mask, m_t, m_b)
+        return tuple(fwd_call(*args))
+
+    def fwd_outer(c, _):
+        start = c
+
+        def inner(c2, _):
+            return fwd_superstep(c2), None
+
+        c, _ = jax.lax.scan(inner, c, length=b)
+        return c, start
+
+    final, outer_ckpts = jax.lax.scan(fwd_outer, (ssh0, h0, u0), length=m)
+    return final, outer_ckpts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("terms", "row_tile", "n_steps", "b", "interpret", "q"),
+)
+def _tiled_adjoint_from_ckpts(
+    scal_t, outer_ckpts, f_edge, rts, cot0, mask=None, *,
+    terms, row_tile, n_steps, b, interpret, q=1,
+):
+    """Reverse sweep given the outer checkpoints: per group (reversed),
+    rebuild the b superstep-start states with the forward tiled kernel
+    into HBM, then reverse-scan the per-tile window-adjoint kernel over
+    them with halo overlap-add. Returns (cot ssh/h/u at t=0, d_scal)."""
+    rt = row_tile
+    ny2, nx, k = outer_ckpts[1].shape[2], outer_ckpts[1].shape[3], \
+        outer_ckpts[1].shape[4]
+    n_tiles = ny2 // rt
+    assert n_steps % q == 0
+    n_ss = n_steps // q
+    assert n_ss % b == 0
+    dtype = outer_ckpts[1].dtype
+    fwd_call, adj_call = _tiled_calls(
+        ny2, nx, k, dtype, mask, terms=terms, rt=rt, q=q,
+        interpret=interpret, adjoint=True,
+    )
+    halos = _tile_halo_fns(rt, q, n_tiles)
+    f_t, f_b = halos(f_edge)
+    rts_t, rts_b = halos(rts)
+    if mask is not None:
+        m_t, m_b = halos(mask)
+
+    def fwd_superstep(carry):
+        ssh_c, h_c, u_c = carry
+        ssh_t, ssh_b = halos(ssh_c)
+        h_t, h_b = halos(h_c)
+        u_t, u_b = halos(u_c)
+        args = (
+            scal_t, ssh_c, h_c, u_c, f_edge, rts,
+            ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
+        )
+        if mask is not None:
+            args += (mask, m_t, m_b)
+        return tuple(fwd_call(*args))
+
+    def rev_superstep(ck, cot):
+        """One reverse superstep given the primal state at its start."""
+        ssh_c, h_c, u_c = ck
+        gs, gh, gu = cot
+        ssh_t, ssh_b = halos(ssh_c)
+        h_t, h_b = halos(h_c)
+        u_t, u_b = halos(u_c)
+        args = (
+            scal_t, ssh_c, h_c, u_c, f_edge, rts,
+            ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
+        )
+        if mask is not None:
+            args += (mask, m_t, m_b)
+        args += (gs, gh, gu)
+        out = adj_call(*args)
+        (gs_c, gh_c, gu_c, gs_ht, gh_ht, gu_ht, gs_hb, gh_hb, gu_hb,
+         dsc) = out
+        gs_n = _halo_unscatter(gs_c, gs_ht, gs_hb, rt, q)
+        gh_n = _halo_unscatter(gh_c, gh_ht, gh_hb, rt, q)
+        gu_n = _halo_unscatter(gu_c, gu_ht, gu_hb, rt, q)
+        return (gs_n, gh_n, gu_n), dsc[:, :, 0].sum(axis=0)
+
+    def rev_outer(carry, ck_start):
+        cot, dscal = carry
+
+        # rebuild the b superstep-start states of this group into HBM
+        def inner(c2, _):
+            return fwd_superstep(c2), c2
+        _, states = jax.lax.scan(inner, ck_start, length=b)
+
+        def rev_inner(carry2, st):
+            cot2, d2 = carry2
+            cot2, dj = rev_superstep(st, cot2)
+            return (cot2, d2 + dj), None
+
+        (cot, dscal), _ = jax.lax.scan(
+            rev_inner, (cot, dscal), states, reverse=True
+        )
+        return (cot, dscal), None
+
+    (cot, dscal), _ = jax.lax.scan(
+        rev_outer, (tuple(cot0), jnp.zeros((8,), dtype)), outer_ckpts,
+        reverse=True,
+    )
+    return cot, dscal
+
+
 def _checkpointed_roll_rollout(
     state: StructState, mesh: StructMesh, dt, n_steps: int,
     nonlinear: bool = False, tracer_kappa: float = 0.0,
@@ -1807,6 +2199,50 @@ def pallas_rollout_diff(
     )
 
 
+def _tiled_adjoint_plan(state: StructState, mesh: StructMesh,
+                        n_steps: int, nonlinear, tracer_on, strat, forcing,
+                        fb: bool = False):
+    """(rt, q, b) when the tiled Pallas adjoint applies (beyond-VMEM
+    linear rollouts, wall masks OK), else None. The adjoint window holds
+    the in-kernel vjp residuals on top of the forward working set, so its
+    row tile comes from a heavier plane model (calibrated on v5e)."""
+    if jax.default_backend() != "tpu":
+        return None
+    if nonlinear or fb or strat is not None or forcing is not None:
+        return None
+    if tracer_on:
+        return None
+    k = state.layer_thickness.shape[-1]
+    itemsize = state.layer_thickness.dtype.itemsize
+    if fits_in_vmem(mesh, k, itemsize):
+        return None  # the fused-VMEM adjoint segments handle this size
+    q = 1
+    # ~100 plane-equivalents: forward window + one step of vjp residuals
+    # (CALIBRATED on v5e 256x256x100: rt=4/q=1 compiles, rt=8/q=1 and
+    # rt=4/q=2 exceed VMEM; rt=4 also measured fastest of what compiles)
+    k_pad = -(-k // 128) * 128
+    plane = mesh.nx * k_pad * itemsize
+    limit = int(0.9 * _VMEM_BUDGET)
+    rt = 0
+    for t in range(1, mesh.ny2 + 1):
+        if mesh.ny2 % t:
+            continue
+        cand = mesh.ny2 // t
+        if 100 * (cand + 2 * q) * plane <= limit:
+            rt = cand
+            break
+    if rt < 1:
+        return None
+    # b supersteps per outer checkpoint group: near sqrt, bounded so the
+    # rebuilt inner states stay ~<2 GB of HBM
+    state_bytes = (2 + 8 * k) * mesh.ny2 * mesh.nx * itemsize
+    b_hbm = max(1, int(2e9 // max(state_bytes, 1)))
+    n_ss = n_steps // q
+    target = max(1, min(b_hbm, int(np.sqrt(n_ss))))
+    b = max(d for d in range(1, n_ss + 1) if n_ss % d == 0 and d <= target)
+    return rt, q, b
+
+
 def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
                        nonlinear: bool = False, forced: bool = False):
     """(b, m) when the fused adjoint applies on this backend/size, else None."""
@@ -1827,11 +2263,42 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
     plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear,
                               forcing is not None)
     if plan is None:
+        tplan = _tiled_adjoint_plan(
+            state, mesh, n_steps, nonlinear, state.tracers is not None,
+            strat, forcing,
+        )
+        if tplan is not None:
+            # beyond-VMEM linear rollout on TPU: tiled forward SAVING the
+            # outer checkpoints the tiled Pallas reverse consumes
+            rt, qt, bt = tplan
+            ny2, nx = mesh.ny2, mesh.nx
+            k = state.layer_thickness.shape[-1]
+            dtype = state.layer_thickness.dtype
+            f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
+            rts = mesh.resting_thickness_sum[..., None].astype(dtype)
+            mask_op = (
+                None if mesh.edge_mask is None
+                else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+            )
+            final, ckpts_t = _tiled_fwd_ckpts(
+                _tiled_scal(mesh, dt, dtype),
+                state.ssh[..., None], state.layer_thickness,
+                state.normal_velocity.reshape(6, ny2, nx, k),
+                f_edge, rts, mask_op,
+                terms=mesh.coriolis_terms, row_tile=rt, n_steps=n_steps,
+                b=bt, interpret=False, q=qt,
+            )
+            out = StructState(
+                ssh=final[0][..., 0],
+                layer_thickness=final[1],
+                normal_velocity=final[2].reshape(3, 2, ny2, nx, k),
+            )
+            return out, (None, ckpts_t, state, mesh, dt, strat, forcing)
         out = pallas_rollout_diff(
             state, mesh, dt, n_steps, nonlinear, tracer_kappa, tracer_upwind,
             strat, forcing,
         )
-        return out, (None, state, mesh, dt, strat, forcing)
+        return out, (None, None, state, mesh, dt, strat, forcing)
     # fast path: run the forward in fused big-step segments, SAVING the
     # outer checkpoints as residuals — the reverse sweep then skips one
     # whole forward rebuild (bitwise-identical final state)
@@ -1861,11 +2328,11 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
         normal_velocity=final[2].reshape(3, 2, ny2, nx, k),
         tracers=_tr_unplanes(final[3], ny2, nx, k) if n_tr else None,
     )
-    return out, (ckpts, state, mesh, dt, strat, forcing)
+    return out, (ckpts, None, state, mesh, dt, strat, forcing)
 
 
 def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
-    ckpts, state, mesh, dt, strat, forcing = res
+    ckpts, ckpts_t, state, mesh, dt, strat, forcing = res
     if ckpts is not None:
         plan = _fast_adjoint_plan(state, mesh, n_steps, nonlinear,
                                   forcing is not None)
@@ -1909,7 +2376,39 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
             d_forcing = _forcing_cotangent(forcing, dwind, dcoef, ny2, nx)
         return (d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat,
                 d_forcing)
-    # fallback (CPU / beyond-VMEM meshes / forced runs): sqrt-checkpointed
+    # beyond-VMEM linear rollouts on TPU: tiled Pallas adjoint (per-tile
+    # window vjp kernels + halo overlap-add) over the outer checkpoints the
+    # forward saved — instead of the HBM-bound roll replay
+    if ckpts_t is not None:
+        rt, q, b = _tiled_adjoint_plan(
+            state, mesh, n_steps, nonlinear, state.tracers is not None,
+            strat, forcing,
+        )
+        ny2, nx = mesh.ny2, mesh.nx
+        k = state.layer_thickness.shape[-1]
+        dtype = state.layer_thickness.dtype
+        f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
+        rts = mesh.resting_thickness_sum[..., None].astype(dtype)
+        mask_op = (
+            None if mesh.edge_mask is None
+            else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+        )
+        cot0 = (
+            g.ssh[..., None].astype(dtype),
+            g.layer_thickness.astype(dtype),
+            g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
+        )
+        cot, dscal = _tiled_adjoint_from_ckpts(
+            _tiled_scal(mesh, dt, dtype), ckpts_t, f_edge, rts, cot0,
+            mask_op,
+            terms=mesh.coriolis_terms, row_tile=rt, n_steps=n_steps, b=b,
+            interpret=False, q=q,
+        )
+        d_state = _cot_from_planes(cot, ny2, nx, k)
+        d_dt = dscal[0].astype(jnp.asarray(dt).dtype)
+        return (d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, None,
+                None)
+    # fallback (CPU / forced-etc. runs): sqrt-checkpointed
     # roll reverse — strat and forcing are differentiated inputs here too,
     # so d(phi_weights) and the Forcing cotangent are exact
     extras = []

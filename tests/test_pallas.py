@@ -584,3 +584,106 @@ def test_pallas_forced_adjoint_segments_match_roll_vjp():
         )
     # level-mask cotangents are deliberately zero on the fused path
     assert float(jnp.abs(df.top_mask).max()) == 0.0
+
+
+@pytest.mark.parametrize("rt,q,b", [(2, 1, 3), (4, 1, 6), (2, 2, 3)])
+def test_tiled_pallas_adjoint_matches_roll_vjp(setup, rt, q, b):
+    """Tiled Pallas adjoint (per-tile window vjp kernel + halo overlap-add
+    + two-level checkpointing — the beyond-VMEM reverse) must match the
+    roll-model vjp at f64 roundoff across tile sizes and superstep
+    depths."""
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _cot_from_planes, _pallas_tiled_adjoint, _tiled_scal,
+    )
+
+    sm, st = setup
+    smesh = sm.struct_mesh
+    n, dt = 6, 10.0
+    out, vjp = jax.vjp(
+        lambda s, t: structured_run_loop(s, smesh, t, n), st, dt
+    )
+    g = jax.tree.map(lambda a: a + 0.5, out)
+    d_ref, ddt_ref = vjp(g)
+    ny2, nx = smesh.ny2, smesh.nx
+    k = st.layer_thickness.shape[-1]
+    dtype = st.layer_thickness.dtype
+    cot0 = (g.ssh[..., None], g.layer_thickness,
+            g.normal_velocity.reshape(6, ny2, nx, k))
+    f_edge = smesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
+    rts = smesh.resting_thickness_sum[..., None].astype(dtype)
+    cot, dscal = _pallas_tiled_adjoint(
+        _tiled_scal(smesh, dt, dtype),
+        st.ssh[..., None], st.layer_thickness,
+        st.normal_velocity.reshape(6, ny2, nx, k),
+        f_edge, rts, cot0, None,
+        terms=smesh.coriolis_terms, row_tile=rt, n_steps=n, b=b,
+        interpret=True, q=q,
+    )
+    d_st = _cot_from_planes(cot, ny2, nx, k)
+    for a, bb in zip(jax.tree.leaves(d_st), jax.tree.leaves(d_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=0, atol=1e-12
+        )
+    np.testing.assert_allclose(float(dscal[0]), float(ddt_ref), rtol=1e-10)
+
+
+def test_tiled_pallas_adjoint_masked_channel():
+    """Tiled Pallas adjoint on a wall-masked channel."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _cot_from_planes, _pallas_tiled_adjoint, _tiled_scal,
+    )
+
+    nx = 8
+    dc = 1000.0
+    parent = planar_hex_mesh(nx, nx, dc, f0=1e-4)
+    y = np.asarray(parent.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(parent, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=2,
+        resting_thickness=np.full((chan.n_cells, 2), 50.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, nx, parent_horz=parent, keep_cells=keep)
+    rng = np.random.default_rng(3)
+    h = np.full((chan.n_cells, 2), 50.0) + 0.1 * rng.normal(
+        size=(chan.n_cells, 2)
+    )
+    u = 0.01 * rng.normal(size=(chan.n_edges, 2))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    smesh = sm.struct_mesh
+    n, dt = 6, 5.0
+    out, vjp = jax.vjp(
+        lambda s, t: structured_run_loop(s, smesh, t, n), st, dt
+    )
+    g = jax.tree.map(lambda a: a + 0.5, out)
+    d_ref, ddt_ref = vjp(g)
+    ny2, nxl = smesh.ny2, smesh.nx
+    k = st.layer_thickness.shape[-1]
+    dtype = st.layer_thickness.dtype
+    cot0 = (g.ssh[..., None], g.layer_thickness,
+            g.normal_velocity.reshape(6, ny2, nxl, k))
+    f_edge = smesh.f_edge.reshape(6, ny2, nxl, 1).astype(dtype)
+    rts = smesh.resting_thickness_sum[..., None].astype(dtype)
+    mask = smesh.edge_mask.reshape(6, ny2, nxl, 1).astype(dtype)
+    cot, dscal = _pallas_tiled_adjoint(
+        _tiled_scal(smesh, dt, dtype),
+        st.ssh[..., None], st.layer_thickness,
+        st.normal_velocity.reshape(6, ny2, nxl, k),
+        f_edge, rts, cot0, mask,
+        terms=smesh.coriolis_terms, row_tile=2, n_steps=n, b=3,
+        interpret=True, q=1,
+    )
+    d_st = _cot_from_planes(cot, ny2, nxl, k)
+    for a, bb in zip(jax.tree.leaves(d_st), jax.tree.leaves(d_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=0, atol=1e-12
+        )
+    np.testing.assert_allclose(float(dscal[0]), float(ddt_ref), rtol=1e-10)
