@@ -935,11 +935,12 @@ def _make_tiled_step_call(
     selects the nonlinear vector-invariant step (reach 2); ``fb`` the
     forward-backward scheme (also reach 2).
 
-    Operand order: (ssh, h, u, f, rts) centers; the same five as top halo
-    blocks; the same five as bottom halo blocks; then optional groups in
-    this order — mask triplet, f_vertex triplet (nonlinear), (wind,
-    level-index) forcing triplets, tracer triplet, cell-mask triplet,
-    stratification weights."""
+    Operand order: the (1, 8) runtime scalar vector (_tiled_scal); then
+    (ssh, h, u, f, rts) centers; the same five as top halo blocks; the
+    same five as bottom halo blocks; then optional groups in this order —
+    mask triplet, f_vertex triplet (nonlinear), (wind, level-index)
+    forcing triplets, tracer triplet, cell-mask triplet, stratification
+    weights."""
     stratified = strat_shape is not None
     nonlinear = nl_terms is not None
     if nonlinear and fb:
