@@ -64,3 +64,15 @@ def igw_mesh():
         horz, n_vert_levels=1, resting_thickness=np.full((horz.n_cells, 1), 1000.0)
     )
     return Mesh(horz=horz, vert=vert).to_device()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches at module boundaries. The full
+    suite accumulates several hundred XLA CPU executables in one process;
+    past ~240 the CPU backend_compile segfaults deterministically on the
+    next large Pallas interpret module (reproduced twice at the same test;
+    every module passes in isolation). Clearing per module keeps the live
+    executable count bounded at a small recompile cost."""
+    yield
+    jax.clear_caches()
