@@ -1232,10 +1232,11 @@ def structured_auto_run_loop(
 ) -> StructState:
     """Fastest applicable structured rollout: whole-loop-in-VMEM kernel when
     the state fits, tiled per-step kernel otherwise (tracers, layered
-    stratification, momentum forcing, nonlinear dynamics and
-    forward-backward included — nonlinear/FB tiles carry 2-rows-per-step
-    halos); roll model on CPU. Only the combinations the tiled kernel
-    fences off (nonlinear+fb, nonlinear+walls) stream the roll model."""
+    stratification, momentum forcing, nonlinear dynamics — wall-masked
+    lattices included — and forward-backward; nonlinear/FB tiles carry
+    2-rows-per-step halos); roll model on CPU. Only the one combination
+    the tiled kernel fences off (nonlinear+fb, a 3-rows-per-step reach)
+    streams the roll model beyond VMEM."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = state.layer_thickness.shape[-1]
@@ -1517,6 +1518,11 @@ def _adjoint_segment(
 # buffered whole-array windows) within the physical 128 MB/core: a 110 MB
 # stack budget compiles but OOMs the chip at link time.
 _ADJ_VMEM_BUDGET = 100 * 1024 * 1024
+
+# HBM ceiling for the tiled adjoint's resident primal states (outer
+# checkpoints + one group's rebuilt inner states); the v5e has 16 GB and
+# the live cotangent/halo working set needs a few states' worth of headroom
+_ADJ_HBM_BUDGET = 8 * 1024**3
 
 
 def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
@@ -2234,13 +2240,19 @@ def _tiled_adjoint_plan(state: StructState, mesh: StructMesh,
             break
     if rt < 1:
         return None
-    # b supersteps per outer checkpoint group: near sqrt, bounded so the
-    # rebuilt inner states stay ~<2 GB of HBM
+    # b supersteps per outer checkpoint group: the OUTER checkpoint stack
+    # (m = n_ss/b superstep-start states _tiled_fwd_ckpts emits to HBM) and
+    # the INNER rebuilt states (b per group, stacked by the reverse sweep)
+    # are BOTH resident, so balance their sum — b near sqrt(n_ss), which a
+    # one-sided cap on b alone inverts into an O(n_ss) outer stack for long
+    # rollouts. If even the balanced plan exceeds the HBM budget, bail to
+    # the checkpointed-roll reverse (O(sqrt) memory) instead of OOMing.
     state_bytes = (2 + 8 * k) * mesh.ny2 * mesh.nx * itemsize
-    b_hbm = max(1, int(2e9 // max(state_bytes, 1)))
     n_ss = n_steps // q
-    target = max(1, min(b_hbm, int(np.sqrt(n_ss))))
-    b = max(d for d in range(1, n_ss + 1) if n_ss % d == 0 and d <= target)
+    divs = [d for d in range(1, n_ss + 1) if n_ss % d == 0]
+    b = min(divs, key=lambda d: (n_ss // d) + d)
+    if ((n_ss // b) + b + 4) * state_bytes > _ADJ_HBM_BUDGET:
+        return None
     return rt, q, b
 
 

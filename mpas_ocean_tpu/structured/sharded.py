@@ -1285,15 +1285,20 @@ class ShardedStructuredModel:
             if fcache is None:
                 fcache = self._force_slab_cache = {}
             fkey = (hq, npdt.str, id(forcing))
-            if fkey in fcache:
-                force_q = fcache[fkey]
+            # the cache VALUE keeps a strong reference to the Forcing object
+            # so its id() cannot be recycled onto a different Forcing while
+            # the entry lives; the identity check guards against any entry
+            # written before this invariant held
+            ent = fcache.get(fkey)
+            if ent is not None and ent[0] is forcing:
+                force_q = ent[1]
             else:
                 fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
                 force_q = {
                     "wind": self._put(self._slab(np.asarray(fwind), halo=hq)),
                     "fidx": self._put(self._slab(np.asarray(fidx), halo=hq)),
                 }
-                fcache[fkey] = force_q
+                fcache[fkey] = (forcing, force_q)
             scal_np[0, 3] = np.asarray(forcing.drag_linear).astype(npdt)
             scal_np[0, 4] = np.asarray(forcing.drag_quadratic).astype(npdt)
             scal_np[0, 5] = np.asarray(forcing.rayleigh).astype(npdt)
