@@ -50,6 +50,25 @@ __all__ = [
     "structured_auto_run_loop",
 ]
 
+# Test hook (monkeypatch): route as if the backend were a TPU while running
+# every kernel in interpret mode. The TPU-only arms of
+# structured_auto_run_loop / _rollout_fwd / _rollout_bwd are otherwise
+# structurally unreachable from the CPU test suite — a routing-level bug
+# there ships untested (this bit exists because one did: the traced-dt
+# crash of commit 88c90f1 sat in a branch no CPU test could enter).
+_FORCE_TPU_ROUTING = False
+
+
+def _route_tpu() -> bool:
+    """Whether to take the TPU fast-path routing decisions."""
+    return _FORCE_TPU_ROUTING or jax.default_backend() == "tpu"
+
+
+def _interp() -> bool:
+    """interpret= flag for kernels launched by the TPU routing arms: real
+    Mosaic on TPU, interpret mode when the routing is forced on CPU."""
+    return jax.default_backend() != "tpu"
+
 
 def _shift(x, dm: int, di: int):
     """out[m, i] = x[m + dm, i + di] (periodic), static shifts.
@@ -1241,7 +1260,7 @@ def structured_auto_run_loop(
         interpret = jax.default_backend() != "tpu"
     k = state.layer_thickness.shape[-1]
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
-    if interpret:
+    if interpret and not _FORCE_TPU_ROUTING:
         from .model import structured_run_loop
 
         return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
@@ -1249,10 +1268,12 @@ def structured_auto_run_loop(
                                    tracer_kappa=tracer_kappa,
                                    tracer_upwind=tracer_upwind, strat=strat,
                                    fb=fb)
+    interpret = _interp()
     if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize, n_tr,
                     forcing is not None):
         return pallas_run_loop(
-            state, mesh, dt, n_steps, interpret=False, nonlinear=nonlinear,
+            state, mesh, dt, n_steps, interpret=interpret,
+            nonlinear=nonlinear,
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
             strat=strat, fb=fb, forcing=forcing,
         )
@@ -1266,7 +1287,8 @@ def structured_auto_run_loop(
                                    tracer_kappa=tracer_kappa,
                                    tracer_upwind=tracer_upwind, strat=strat,
                                    fb=fb)
-    return pallas_tiled_run_loop(state, mesh, dt, n_steps, interpret=False,
+    return pallas_tiled_run_loop(state, mesh, dt, n_steps,
+                                 interpret=interpret,
                                  q=None, tracer_kappa=tracer_kappa,
                                  tracer_upwind=tracer_upwind, strat=strat,
                                  forcing=forcing, nonlinear=nonlinear,
@@ -2213,7 +2235,7 @@ def _tiled_adjoint_plan(state: StructState, mesh: StructMesh,
     linear rollouts, wall masks OK), else None. The adjoint window holds
     the in-kernel vjp residuals on top of the forward working set, so its
     row tile comes from a heavier plane model (calibrated on v5e)."""
-    if jax.default_backend() != "tpu":
+    if not _route_tpu():
         return None
     if nonlinear or fb or strat is not None or forcing is not None:
         return None
@@ -2262,7 +2284,7 @@ def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
     k = state.layer_thickness.shape[-1]
     itemsize = state.layer_thickness.dtype.itemsize
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
-    if jax.default_backend() != "tpu" or not fits_in_vmem(
+    if not _route_tpu() or not fits_in_vmem(
         mesh, k, itemsize, n_tr, forced
     ):
         return None
@@ -2299,7 +2321,7 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
                 state.normal_velocity.reshape(6, ny2, nx, k),
                 f_edge, rts, mask_op,
                 terms=mesh.coriolis_terms, row_tile=rt, n_steps=n_steps,
-                b=bt, interpret=False, q=qt,
+                b=bt, interpret=_interp(), q=qt,
             )
             out = StructState(
                 ssh=final[0][..., 0],
@@ -2333,7 +2355,7 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
         f_edge, rts, scal, mask, f_vert, tr, cmask, _strat_w(strat, dtype),
         fwind, fidx,
         terms=mesh.coriolis_terms, n_steps=n_steps, big=b * m,
-        interpret=False, nl_terms=nl_terms, tropts=tropts,
+        interpret=_interp(), nl_terms=nl_terms, tropts=tropts,
     )
     out = StructState(
         ssh=final[0][..., 0],
@@ -2371,7 +2393,7 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
         cot, ddt, dsw, dwind, dcoef = _pallas_adjoint_from_ckpts(
             ckpts, f_edge, rts, scal, cot0, mask, f_vert, cmask, sw,
             fwind, fidx,
-            terms=mesh.coriolis_terms, b=b, m=m, interpret=False,
+            terms=mesh.coriolis_terms, b=b, m=m, interpret=_interp(),
             nl_terms=nl_terms, tropts=tropts,
         )
         d_state = _cot_from_planes(cot, ny2, nx, k)
@@ -2415,7 +2437,7 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
             _tiled_scal(mesh, dt, dtype), ckpts_t, f_edge, rts, cot0,
             mask_op,
             terms=mesh.coriolis_terms, row_tile=rt, n_steps=n_steps, b=b,
-            interpret=False, q=q,
+            interpret=_interp(), q=q,
         )
         d_state = _cot_from_planes(cot, ny2, nx, k)
         d_dt = dscal[0].astype(jnp.asarray(dt).dtype)

@@ -516,6 +516,52 @@ def test_pallas_tiled_fb_masked_forced_channel():
     )
 
 
+def test_pallas_tiled_nonlinear_masked_channel():
+    """NONLINEAR tiled kernel on a wall-masked channel (routes through
+    _step_slab_nl's masked-vertex unpack, >4 f_vertex planes) — pinned
+    against the roll model like the fb variant above."""
+    from mpas_ocean_tpu.mesh.cull import cull_cells
+    from mpas_ocean_tpu.structured import StructuredModel, pallas_tiled_run_loop
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+
+    nx = ny = 16
+    dc = 1000.0
+    horz = planar_hex_mesh(nx, ny, dc, f0=1e-4)
+    y = np.asarray(horz.cells.y)
+    keep = (y > 0.5 * dc) & (y < y.max() - 0.5 * dc)
+    chan = cull_cells(horz, keep)
+    vert = make_vertical_mesh(
+        chan, n_vert_levels=2,
+        resting_thickness=np.full((chan.n_cells, 2), 500.0),
+    )
+    mesh = Mesh(horz=chan, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, ny, parent_horz=horz, keep_cells=keep)
+    rng = np.random.default_rng(12)
+    h = np.full((chan.n_cells, 2), 500.0) + 0.1 * rng.normal(
+        size=(chan.n_cells, 2)
+    )
+    u = 0.01 * rng.normal(size=(chan.n_edges, 2))
+    u *= np.asarray(chan.edges.edge_mask)[:, None]
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, 6, nonlinear=True)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 10.0, 6, row_tile=4, interpret=True, q=1,
+        nonlinear=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh),
+                               atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        atol=1e-13,
+    )
+
+
 def test_pallas_tiled_nonlinear_rejects_fb_combo():
     from mpas_ocean_tpu.structured.pallas_model import _make_tiled_step_call
 
