@@ -39,7 +39,12 @@ from ..constants import GRAVITY
 from .conv_model import _INCOMING, _NEIGHBOR
 from .hex_layout import E, NE, NW
 from .model import StructMesh, StructState, structured_step
-from .sharded import _apply_forcing, _level_onehot
+from .sharded import (
+    _apply_forcing,
+    _level_onehot,
+    _step_slab,
+    _step_slab_nl,
+)
 
 __all__ = [
     "pallas_adjoint_rollout",
@@ -747,6 +752,67 @@ def pallas_run_loop(
 # ---------------------------------------------------------------------------
 
 
+def _reach(nonlinear: bool, fb: bool) -> int:
+    """Halo rows consumed per side per timestep by the tiled/slab window
+    kernels: 1 for the linear core; 2 for nonlinear (derived fields
+    recomputed on a 1-padded window) or forward-backward (fresh-thickness
+    pressure reads one ring further); 3 for nonlinear + forward-backward
+    (the fresh thickness itself needs the 1-padded flux window)."""
+    if nonlinear:
+        return 3 if fb else 2
+    return 2 if fb else 1
+
+
+def _window_steps(
+    ssh, h, u, tr, scal, *, f_full, rts_full, masks_full=None, fv_full=None,
+    wind_full=None, ti_full=None, bi_full=None, cm_full=None, strat_w=None,
+    terms, nl_terms=None, tropts=(0.0, 1.0), fb=False, rows, q, reach, full,
+):
+    """Advance a halo-padded plane window by q timesteps (the window
+    shrinks ``reach`` rows per side per step). The SINGLE implementation of
+    the q-step superstep math, shared by the forward tiled kernel
+    (_tiled_step_kernel) and the tiled adjoint kernel's in-kernel jax.vjp
+    target — so forward and reverse can never drift apart. All scalars ride
+    the (1, 8) runtime vector (_tiled_scal layout)."""
+    dt = scal[0, 0]
+    inv_dc = scal[0, 1]
+    s_div = scal[0, 2]
+    forced = wind_full is not None
+    if forced:
+        dlin, dquad, rayl = scal[0, 3], scal[0, 4], scal[0, 5]
+    if nl_terms is not None:
+        ke_scale, curl_scale = scal[0, 6], scal[0, 7]
+        vc_terms, ev_terms = nl_terms
+    for j in range(q):
+        rows_j = rows + 2 * reach * (q - 1 - j)
+        off = reach * j
+        # constant fields get windowed; STATE arrives already at the window
+        # size from the previous iteration's interior output
+        win = lambda t: tuple(x[off : full - off] for x in t)
+        forc_j = (
+            (win(wind_full), win(ti_full), win(bi_full), dlin, dquad, rayl)
+            if forced else None
+        )
+        if nl_terms is not None:
+            ssh, h, u, tr = _step_slab_nl(
+                ssh, h, u, win(f_full), win(rts_full), win(fv_full),
+                dt, inv_dc, s_div, ke_scale, curl_scale, terms,
+                vc_terms, ev_terms, rows_j, forc_j, tr, tropts, strat_w,
+                win(masks_full) if masks_full is not None else None,
+                win(cm_full) if cm_full is not None else None,
+                fb=fb,
+            )
+        else:
+            ssh, h, u, tr = _step_slab(
+                ssh, h, u, win(f_full), win(rts_full),
+                dt, inv_dc, s_div, terms, rows_j,
+                win(masks_full) if masks_full is not None else None,
+                forc_j, tr, tropts,
+                win(cm_full) if cm_full is not None else None, strat_w, fb,
+            )
+    return ssh, h, u, tr
+
+
 def _tiled_step_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
@@ -765,9 +831,7 @@ def _tiled_step_kernel(
     step, whose derived fields (flux/KE/edge PV) are recomputed locally on
     a 1-padded window (_step_slab_nl), and for FORWARD-BACKWARD, whose
     pressure stage reads the fresh thickness one ring out."""
-    from .sharded import _step_slab, _step_slab_nl
-
-    reach = 2 if (nl_terms is not None or fb) else 1
+    reach = _reach(nl_terms is not None, fb)
 
     def pad(center, top, bot, c):
         return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
@@ -819,52 +883,25 @@ def _tiled_step_kernel(
     # tracers under grad/jit. (An SMEM scalar operand would need a rank-2
     # index map under the tile grid, which Mosaic fails to legalize —
     # hence VMEM.)
-    dt = scal_ref[0, 0]
-    inv_dc = scal_ref[0, 1]
-    s_div = scal_ref[0, 2]
-    if forced:
-        dlin = scal_ref[0, 3]
-        dquad = scal_ref[0, 4]
-        rayl = scal_ref[0, 5]
-    if nl_terms is not None:
-        ke_scale = scal_ref[0, 6]
-        curl_scale = scal_ref[0, 7]
-        vc_terms, ev_terms = nl_terms
-
     ssh = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
     h = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
     u = tuple(pad(u_ref, u_t, u_b, c) for c in range(6))
     f_full = tuple(pad(f_ref, f_t, f_b, c) for c in range(6))
     rts_full = tuple(pad(rts_ref, rts_t, rts_b, p) for p in range(2))
 
-    tr = tr_full
-    full = rows + 2 * reach * q
-    for j in range(q):
-        rows_j = rows + 2 * reach * (q - 1 - j)
-        off = reach * j
-        # constant fields get windowed; STATE (ssh/h/u/tr) arrives already
-        # at the window size from the previous iteration's interior output
-        win = lambda t: tuple(x[off : full - off] for x in t)
-        forc_j = (
-            (win(wind_full), win(ti_full), win(bi_full), dlin, dquad, rayl)
-            if forced else None
-        )
-        if nl_terms is not None:
-            ssh, h, u, tr = _step_slab_nl(
-                ssh, h, u, win(f_full), win(rts_full), win(fv_full),
-                dt, inv_dc, s_div, ke_scale, curl_scale, terms,
-                vc_terms, ev_terms, rows_j, forc_j, tr, tropts, strat_w,
-                win(masks_full) if masked else None,
-                win(cm_full) if cell_masked else None,
-            )
-        else:
-            ssh, h, u, tr = _step_slab(
-                ssh, h, u, win(f_full), win(rts_full),
-                dt, inv_dc, s_div, terms, rows_j,
-                win(masks_full) if masked else None,
-                forc_j, tr, tropts,
-                win(cm_full) if cell_masked else None, strat_w, fb,
-            )
+    ssh, h, u, tr = _window_steps(
+        ssh, h, u, tr_full, scal_ref[...],
+        f_full=f_full, rts_full=rts_full,
+        masks_full=masks_full if masked else None,
+        fv_full=fv_full if nl_terms is not None else None,
+        wind_full=wind_full if forced else None,
+        ti_full=ti_full if forced else None,
+        bi_full=bi_full if forced else None,
+        cm_full=cm_full if cell_masked else None,
+        strat_w=strat_w,
+        terms=terms, nl_terms=nl_terms, tropts=tropts, fb=fb,
+        rows=rows, q=q, reach=reach, full=rows + 2 * reach * q,
+    )
     for p in range(2):
         ssh_out[p] = ssh[p]
         h_out[p] = h[p]
@@ -962,12 +999,7 @@ def _make_tiled_step_call(
     weights."""
     stratified = strat_shape is not None
     nonlinear = nl_terms is not None
-    if nonlinear and fb:
-        raise NotImplementedError(
-            "forward-backward + nonlinear needs a 3-row-per-step reach; "
-            "use the roll model (structured_run_loop) for that combination"
-        )
-    reach = 2 if (nonlinear or fb) else 1
+    reach = _reach(nonlinear, fb)
     hq = reach * q
     n_tiles = n_rows // rt
     kernel = functools.partial(
@@ -1082,7 +1114,7 @@ def _pallas_tiled_rollout(
     stratified = strat_w is not None
     forced = fwind is not None
     nonlinear = nl_terms is not None
-    reach = 2 if (nonlinear or fb) else 1
+    reach = _reach(nonlinear, fb)
     hq = reach * q
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
@@ -1190,7 +1222,7 @@ def pallas_tiled_run_loop(
     k = state.layer_thickness.shape[-1]
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     dtype = state.layer_thickness.dtype
-    reach = 2 if (nonlinear or fb) else 1
+    reach = _reach(nonlinear, fb)
     if q is None:
         if row_tile is None:
             _, q = auto_tile_plan(ny2, nx, k, dtype.itemsize, n_tr, reach,
@@ -1253,9 +1285,8 @@ def structured_auto_run_loop(
     the state fits, tiled per-step kernel otherwise (tracers, layered
     stratification, momentum forcing, nonlinear dynamics — wall-masked
     lattices included — and forward-backward; nonlinear/FB tiles carry
-    2-rows-per-step halos); roll model on CPU. Only the one combination
-    the tiled kernel fences off (nonlinear+fb, a 3-rows-per-step reach)
-    streams the roll model beyond VMEM."""
+    2-rows-per-step halos, nonlinear+FB 3); roll model on CPU. Every
+    stepper x physics x size combination runs fused."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = state.layer_thickness.shape[-1]
@@ -1277,16 +1308,6 @@ def structured_auto_run_loop(
             tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind,
             strat=strat, fb=fb, forcing=forcing,
         )
-    if nonlinear and fb:
-        # the one combination the tiled kernel fences off (reach-3
-        # stencil): stream the roll model
-        from .model import structured_run_loop
-
-        return structured_run_loop(state, mesh, dt, n_steps, nonlinear,
-                                   forcing,
-                                   tracer_kappa=tracer_kappa,
-                                   tracer_upwind=tracer_upwind, strat=strat,
-                                   fb=fb)
     return pallas_tiled_run_loop(state, mesh, dt, n_steps,
                                  interpret=interpret,
                                  q=None, tracer_kappa=tracer_kappa,
@@ -1808,8 +1829,6 @@ def _tiled_adjoint_kernel(
     SUPERSTEP START (same operands as _tiled_step_kernel) + cotangent of
     the new interior -> cotangent of the padded window (center + halos,
     separate outputs) and the d(scal) contribution."""
-    from .sharded import _step_slab
-
     if masked:
         m_ref, m_t, m_b, *rest = rest
     (gs_ref, gh_ref, gu_ref,

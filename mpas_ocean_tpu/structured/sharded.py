@@ -375,17 +375,12 @@ def _derived_slab(h, u, mesh_sc, rows):
     return flux, ke, q_e
 
 
-def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
-                          terms, rows, forc=None, tr=None,
-                          tropts=(0.0, 1.0), strat_w=None, masks=None,
-                          cmask=None):
-    """Stage B of the nonlinear slab step: with 1-ring-padded prognostic
-    AND derived slabs, produce the new interior rows (+ tracers when ``tr``
-    is given — the tracer flux reads the PADDED exchanged thickness flux,
-    so one derived round covers it). Same math/order as
-    structured/model.structured_step(nonlinear=True). ``masks`` pins
-    wall/dead-edge velocity to zero and masks the tracer diffusion;
-    ``cmask`` guards the tracer content/h division on culled lattices."""
+def _nl_continuity(h, flux, rts, dt, s_div, rows):
+    """New thickness/ssh on ``rows`` rows from 1-padded h/rts planes
+    (rows+2) and flux planes in the matching frame (plane row r = window
+    row r-1, as _derived_slab emits them). The continuity block of
+    _apply_slab_nonlinear, exposed so the forward-backward nonlinear step
+    can evaluate the FRESH thickness on a padded window first."""
     h_new, ssh_new = [], []
     for p in (0, 1):
         total = (
@@ -400,6 +395,25 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
         ssh_new.append(
             jnp.sum(hp, axis=-1, keepdims=True) - _interior(rts[p], rows)
         )
+    return h_new, ssh_new
+
+
+def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
+                          terms, rows, forc=None, tr=None,
+                          tropts=(0.0, 1.0), strat_w=None, masks=None,
+                          cmask=None, pg_fresh=None):
+    """Stage B of the nonlinear slab step: with 1-ring-padded prognostic
+    AND derived slabs, produce the new interior rows (+ tracers when ``tr``
+    is given — the tracer flux reads the PADDED exchanged thickness flux,
+    so one derived round covers it). Same math/order as
+    structured/model.structured_step(nonlinear=True). ``masks`` pins
+    wall/dead-edge velocity to zero and masks the tracer diffusion;
+    ``cmask`` guards the tracer content/h division on culled lattices.
+    ``pg_fresh`` (1-padded (ssh_new, h_new) plane pairs, or None) makes the
+    PRESSURE terms read those fresh fields instead of the old state — the
+    forward-backward scheme (model.structured_fb_step nonlinear branch);
+    every other term stays at the old state."""
+    h_new, ssh_new = _nl_continuity(h, flux, rts, dt, s_div, rows)
 
     def grad(cell_field):
         out = []
@@ -412,17 +426,18 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
                 )
         return out
 
+    pg_ssh, pg_h = (ssh, h) if pg_fresh is None else pg_fresh
     if strat_w is None:
-        grad_ssh, pg_scale = grad(ssh), -GRAVITY * dt
+        grad_ssh, pg_scale = grad(pg_ssh), -GRAVITY * dt
     else:
         # reshape-to-2D dot, not a rank-3 batched matmul: lowers in Mosaic
         # so the tiled nonlinear kernel can run this stage in-kernel
         phi = tuple(
-            GRAVITY * ssh[p] + jnp.dot(
-                h[p].reshape(-1, h[p].shape[-1]), strat_w,
-                preferred_element_type=h[p].dtype,
+            GRAVITY * pg_ssh[p] + jnp.dot(
+                pg_h[p].reshape(-1, pg_h[p].shape[-1]), strat_w,
+                preferred_element_type=pg_h[p].dtype,
                 precision=jax.lax.Precision.HIGHEST,
-            ).reshape(h[p].shape)
+            ).reshape(pg_h[p].shape)
             for p in (0, 1)
         )
         grad_ssh, pg_scale = grad(phi), -dt
@@ -523,7 +538,7 @@ def _apply_slab_nonlinear(ssh, h, u, flux, ke, q_e, rts, dt, inv_dc, s_div,
 def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
                   curl_scale, terms, vc_terms, ev_terms, rows, forc=None,
                   tr=None, tropts=(0.0, 1.0), strat_w=None, masks=None,
-                  cmask=None):
+                  cmask=None, fb=False):
     """One NONLINEAR (vector-invariant) forward-Euler step computed fully
     locally on TWO-halo-padded planes (rows+4) -> interior rows.
 
@@ -546,6 +561,31 @@ def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
                    vmask, kitew)
     else:
         mesh_sc = (inv_dc, ke_scale, curl_scale, f_v, vc_terms, ev_terms)
+    if fb:
+        # reach-3 forward-backward: inputs carry THREE halo rows per side
+        # (rows+6 planes). Derived fields on a 2-padded window (rows+4
+        # planes, from the full rows+6 inputs), then the FRESH
+        # thickness/ssh on a 1-padded window (rows+2) from that flux, and
+        # stage B reads the pressure from the fresh fields
+        # (model.structured_fb_step nonlinear branch) while every other
+        # term stays at the old state.
+        flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows + 4)
+        in1 = lambda t: tuple(x[1:-1] for x in t)
+        in2 = lambda t: tuple(x[2:-2] for x in t)
+        hn_pad, sshn_pad = _nl_continuity(
+            in1(h), flux, in1(rts), dt, s_div, rows + 2
+        )
+        if forc is not None:
+            forc = (in2(forc[0]), in2(forc[1]), in2(forc[2]),
+                    forc[3], forc[4], forc[5])
+        return _apply_slab_nonlinear(
+            in2(ssh), in2(h), in2(u), in1(flux), in1((ke[0], ke[1])),
+            in1(q_e), in2(rts), dt, inv_dc, s_div, terms, rows, forc,
+            in2(tr) if tr is not None else None, tropts, strat_w,
+            in2(masks) if masks is not None else None,
+            in2(cmask) if cmask is not None else None,
+            pg_fresh=(tuple(sshn_pad), tuple(hn_pad)),
+        )
     flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows + 2)
     inner = lambda t: tuple(x[1:-1] for x in t)
     if forc is not None:
@@ -1202,18 +1242,13 @@ class ShardedStructuredModel:
         import warnings
 
         from .pallas_model import _forcing_setup, _pick_row_tile, \
-            tile_window_fits
+            _reach, tile_window_fits
 
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        if nonlinear and fb:
-            raise NotImplementedError(
-                "forward-backward + nonlinear needs a 3-row-per-step "
-                "reach; use run() or the roll model for that combination"
-            )
         if nonlinear:
             self._nl_validate()
-        reach = 2 if (nonlinear or fb) else 1
+        reach = _reach(nonlinear, fb)
         R = self.rows
         ny2, nx = self.smesh.ny2, self.smesh.nx
         k = local["h"].shape[-1]
@@ -1335,7 +1370,7 @@ class ShardedStructuredModel:
     def _run_pallas_jit(self, local, f_q, rts_q, mask_q, force_q, cmask_q,
                         strat_q, fv_q, scal_t, n_steps, q, rt, tropts,
                         interpret, nl_terms=None, fb=False, objective=False):
-        from .pallas_model import _make_tiled_step_call
+        from .pallas_model import _make_tiled_step_call, _reach
 
         axis, n_parts, R = self.axes, self.n_parts, self.rows
         nx = self.smesh.nx
@@ -1349,7 +1384,7 @@ class ShardedStructuredModel:
         cell_masked = cmask_q is not None
         stratified = strat_q is not None
         nonlinear = nl_terms is not None
-        reach = 2 if (nonlinear or fb) else 1
+        reach = _reach(nonlinear, fb)
         hq = reach * q
         T = R // rt
 
@@ -1460,7 +1495,7 @@ class ShardedStructuredModel:
                 if nonlinear:
                     vc_terms, ev_terms = nl_terms
                 terms_ = terms
-                reach_ = 2 if (nonlinear or fb) else 1
+                reach_ = _reach(nonlinear, fb)
 
                 def compute_ref(cb, exts):
                     full = R + 2 * hq
@@ -1503,6 +1538,7 @@ class ShardedStructuredModel:
                                 tropts, sw,
                                 win(cb["mask"], 6) if masked else None,
                                 win(cb["cmask"], 2) if cell_masked else None,
+                                fb=fb,
                             )
                         else:
                             ssh, h, u, tr = _step_slab(

@@ -562,14 +562,50 @@ def test_pallas_tiled_nonlinear_masked_channel():
     )
 
 
-def test_pallas_tiled_nonlinear_rejects_fb_combo():
-    from mpas_ocean_tpu.structured.pallas_model import _make_tiled_step_call
+def test_pallas_tiled_nonlinear_fb_matches_roll():
+    """NONLINEAR + FORWARD-BACKWARD tiled kernel (reach-3 windows) — the
+    last stepper x physics combination, previously fenced to the roll
+    model. Pinned against structured_fb_step(nonlinear=True), fused-VMEM
+    kernel included."""
+    from mpas_ocean_tpu.structured import StructuredModel, pallas_tiled_run_loop
+    from mpas_ocean_tpu.structured.model import structured_run_loop
+    from mpas_ocean_tpu.structured.pallas_model import pallas_run_loop as prl
 
-    with pytest.raises(NotImplementedError, match="reach"):
-        _make_tiled_step_call(
-            4, 8, 2, np.float64, terms=(), rt=2, q=1,
-            nl_terms=((), ()), fb=True,
-        )
+    nx = ny = 12
+    horz = planar_hex_mesh(nx, ny, 1000.0, f0=1e-4, beta=1e-11)
+    vert = make_vertical_mesh(
+        horz, n_vert_levels=2,
+        resting_thickness=np.full((horz.n_cells, 2), 500.0),
+    )
+    mesh = Mesh(horz=horz, vert=vert).to_device()
+    sm = StructuredModel(mesh, nx, ny)
+    rng = np.random.default_rng(13)
+    h = np.full((horz.n_cells, 2), 500.0) + 0.1 * rng.normal(
+        size=(horz.n_cells, 2)
+    )
+    u = 0.01 * rng.normal(size=(horz.n_edges, 2))
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    st = sm.to_struct(prog)
+    ref = structured_run_loop(st, sm.struct_mesh, 10.0, 6, nonlinear=True,
+                              fb=True)
+    out = pallas_tiled_run_loop(
+        st, sm.struct_mesh, 10.0, 6, row_tile=3, interpret=True, q=1,
+        nonlinear=True, fb=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh),
+                               atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity), np.asarray(ref.normal_velocity),
+        atol=1e-13,
+    )
+    fused = prl(st, sm.struct_mesh, 10.0, 6, interpret=True, nonlinear=True,
+                fb=True)
+    np.testing.assert_allclose(np.asarray(fused.ssh), np.asarray(ref.ssh),
+                               atol=1e-11)
 
 
 def test_pallas_forced_adjoint_segments_match_roll_vjp():

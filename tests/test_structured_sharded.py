@@ -403,6 +403,39 @@ def test_sharded_pallas_forward_backward_matches_global(setup, n_devices, q):
     )
 
 
+@pytest.mark.parametrize("n_devices,q", [(2, 1)])
+def test_sharded_pallas_nonlinear_fb_matches_global(setup, n_devices, q):
+    """Superstep path with NONLINEAR + FORWARD-BACKWARD (reach 3: the
+    fresh-thickness pressure on top of the locally recomputed derived
+    fields) — the last stepper x physics combination, previously fenced."""
+    sm, st = setup
+    from mpas_ocean_tpu.structured.model import StructState
+
+    h = st.layer_thickness + 90.0
+    st = StructState(
+        ssh=h.sum(-1) - sm.struct_mesh.resting_thickness_sum,
+        layer_thickness=h, normal_velocity=st.normal_velocity,
+    )
+    n = 6
+    ref = structured_run_loop(st, sm.struct_mesh, 5.0, n, nonlinear=True,
+                              fb=True)
+    ssm = ShardedStructuredModel(
+        sm.struct_mesh, devices=jax.devices()[:n_devices]
+    )
+    out = ssm.gather(
+        ssm.run_pallas(ssm.scatter(st), 5.0, n, q=q, nonlinear=True, fb=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity),
+        np.asarray(ref.normal_velocity),
+        rtol=0,
+        atol=1e-13,
+    )
+
+
 def test_sharded_pallas_warns_on_reduced_q(setup):
     """An explicitly requested superstep q that cannot be honored
     (indivisible n_steps / halo limit / VMEM fit) must warn, not silently
