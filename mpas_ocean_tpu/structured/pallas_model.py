@@ -1806,81 +1806,165 @@ def _forcing_cotangent(forcing, dwind, dcoef, ny2, nx):
 # Tiled Pallas adjoint: the reverse sweep of BEYOND-VMEM rollouts.
 #
 # pallas_rollout_diff's fallback reverse replays the HBM-bound roll model
-# (~18x the tiled forward on 256x256x100). This section reverses one
-# timestep per tile in a single Pallas kernel instead: the kernel pads the
-# tile's primal window (center + q halo rows, exactly like the forward
-# tiled kernel), traces jax.vjp of the SAME q-step window function
-# in-kernel, and emits the cotangent of the whole window — center block
-# plus halo blocks, which the caller overlap-ADDS back into the global
-# cotangent (the exact transpose of the forward halo extraction). Combined
-# with two-level checkpointing (outer ckpts in HBM, inner states rebuilt
-# with the forward tiled kernel), the reverse runs at a small multiple of
-# the tiled forward's HBM traffic. Linear dynamics (with wall masks); the
-# other subsystems keep the checkpointed-roll reverse.
+# (~18x the tiled forward on 256x256x100). This section reverses q
+# timesteps per tile in a single Pallas kernel instead: the kernel pads the
+# tile's primal window (center + reach*q halo rows, exactly like the
+# forward tiled kernel), traces jax.vjp of the SAME q-step window function
+# (_window_steps) in-kernel, and emits the cotangent of the whole window —
+# center block plus halo blocks, which the caller overlap-ADDS back into
+# the global cotangent (the exact transpose of the forward halo
+# extraction). Combined with two-level checkpointing (outer ckpts in HBM,
+# inner states rebuilt with the forward tiled kernel), the reverse runs at
+# a small multiple of the tiled forward's HBM traffic. Covers EVERY
+# pallas_rollout_diff configuration: linear and nonlinear dynamics, wall
+# masks, momentum forcing (exact wind + drag/Rayleigh cotangents), tracers
+# and layered stratification — the production wind-stress-sensitivity
+# adjoint at beyond-VMEM mesh size (reference bar: the whole-loop Enzyme
+# reverse, test/enzyme/test_Enzyme_end2end.jl:78-92).
 # ---------------------------------------------------------------------------
 
 
 def _tiled_adjoint_kernel(
     scal_ref, ssh_ref, h_ref, u_ref, f_ref, rts_ref,
     ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b, *rest,
-    terms, rows, masked, q,
+    terms, rows, masked, q, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
+    cell_masked=False, stratified=False, forced=False, strat_pad=None,
 ):
     """Reverse q timesteps on one tile: primal window state at the
-    SUPERSTEP START (same operands as _tiled_step_kernel) + cotangent of
-    the new interior -> cotangent of the padded window (center + halos,
-    separate outputs) and the d(scal) contribution."""
-    if masked:
-        m_ref, m_t, m_b, *rest = rest
-    (gs_ref, gh_ref, gu_ref,
-     gs_c, gh_c, gu_c, gs_ht, gh_ht, gu_ht, gs_hb, gh_hb, gu_hb,
-     dscal_out) = rest
+    SUPERSTEP START (same operand groups as _tiled_step_kernel) + cotangent
+    of the new interior -> cotangent of the padded window (center + halo
+    blocks, separate outputs), plus the tile's d(scal) contribution and —
+    when the corresponding subsystem is on — the d(wind) window blocks and
+    the d(strat_w) contribution. The adjoint step is jax.vjp of the SAME
+    _window_steps the forward tiled kernel runs, traced in-kernel, so the
+    transpose stencils fuse on the VPU exactly like the forward ones.
+    Level-mask cotangents are not produced (compressed int index planes —
+    structural selectors, same convention as the fused adjoint segments)."""
+    reach = _reach(nl_terms is not None, False)
+    hq = reach * q
 
     def pad(center, top, bot, c):
         return jnp.concatenate([top[c], center[c], bot[c]], axis=0)
+
+    masks_full = fv_full = cm_full = None
+    wind_full = ti_full = bi_full = None
+    strat_w0 = None
+    if masked:
+        m_ref, m_t, m_b, *rest = rest
+        masks_full = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
+    if nl_terms is not None:
+        fv_ref, fv_t, fv_b, *rest = rest
+        fv_full = tuple(
+            pad(fv_ref, fv_t, fv_b, c) for c in range(fv_ref.shape[0])
+        )
+    if forced:
+        fw_ref, fw_t, fw_b, fi_ref, fi_t, fi_b, *rest = rest
+        wind_full = tuple(pad(fw_ref, fw_t, fw_b, c) for c in range(6))
+        ti_full = tuple(pad(fi_ref, fi_t, fi_b, c) for c in range(6))
+        bi_full = tuple(pad(fi_ref, fi_t, fi_b, 6 + c) for c in range(6))
+    if n_tracers:
+        t_ref, t_t, t_b, *rest = rest
+    if cell_masked:
+        cm_ref, cm_t, cm_b, *rest = rest
+        cm_full = tuple(pad(cm_ref, cm_t, cm_b, p) for p in range(2))
+    if stratified:
+        sw_ref, *rest = rest
+        strat_w0 = sw_ref[...]
+    gs_ref, gh_ref, gu_ref, *rest = rest
+    gt_ref = None
+    if n_tracers:
+        gt_ref, *rest = rest
+    (gs_c, gh_c, gu_c, gs_ht, gh_ht, gu_ht, gs_hb, gh_hb, gu_hb,
+     *rest) = rest
+    if n_tracers:
+        gt_c, gt_ht, gt_hb, *rest = rest
+    if forced:
+        dw_c, dw_ht, dw_hb, *rest = rest
+    if stratified:
+        dsw_out, *rest = rest
+    (dscal_out,) = rest
 
     ssh0 = tuple(pad(ssh_ref, ssh_t, ssh_b, p) for p in range(2))
     h0 = tuple(pad(h_ref, h_t, h_b, p) for p in range(2))
     u0 = tuple(pad(u_ref, u_t, u_b, c) for c in range(6))
     f_full = tuple(pad(f_ref, f_t, f_b, c) for c in range(6))
     rts_full = tuple(pad(rts_ref, rts_t, rts_b, p) for p in range(2))
-    if masked:
-        masks_full = tuple(pad(m_ref, m_t, m_b, c) for c in range(6))
-    full = rows + 2 * q
+    tr0 = (
+        tuple(pad(t_ref, t_t, t_b, i) for i in range(2 * n_tracers))
+        if n_tracers else None
+    )
+    full = rows + 2 * hq
 
-    def win_fn(state, scal):
-        ssh, h, u = state
-        dt = scal[0, 0]
-        inv_dc = scal[0, 1]
-        s_div = scal[0, 2]
-        for j in range(q):
-            rows_j = rows + 2 * (q - 1 - j)
-            off = j
-            win = lambda t: tuple(x[off : full - off] for x in t)
-            ssh, h, u, _ = _step_slab(
-                ssh, h, u, win(f_full), win(rts_full),
-                dt, inv_dc, s_div, terms, rows_j,
-                win(masks_full) if masked else None,
-            )
-        return ssh, h, u
+    def win_fn(state, scal, *extras):
+        ssh, h, u = state[:3]
+        tr = state[3] if n_tracers else None
+        i = 0
+        wind = None
+        if forced:
+            wind = extras[i]
+            i += 1
+        sw = None
+        if stratified:
+            sw = extras[i]
+        ssh, h, u, tr = _window_steps(
+            ssh, h, u, tr, scal,
+            f_full=f_full, rts_full=rts_full, masks_full=masks_full,
+            fv_full=fv_full, wind_full=wind, ti_full=ti_full,
+            bi_full=bi_full, cm_full=cm_full, strat_w=sw,
+            terms=terms, nl_terms=nl_terms, tropts=tropts, fb=False,
+            rows=rows, q=q, reach=reach, full=full,
+        )
+        return (ssh, h, u) + ((tr,) if n_tracers else ())
 
+    primal = (ssh0, h0, u0) + ((tr0,) if n_tracers else ())
+    extras = ()
+    if forced:
+        extras += (wind_full,)
+    if stratified:
+        extras += (strat_w0,)
     cot_end = (
         tuple(gs_ref[p] for p in range(2)),
         tuple(gh_ref[p] for p in range(2)),
         tuple(gu_ref[c] for c in range(6)),
+    ) + (
+        (tuple(gt_ref[i] for i in range(2 * n_tracers)),)
+        if n_tracers else ()
     )
-    _, vjp = jax.vjp(win_fn, (ssh0, h0, u0), scal_ref[...])
-    (cssh, ch, cu), dscal = vjp(cot_end)
+    _, vjp = jax.vjp(win_fn, primal, scal_ref[...], *extras)
+    cstate, dscal, *dex = vjp(cot_end)
+    cssh, ch, cu = cstate[:3]
     for p in range(2):
-        gs_ht[p] = cssh[p][:q]
-        gs_c[p] = cssh[p][q : q + rows]
-        gs_hb[p] = cssh[p][q + rows :]
-        gh_ht[p] = ch[p][:q]
-        gh_c[p] = ch[p][q : q + rows]
-        gh_hb[p] = ch[p][q + rows :]
+        gs_ht[p] = cssh[p][:hq]
+        gs_c[p] = cssh[p][hq : hq + rows]
+        gs_hb[p] = cssh[p][hq + rows :]
+        gh_ht[p] = ch[p][:hq]
+        gh_c[p] = ch[p][hq : hq + rows]
+        gh_hb[p] = ch[p][hq + rows :]
     for c in range(6):
-        gu_ht[c] = cu[c][:q]
-        gu_c[c] = cu[c][q : q + rows]
-        gu_hb[c] = cu[c][q + rows :]
+        gu_ht[c] = cu[c][:hq]
+        gu_c[c] = cu[c][hq : hq + rows]
+        gu_hb[c] = cu[c][hq + rows :]
+    if n_tracers:
+        ctr = cstate[3]
+        for i in range(2 * n_tracers):
+            gt_ht[i] = ctr[i][:hq]
+            gt_c[i] = ctr[i][hq : hq + rows]
+            gt_hb[i] = ctr[i][hq + rows :]
+    i = 0
+    if forced:
+        dwind = dex[i]
+        i += 1
+        for c in range(6):
+            dw_ht[c] = dwind[c][:hq]
+            dw_c[c] = dwind[c][hq : hq + rows]
+            dw_hb[c] = dwind[c][hq + rows :]
+    if stratified:
+        dsw = dex[i]
+        pr, pc = strat_pad
+        # zero-padded to the (8, 128)-divisible block; caller slices back
+        dsw_out[...] = jax.lax.dynamic_update_slice(
+            jnp.zeros((1, pr, pc), dsw.dtype), dsw[None], (0, 0, 0)
+        )
     # (1, 8, 128) lane-padded block: a (1, 8) output violates Mosaic's
     # (8, 128)-divisible block rule
     dscal_out[...] = jnp.broadcast_to(dscal.reshape(1, 8, 1), (1, 8, 128))
@@ -1888,16 +1972,32 @@ def _tiled_adjoint_kernel(
 
 def _make_tiled_adjoint_call(
     n_rows: int, nx: int, k: int, dtype, *, terms, rt: int, q: int,
-    masked=False, interpret=False,
+    masked=False, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
+    cell_masked=False, strat_shape=None, forced=False, interpret=False,
 ):
     """Build the per-tile reverse pallas_call. Operand order mirrors
     _make_tiled_step_call's (scal; state centers; top halos; bottom halos;
-    mask triplet), then the end-cotangent center blocks. Outputs: cotangent
-    center blocks, top-halo blocks, bottom-halo blocks (for ssh/h/u) and
-    the per-tile d(scal)."""
+    then the optional groups in the same order — mask, f_vertex, wind +
+    level-index, tracers, cell-mask, stratification weights), then the
+    end-cotangent center blocks (ssh, h, u[, tracers]). Outputs: cotangent
+    center + top-halo + bottom-halo blocks for ssh/h/u[, tracers], then
+    [d(wind) center + halo blocks], [per-tile d(strat_w)], per-tile
+    d(scal)."""
+    nonlinear = nl_terms is not None
+    stratified = strat_shape is not None
+    reach = _reach(nonlinear, False)
+    hq = reach * q
     n_tiles = n_rows // rt
+    strat_pad = None
+    if stratified:
+        strat_pad = (
+            -(-strat_shape[0] // 8) * 8, -(-strat_shape[1] // 128) * 128,
+        )
     kernel = functools.partial(
         _tiled_adjoint_kernel, terms=terms, rows=rt, masked=masked, q=q,
+        nl_terms=nl_terms, n_tracers=n_tracers, tropts=tropts,
+        cell_masked=cell_masked, stratified=stratified, forced=forced,
+        strat_pad=strat_pad,
     )
 
     def center_spec(planes, r, tr):
@@ -1908,7 +2008,7 @@ def _make_tiled_adjoint_call(
 
     def halo_spec(planes, tr):
         return pl.BlockSpec(
-            (planes, q, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+            (planes, hq, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -1929,29 +2029,66 @@ def _make_tiled_adjoint_call(
     ] + group() + group()
     if masked:
         in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+    if nonlinear:
+        nl_p = 4 + ((4 + len(nl_terms[0])) if masked else 0)
+        in_specs += [center_spec(nl_p, rt, 1), halo_spec(nl_p, 1),
+                     halo_spec(nl_p, 1)]
+    if forced:
+        in_specs += [
+            center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1),
+            center_spec(12, rt, 1), halo_spec(12, 1), halo_spec(12, 1),
+        ]
+    nt2 = 2 * n_tracers
+    if n_tracers:
+        in_specs += [center_spec(nt2, rt, k), halo_spec(nt2, k),
+                     halo_spec(nt2, k)]
+    if cell_masked:
+        in_specs += [center_spec(2, rt, 1), halo_spec(2, 1), halo_spec(2, 1)]
+    if stratified:
+        in_specs += [pl.BlockSpec(strat_shape, lambda t: (t * 0, t * 0),
+                                  memory_space=pltpu.VMEM)]
     in_specs += [
         center_spec(2, rt, 1),   # cot ssh (interior)
         center_spec(2, rt, k),   # cot h
         center_spec(6, rt, k),   # cot u
     ]
+    if n_tracers:
+        in_specs += [center_spec(nt2, rt, k)]
+
     sds = lambda planes, r, tr: jax.ShapeDtypeStruct(
         (planes, r, nx, tr), dtype
     )
     out_shape = [
         sds(2, n_rows, 1), sds(2, n_rows, k), sds(6, n_rows, k),
-        sds(2, n_tiles * q, 1), sds(2, n_tiles * q, k),
-        sds(6, n_tiles * q, k),
-        sds(2, n_tiles * q, 1), sds(2, n_tiles * q, k),
-        sds(6, n_tiles * q, k),
-        jax.ShapeDtypeStruct((n_tiles, 8, 128), dtype),
+        sds(2, n_tiles * hq, 1), sds(2, n_tiles * hq, k),
+        sds(6, n_tiles * hq, k),
+        sds(2, n_tiles * hq, 1), sds(2, n_tiles * hq, k),
+        sds(6, n_tiles * hq, k),
     ]
     out_specs = [
         center_spec(2, rt, 1), center_spec(2, rt, k), center_spec(6, rt, k),
         halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
         halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
-        pl.BlockSpec((1, 8, 128), lambda t: (t, t * 0, t * 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if n_tracers:
+        out_shape += [sds(nt2, n_rows, k), sds(nt2, n_tiles * hq, k),
+                      sds(nt2, n_tiles * hq, k)]
+        out_specs += [center_spec(nt2, rt, k), halo_spec(nt2, k),
+                      halo_spec(nt2, k)]
+    if forced:
+        out_shape += [sds(6, n_rows, 1), sds(6, n_tiles * hq, 1),
+                      sds(6, n_tiles * hq, 1)]
+        out_specs += [center_spec(6, rt, 1), halo_spec(6, 1),
+                      halo_spec(6, 1)]
+    if stratified:
+        pr, pc = strat_pad
+        out_shape += [jax.ShapeDtypeStruct((n_tiles, pr, pc), dtype)]
+        out_specs += [pl.BlockSpec((1, pr, pc),
+                                   lambda t: (t, t * 0, t * 0),
+                                   memory_space=pltpu.VMEM)]
+    out_shape += [jax.ShapeDtypeStruct((n_tiles, 8, 128), dtype)]
+    out_specs += [pl.BlockSpec((1, 8, 128), lambda t: (t, t * 0, t * 0),
+                               memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1965,16 +2102,16 @@ def _make_tiled_adjoint_call(
     )
 
 
-def _halo_unscatter(cot_global, cot_top, cot_bot, rt: int, q: int):
+def _halo_unscatter(cot_global, cot_top, cot_bot, rt: int, hq: int):
     """Transpose of the forward halo extraction: overlap-ADD the per-tile
     halo-block cotangents back into the global cotangent plane stack.
-    Tile t's top halo rows are global rows (t*rt - q .. t*rt - 1) mod ny2,
-    bottom rows ((t+1)*rt .. (t+1)*rt + q - 1) mod ny2."""
+    Tile t's top halo rows are global rows (t*rt - hq .. t*rt - 1) mod ny2,
+    bottom rows ((t+1)*rt .. (t+1)*rt + hq - 1) mod ny2."""
     planes, ny2 = cot_global.shape[0], cot_global.shape[1]
     n_tiles = ny2 // rt
 
     def add_rows(y, blocks, offsets):
-        stacked = blocks.reshape(planes, n_tiles, q, *blocks.shape[2:])
+        stacked = blocks.reshape(planes, n_tiles, hq, *blocks.shape[2:])
         for j, off in enumerate(offsets):
             o = off % rt
             sh = ((off - o) // rt) % n_tiles
@@ -1987,47 +2124,57 @@ def _halo_unscatter(cot_global, cot_top, cot_bot, rt: int, q: int):
             y = y.at[:, o::rt].add(v)
         return y
 
-    cot_global = add_rows(cot_global, cot_top, range(-q, 0))
-    cot_global = add_rows(cot_global, cot_bot, range(rt, rt + q))
+    cot_global = add_rows(cot_global, cot_top, range(-hq, 0))
+    cot_global = add_rows(cot_global, cot_bot, range(rt, rt + hq))
     return cot_global
 
 
 def _pallas_tiled_adjoint(
     scal_t, ssh0, h0, u0, f_edge, rts, cot0, mask=None, *,
-    terms, row_tile, n_steps, b, interpret, q=1,
+    terms, row_tile, n_steps, b, interpret, q=1, f_vert=None, fwind=None,
+    fidx=None, tracers0=None, cmask=None, strat_w=None, tropts=(0.0, 1.0),
+    nl_terms=None,
 ):
     """Reverse an n-step tiled rollout: forward for the outer checkpoints,
     then the reverse sweep. Convenience wrapper over _tiled_fwd_ckpts +
     _tiled_adjoint_from_ckpts (pallas_rollout_diff saves the checkpoints
-    during its own forward instead). Returns (cot ssh/h/u at t=0, d_scal)."""
+    during its own forward instead). Returns (cot state tuple at t=0,
+    d_scal, d_wind-or-None, d_strat_w-or-None)."""
     _, ckpts = _tiled_fwd_ckpts(
-        scal_t, ssh0, h0, u0, f_edge, rts, mask,
+        scal_t, ssh0, h0, u0, f_edge, rts, mask, f_vert, fwind, fidx,
+        tracers0, cmask, strat_w,
         terms=terms, row_tile=row_tile, n_steps=n_steps, b=b,
-        interpret=interpret, q=q,
+        interpret=interpret, q=q, tropts=tropts, nl_terms=nl_terms,
     )
     return _tiled_adjoint_from_ckpts(
-        scal_t, ckpts, f_edge, rts, cot0, mask,
+        scal_t, ckpts, f_edge, rts, cot0, mask, f_vert, fwind, fidx,
+        cmask, strat_w,
         terms=terms, row_tile=row_tile, n_steps=n_steps, b=b,
-        interpret=interpret, q=q,
+        interpret=interpret, q=q, tropts=tropts, nl_terms=nl_terms,
     )
 
 
 def _tiled_calls(ny2, nx, k, dtype, mask, *, terms, rt, q, interpret,
-                 adjoint):
+                 adjoint, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
+                 cell_masked=False, strat_shape=None, forced=False):
     fwd_call = _make_tiled_step_call(
-        ny2, nx, k, dtype, terms=terms, rt=rt, q=q,
-        masked=mask is not None, interpret=interpret,
+        ny2, nx, k, dtype, terms=terms, rt=rt, q=q, tropts=tropts,
+        masked=mask is not None, forced=forced, n_tracers=n_tracers,
+        cell_masked=cell_masked, strat_shape=strat_shape,
+        interpret=interpret, nl_terms=nl_terms,
     )
     adj_call = None
     if adjoint:
         adj_call = _make_tiled_adjoint_call(
             ny2, nx, k, dtype, terms=terms, rt=rt, q=q,
-            masked=mask is not None, interpret=interpret,
+            masked=mask is not None, nl_terms=nl_terms,
+            n_tracers=n_tracers, tropts=tropts, cell_masked=cell_masked,
+            strat_shape=strat_shape, forced=forced, interpret=interpret,
         )
     return fwd_call, adj_call
 
 
-def _tile_halo_fns(rt, q, n_tiles):
+def _tile_halo_fns(rt, hq, n_tiles):
     def halos(x):
         def rows_at(offsets):
             cols = []
@@ -2045,48 +2192,101 @@ def _tile_halo_fns(rt, q, n_tiles):
                 x.shape[0], n_tiles * len(offsets), *x.shape[2:]
             )
 
-        return rows_at(range(-q, 0)), rows_at(range(rt, rt + q))
+        return rows_at(range(-hq, 0)), rows_at(range(rt, rt + hq))
 
     return halos
 
 
+def _tiled_superstep_args(
+    scal_t, carry, halos, f_edge, rts, f_t, f_b, rts_t, rts_b, consts,
+):
+    """Assemble one tiled superstep's argument tuple in
+    _make_tiled_step_call / _make_tiled_adjoint_call operand order.
+    ``consts`` is the dict of optional constant operands + their
+    precomputed halo blocks (None members skipped)."""
+    ssh_c, h_c, u_c = carry[:3]
+    ssh_t, ssh_b = halos(ssh_c)
+    h_t, h_b = halos(h_c)
+    u_t, u_b = halos(u_c)
+    args = (
+        scal_t, ssh_c, h_c, u_c, f_edge, rts,
+        ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
+    )
+    if consts["mask"] is not None:
+        args += (consts["mask"], consts["m_t"], consts["m_b"])
+    if consts["f_vert"] is not None:
+        args += (consts["f_vert"], consts["fv_t"], consts["fv_b"])
+    if consts["fwind"] is not None:
+        args += (consts["fwind"], consts["fw_t"], consts["fw_b"],
+                 consts["fidx"], consts["fi_t"], consts["fi_b"])
+    if len(carry) == 4:
+        t_c = carry[3]
+        t_t, t_b = halos(t_c)
+        args += (t_c, t_t, t_b)
+    if consts["cmask"] is not None:
+        args += (consts["cmask"], consts["cm_t"], consts["cm_b"])
+    if consts["strat_w"] is not None:
+        args += (consts["strat_w"],)
+    return args
+
+
+def _tiled_consts(halos, mask, f_vert, fwind, fidx, cmask, strat_w):
+    consts = {"mask": mask, "f_vert": f_vert, "fwind": fwind, "fidx": fidx,
+              "cmask": cmask, "strat_w": strat_w}
+    if mask is not None:
+        consts["m_t"], consts["m_b"] = halos(mask)
+    if f_vert is not None:
+        consts["fv_t"], consts["fv_b"] = halos(f_vert)
+    if fwind is not None:
+        consts["fw_t"], consts["fw_b"] = halos(fwind)
+        consts["fi_t"], consts["fi_b"] = halos(fidx)
+    if cmask is not None:
+        consts["cm_t"], consts["cm_b"] = halos(cmask)
+    return consts
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("terms", "row_tile", "n_steps", "b", "interpret", "q"),
+    static_argnames=("terms", "row_tile", "n_steps", "b", "interpret", "q",
+                     "tropts", "nl_terms"),
 )
 def _tiled_fwd_ckpts(
-    scal_t, ssh0, h0, u0, f_edge, rts, mask=None, *,
-    terms, row_tile, n_steps, b, interpret, q=1,
+    scal_t, ssh0, h0, u0, f_edge, rts, mask=None, f_vert=None, fwind=None,
+    fidx=None, tracers0=None, cmask=None, strat_w=None, *,
+    terms, row_tile, n_steps, b, interpret, q=1, tropts=(0.0, 1.0),
+    nl_terms=None,
 ):
     """Tiled forward emitting the state at the start of each b-superstep
     group (the outer checkpoints the tiled reverse needs). Per-step values
     are bitwise identical to the plain tiled rollout — same window math
-    per row."""
+    per row. Covers every tiled configuration (masks, nonlinear, forcing,
+    tracers, stratification)."""
     rt = row_tile
     ny2, nx, k = h0.shape[1], h0.shape[2], h0.shape[3]
     n_tiles = ny2 // rt
     assert n_steps % q == 0 and (n_steps // q) % b == 0
     m = (n_steps // q) // b
     dtype = h0.dtype
-    fwd_call, _ = _tiled_calls(ny2, nx, k, dtype, mask, terms=terms, rt=rt,
-                               q=q, interpret=interpret, adjoint=False)
-    halos = _tile_halo_fns(rt, q, n_tiles)
+    n_tr = 0 if tracers0 is None else tracers0.shape[0] // 2
+    reach = _reach(nl_terms is not None, False)
+    hq = reach * q
+    fwd_call, _ = _tiled_calls(
+        ny2, nx, k, dtype, mask, terms=terms, rt=rt, q=q,
+        interpret=interpret, adjoint=False, nl_terms=nl_terms,
+        n_tracers=n_tr, tropts=tropts, cell_masked=cmask is not None,
+        strat_shape=None if strat_w is None else strat_w.shape,
+        forced=fwind is not None,
+    )
+    halos = _tile_halo_fns(rt, hq, n_tiles)
     f_t, f_b = halos(f_edge)
     rts_t, rts_b = halos(rts)
-    if mask is not None:
-        m_t, m_b = halos(mask)
+    consts = _tiled_consts(halos, mask, f_vert, fwind, fidx, cmask, strat_w)
 
     def fwd_superstep(carry):
-        ssh_c, h_c, u_c = carry
-        ssh_t, ssh_b = halos(ssh_c)
-        h_t, h_b = halos(h_c)
-        u_t, u_b = halos(u_c)
-        args = (
-            scal_t, ssh_c, h_c, u_c, f_edge, rts,
-            ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
+        args = _tiled_superstep_args(
+            scal_t, carry, halos, f_edge, rts, f_t, f_b, rts_t, rts_b,
+            consts,
         )
-        if mask is not None:
-            args += (mask, m_t, m_b)
         return tuple(fwd_call(*args))
 
     def fwd_outer(c, _):
@@ -2098,22 +2298,28 @@ def _tiled_fwd_ckpts(
         c, _ = jax.lax.scan(inner, c, length=b)
         return c, start
 
-    final, outer_ckpts = jax.lax.scan(fwd_outer, (ssh0, h0, u0), length=m)
+    init = (ssh0, h0, u0) + ((tracers0,) if n_tr else ())
+    final, outer_ckpts = jax.lax.scan(fwd_outer, init, length=m)
     return final, outer_ckpts
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("terms", "row_tile", "n_steps", "b", "interpret", "q"),
+    static_argnames=("terms", "row_tile", "n_steps", "b", "interpret", "q",
+                     "tropts", "nl_terms"),
 )
 def _tiled_adjoint_from_ckpts(
-    scal_t, outer_ckpts, f_edge, rts, cot0, mask=None, *,
-    terms, row_tile, n_steps, b, interpret, q=1,
+    scal_t, outer_ckpts, f_edge, rts, cot0, mask=None, f_vert=None,
+    fwind=None, fidx=None, cmask=None, strat_w=None, *,
+    terms, row_tile, n_steps, b, interpret, q=1, tropts=(0.0, 1.0),
+    nl_terms=None,
 ):
     """Reverse sweep given the outer checkpoints: per group (reversed),
     rebuild the b superstep-start states with the forward tiled kernel
     into HBM, then reverse-scan the per-tile window-adjoint kernel over
-    them with halo overlap-add. Returns (cot ssh/h/u at t=0, d_scal)."""
+    them with halo overlap-add. Returns (cot state tuple at t=0, d_scal
+    (8,), d_wind-or-None, d_strat_w-or-None) — the d(drag/Rayleigh)
+    cotangents ride d_scal slots 3-5 (_tiled_scal layout)."""
     rt = row_tile
     ny2, nx, k = outer_ckpts[1].shape[2], outer_ckpts[1].shape[3], \
         outer_ckpts[1].shape[4]
@@ -2122,53 +2328,60 @@ def _tiled_adjoint_from_ckpts(
     n_ss = n_steps // q
     assert n_ss % b == 0
     dtype = outer_ckpts[1].dtype
+    forced = fwind is not None
+    stratified = strat_w is not None
+    with_tr = len(outer_ckpts) == 4
+    n_tr = outer_ckpts[3].shape[1] // 2 if with_tr else 0
+    reach = _reach(nl_terms is not None, False)
+    hq = reach * q
     fwd_call, adj_call = _tiled_calls(
         ny2, nx, k, dtype, mask, terms=terms, rt=rt, q=q,
-        interpret=interpret, adjoint=True,
+        interpret=interpret, adjoint=True, nl_terms=nl_terms,
+        n_tracers=n_tr, tropts=tropts, cell_masked=cmask is not None,
+        strat_shape=None if strat_w is None else strat_w.shape,
+        forced=forced,
     )
-    halos = _tile_halo_fns(rt, q, n_tiles)
+    halos = _tile_halo_fns(rt, hq, n_tiles)
     f_t, f_b = halos(f_edge)
     rts_t, rts_b = halos(rts)
-    if mask is not None:
-        m_t, m_b = halos(mask)
+    consts = _tiled_consts(halos, mask, f_vert, fwind, fidx, cmask, strat_w)
 
     def fwd_superstep(carry):
-        ssh_c, h_c, u_c = carry
-        ssh_t, ssh_b = halos(ssh_c)
-        h_t, h_b = halos(h_c)
-        u_t, u_b = halos(u_c)
-        args = (
-            scal_t, ssh_c, h_c, u_c, f_edge, rts,
-            ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
+        args = _tiled_superstep_args(
+            scal_t, carry, halos, f_edge, rts, f_t, f_b, rts_t, rts_b,
+            consts,
         )
-        if mask is not None:
-            args += (mask, m_t, m_b)
         return tuple(fwd_call(*args))
 
     def rev_superstep(ck, cot):
         """One reverse superstep given the primal state at its start."""
-        ssh_c, h_c, u_c = ck
-        gs, gh, gu = cot
-        ssh_t, ssh_b = halos(ssh_c)
-        h_t, h_b = halos(h_c)
-        u_t, u_b = halos(u_c)
-        args = (
-            scal_t, ssh_c, h_c, u_c, f_edge, rts,
-            ssh_t, h_t, u_t, f_t, rts_t, ssh_b, h_b, u_b, f_b, rts_b,
+        args = _tiled_superstep_args(
+            scal_t, ck, halos, f_edge, rts, f_t, f_b, rts_t, rts_b, consts,
         )
-        if mask is not None:
-            args += (mask, m_t, m_b)
-        args += (gs, gh, gu)
+        args += tuple(cot)
         out = adj_call(*args)
-        (gs_c, gh_c, gu_c, gs_ht, gh_ht, gu_ht, gs_hb, gh_hb, gu_hb,
-         dsc) = out
-        gs_n = _halo_unscatter(gs_c, gs_ht, gs_hb, rt, q)
-        gh_n = _halo_unscatter(gh_c, gh_ht, gh_hb, rt, q)
-        gu_n = _halo_unscatter(gu_c, gu_ht, gu_hb, rt, q)
-        return (gs_n, gh_n, gu_n), dsc[:, :, 0].sum(axis=0)
+        gs_n = _halo_unscatter(out[0], out[3], out[6], rt, hq)
+        gh_n = _halo_unscatter(out[1], out[4], out[7], rt, hq)
+        gu_n = _halo_unscatter(out[2], out[5], out[8], rt, hq)
+        new_cot = (gs_n, gh_n, gu_n)
+        pos = 9
+        if n_tr:
+            new_cot += (_halo_unscatter(out[9], out[10], out[11], rt, hq),)
+            pos = 12
+        dwind_j = dsw_j = None
+        if forced:
+            dwind_j = _halo_unscatter(
+                out[pos], out[pos + 1], out[pos + 2], rt, hq
+            )
+            pos += 3
+        if stratified:
+            dsw_j = out[pos][:, : strat_w.shape[0],
+                             : strat_w.shape[1]].sum(axis=0)
+            pos += 1
+        return new_cot, out[pos][:, :, 0].sum(axis=0), dwind_j, dsw_j
 
     def rev_outer(carry, ck_start):
-        cot, dscal = carry
+        cot, dscal, dwind, dsw = carry
 
         # rebuild the b superstep-start states of this group into HBM
         def inner(c2, _):
@@ -2176,20 +2389,27 @@ def _tiled_adjoint_from_ckpts(
         _, states = jax.lax.scan(inner, ck_start, length=b)
 
         def rev_inner(carry2, st):
-            cot2, d2 = carry2
-            cot2, dj = rev_superstep(st, cot2)
-            return (cot2, d2 + dj), None
+            cot2, d2, dw2, ds2 = carry2
+            cot2, dj, dwj, dsj = rev_superstep(st, cot2)
+            if forced:
+                dw2 = dw2 + dwj
+            if stratified:
+                ds2 = ds2 + dsj
+            return (cot2, d2 + dj, dw2, ds2), None
 
-        (cot, dscal), _ = jax.lax.scan(
-            rev_inner, (cot, dscal), states, reverse=True
+        (cot, dscal, dwind, dsw), _ = jax.lax.scan(
+            rev_inner, (cot, dscal, dwind, dsw), states, reverse=True
         )
-        return (cot, dscal), None
+        return (cot, dscal, dwind, dsw), None
 
-    (cot, dscal), _ = jax.lax.scan(
-        rev_outer, (tuple(cot0), jnp.zeros((8,), dtype)), outer_ckpts,
-        reverse=True,
+    dwind0 = jnp.zeros_like(fwind) if forced else None
+    dsw0 = jnp.zeros_like(strat_w) if stratified else None
+    (cot, dscal, dwind, dsw), _ = jax.lax.scan(
+        rev_outer,
+        (tuple(cot0), jnp.zeros((8,), dtype), dwind0, dsw0),
+        outer_ckpts, reverse=True,
     )
-    return cot, dscal
+    return cot, dscal, dwind, dsw
 
 
 def _checkpointed_roll_rollout(
@@ -2247,54 +2467,116 @@ def pallas_rollout_diff(
     )
 
 
+def _adj_window_planes(q: int, n_tracers: int = 0, nonlinear: bool = False,
+                       forced: bool = False, stratified: bool = False) -> int:
+    """Plane-equivalent VMEM model of the tiled ADJOINT window: the padded
+    forward window + q steps of in-kernel vjp residuals + the cotangent
+    window buffers. The linear q=1 point (100 planes -> rt=4 on
+    256x256x100 f32) is CALIBRATED on v5e Mosaic compile success (round-4
+    sweep); the per-subsystem increments mirror the fused-segment plan's
+    measured ratios (_adjoint_plan)."""
+    per = 90 if nonlinear else 45
+    per += 26 * n_tracers
+    if forced:
+        per += 16
+    if stratified:
+        per += 6
+    return 55 + q * per
+
+
+# reverse-side temporal-blocking order tried by _tiled_adjoint_plan: q=1
+# first (calibrated); flipped to prefer deeper blocking only if the
+# on-chip sweep shows it pays (bench tiled-adjoint roofline entry).
+_ADJ_Q_ORDER = (1,)
+
+
 def _tiled_adjoint_plan(state: StructState, mesh: StructMesh,
                         n_steps: int, nonlinear, tracer_on, strat, forcing,
                         fb: bool = False):
     """(rt, q, b) when the tiled Pallas adjoint applies (beyond-VMEM
-    linear rollouts, wall masks OK), else None. The adjoint window holds
-    the in-kernel vjp residuals on top of the forward working set, so its
-    row tile comes from a heavier plane model (calibrated on v5e)."""
-    if not _route_tpu():
+    rollouts on TPU — linear, NONLINEAR, FORCED, tracer-carrying and
+    stratified, wall masks OK), else None. The adjoint window holds the
+    in-kernel vjp residuals on top of the forward working set, so its row
+    tile comes from the heavier _adj_window_planes model."""
+    if not _route_tpu() or fb:
         return None
-    if nonlinear or fb or strat is not None or forcing is not None:
-        return None
-    if tracer_on:
-        return None
+    n_tr = 0 if state.tracers is None else state.tracers.shape[3]
     k = state.layer_thickness.shape[-1]
     itemsize = state.layer_thickness.dtype.itemsize
-    if fits_in_vmem(mesh, k, itemsize):
+    forced = forcing is not None
+    if fits_in_vmem(mesh, k, itemsize, n_tr, forced):
         return None  # the fused-VMEM adjoint segments handle this size
-    q = 1
-    # ~100 plane-equivalents: forward window + one step of vjp residuals
-    # (CALIBRATED on v5e 256x256x100: rt=4/q=1 compiles, rt=8/q=1 and
-    # rt=4/q=2 exceed VMEM; rt=4 also measured fastest of what compiles)
+    if forced:
+        try:
+            _forcing_setup(forcing, mesh.ny2, mesh.nx,
+                           state.layer_thickness.dtype)
+        except NotImplementedError:
+            return None  # general (non-one-hot) level masks: roll reverse
+    reach = 2 if nonlinear else 1
     k_pad = -(-k // 128) * 128
     plane = mesh.nx * k_pad * itemsize
     limit = int(0.9 * _VMEM_BUDGET)
-    rt = 0
-    for t in range(1, mesh.ny2 + 1):
-        if mesh.ny2 % t:
+
+    def pick_rt(q_c):
+        planes = _adj_window_planes(q_c, n_tr, nonlinear, forced,
+                                    strat is not None)
+        for t in range(1, mesh.ny2 + 1):
+            if mesh.ny2 % t:
+                continue
+            cand = mesh.ny2 // t
+            if planes * (cand + 2 * reach * q_c) * plane <= limit:
+                return cand
+        return 0
+
+    rt = q = 0
+    for q_c in _ADJ_Q_ORDER:
+        if n_steps % q_c:
             continue
-        cand = mesh.ny2 // t
-        if 100 * (cand + 2 * q) * plane <= limit:
-            rt = cand
+        cand = pick_rt(q_c)
+        if cand >= 1 and (q_c == 1 or cand >= 2 * reach * q_c):
+            rt, q = cand, q_c
             break
     if rt < 1:
         return None
-    # b supersteps per outer checkpoint group: the OUTER checkpoint stack
-    # (m = n_ss/b superstep-start states _tiled_fwd_ckpts emits to HBM) and
-    # the INNER rebuilt states (b per group, stacked by the reverse sweep)
-    # are BOTH resident, so balance their sum — b near sqrt(n_ss), which a
-    # one-sided cap on b alone inverts into an O(n_ss) outer stack for long
-    # rollouts. If even the balanced plan exceeds the HBM budget, bail to
-    # the checkpointed-roll reverse (O(sqrt) memory) instead of OOMing.
-    state_bytes = (2 + 8 * k) * mesh.ny2 * mesh.nx * itemsize
+    # balanced two-level checkpoints: the outer stack (m = n_ss/b states)
+    # and one group's rebuilt inner states (b) are both HBM-resident, so
+    # pick b near sqrt(n_ss); bail to the checkpointed-roll reverse when
+    # even the balanced plan exceeds the HBM budget.
+    state_bytes = (
+        (2 + (8 + 2 * n_tr) * k) * mesh.ny2 * mesh.nx * itemsize
+    )
     n_ss = n_steps // q
     divs = [d for d in range(1, n_ss + 1) if n_ss % d == 0]
     b = min(divs, key=lambda d: (n_ss // d) + d)
     if ((n_ss // b) + b + 4) * state_bytes > _ADJ_HBM_BUDGET:
         return None
     return rt, q, b
+
+
+def _tiled_diff_operands(state, mesh, dt, nonlinear, tracer_kappa,
+                         tracer_upwind, strat, forcing):
+    """Operand set shared by _rollout_fwd's tiled forward and
+    _rollout_bwd's tiled reverse (must match exactly — the reverse
+    re-derives what the forward saved checkpoints against)."""
+    ny2, nx = mesh.ny2, mesh.nx
+    k = state.layer_thickness.shape[-1]
+    dtype = state.layer_thickness.dtype
+    f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
+    rts = mesh.resting_thickness_sum[..., None].astype(dtype)
+    mask_op = (
+        None if mesh.edge_mask is None
+        else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+    )
+    nl_terms, f_vert = _nl_setup(mesh, dtype, nonlinear)
+    tr, cmask, tropts = _tracer_setup(
+        state, mesh, dtype, tracer_kappa, tracer_upwind
+    )
+    cmask = None if cmask is None else cmask.reshape(2, ny2, nx, 1)
+    sw = _strat_w(strat, dtype)
+    fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
+    scal_t = _tiled_scal(mesh, dt, dtype, forcing, nonlinear)
+    return (scal_t, f_edge, rts, mask_op, f_vert, fwind, fidx, tr, cmask,
+            sw, nl_terms, tropts)
 
 
 def _fast_adjoint_plan(state: StructState, mesh: StructMesh, n_steps: int,
@@ -2322,30 +2604,34 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
             strat, forcing,
         )
         if tplan is not None:
-            # beyond-VMEM linear rollout on TPU: tiled forward SAVING the
-            # outer checkpoints the tiled Pallas reverse consumes
+            # beyond-VMEM rollout on TPU (every subsystem): tiled forward
+            # SAVING the outer checkpoints the tiled Pallas reverse
+            # consumes
             rt, qt, bt = tplan
             ny2, nx = mesh.ny2, mesh.nx
             k = state.layer_thickness.shape[-1]
-            dtype = state.layer_thickness.dtype
-            f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
-            rts = mesh.resting_thickness_sum[..., None].astype(dtype)
-            mask_op = (
-                None if mesh.edge_mask is None
-                else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+            n_tr = 0 if state.tracers is None else state.tracers.shape[3]
+            (scal_t, f_edge, rts, mask_op, f_vert, fwind, fidx, tr, cmask,
+             sw, nl_terms, tropts) = _tiled_diff_operands(
+                state, mesh, dt, nonlinear, tracer_kappa, tracer_upwind,
+                strat, forcing,
             )
             final, ckpts_t = _tiled_fwd_ckpts(
-                _tiled_scal(mesh, dt, dtype),
+                scal_t,
                 state.ssh[..., None], state.layer_thickness,
                 state.normal_velocity.reshape(6, ny2, nx, k),
-                f_edge, rts, mask_op,
+                f_edge, rts, mask_op, f_vert, fwind, fidx, tr, cmask, sw,
                 terms=mesh.coriolis_terms, row_tile=rt, n_steps=n_steps,
-                b=bt, interpret=_interp(), q=qt,
+                b=bt, interpret=_interp(), q=qt, tropts=tropts,
+                nl_terms=nl_terms,
             )
             out = StructState(
                 ssh=final[0][..., 0],
                 layer_thickness=final[1],
                 normal_velocity=final[2].reshape(3, 2, ny2, nx, k),
+                tracers=(
+                    _tr_unplanes(final[3], ny2, nx, k) if n_tr else None
+                ),
             )
             return out, (None, ckpts_t, state, mesh, dt, strat, forcing)
         out = pallas_rollout_diff(
@@ -2430,9 +2716,9 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
             d_forcing = _forcing_cotangent(forcing, dwind, dcoef, ny2, nx)
         return (d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat,
                 d_forcing)
-    # beyond-VMEM linear rollouts on TPU: tiled Pallas adjoint (per-tile
-    # window vjp kernels + halo overlap-add) over the outer checkpoints the
-    # forward saved — instead of the HBM-bound roll replay
+    # beyond-VMEM rollouts on TPU (every subsystem): tiled Pallas adjoint
+    # (per-tile window vjp kernels + halo overlap-add) over the outer
+    # checkpoints the forward saved — instead of the HBM-bound roll replay
     if ckpts_t is not None:
         rt, q, b = _tiled_adjoint_plan(
             state, mesh, n_steps, nonlinear, state.tracers is not None,
@@ -2440,29 +2726,42 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
         )
         ny2, nx = mesh.ny2, mesh.nx
         k = state.layer_thickness.shape[-1]
+        n_tr = 0 if state.tracers is None else state.tracers.shape[3]
         dtype = state.layer_thickness.dtype
-        f_edge = mesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
-        rts = mesh.resting_thickness_sum[..., None].astype(dtype)
-        mask_op = (
-            None if mesh.edge_mask is None
-            else mesh.edge_mask.reshape(6, ny2, nx, 1).astype(dtype)
+        (scal_t, f_edge, rts, mask_op, f_vert, fwind, fidx, _tr_op, cmask,
+         sw, nl_terms, tropts) = _tiled_diff_operands(
+            state, mesh, dt, nonlinear, tracer_kappa, tracer_upwind,
+            strat, forcing,
         )
         cot0 = (
             g.ssh[..., None].astype(dtype),
             g.layer_thickness.astype(dtype),
             g.normal_velocity.reshape(6, ny2, nx, k).astype(dtype),
         )
-        cot, dscal = _tiled_adjoint_from_ckpts(
-            _tiled_scal(mesh, dt, dtype), ckpts_t, f_edge, rts, cot0,
-            mask_op,
+        if n_tr:
+            cot0 += (_tr_planes(g.tracers.astype(dtype), ny2, nx, k),)
+        cot, dscal, dwind, dsw = _tiled_adjoint_from_ckpts(
+            scal_t, ckpts_t, f_edge, rts, cot0, mask_op, f_vert, fwind,
+            fidx, cmask, sw,
             terms=mesh.coriolis_terms, row_tile=rt, n_steps=n_steps, b=b,
-            interpret=_interp(), q=q,
+            interpret=_interp(), q=q, tropts=tropts, nl_terms=nl_terms,
         )
         d_state = _cot_from_planes(cot, ny2, nx, k)
         d_dt = dscal[0].astype(jnp.asarray(dt).dtype)
-        return (d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, None,
-                None)
-    # fallback (CPU / forced-etc. runs): sqrt-checkpointed
+        d_strat = None
+        if strat is not None:
+            d_strat = strat.replace(
+                phi_weights=dsw.astype(strat.phi_weights.dtype),
+                densities=jnp.zeros_like(strat.densities),
+            )
+        d_forcing = None
+        if forcing is not None:
+            d_forcing = _forcing_cotangent(
+                forcing, dwind, dscal[3:6].reshape(1, 3), ny2, nx
+            )
+        return (d_state, jax.tree.map(jnp.zeros_like, mesh), d_dt, d_strat,
+                d_forcing)
+    # fallback (CPU, or general non-one-hot level masks): sqrt-checkpointed
     # roll reverse — strat and forcing are differentiated inputs here too,
     # so d(phi_weights) and the Forcing cotangent are exact
     extras = []

@@ -693,7 +693,7 @@ def test_tiled_pallas_adjoint_matches_roll_vjp(setup, rt, q, b):
             g.normal_velocity.reshape(6, ny2, nx, k))
     f_edge = smesh.f_edge.reshape(6, ny2, nx, 1).astype(dtype)
     rts = smesh.resting_thickness_sum[..., None].astype(dtype)
-    cot, dscal = _pallas_tiled_adjoint(
+    cot, dscal, _, _ = _pallas_tiled_adjoint(
         _tiled_scal(smesh, dt, dtype),
         st.ssh[..., None], st.layer_thickness,
         st.normal_velocity.reshape(6, ny2, nx, k),
@@ -755,7 +755,7 @@ def test_tiled_pallas_adjoint_masked_channel():
     f_edge = smesh.f_edge.reshape(6, ny2, nxl, 1).astype(dtype)
     rts = smesh.resting_thickness_sum[..., None].astype(dtype)
     mask = smesh.edge_mask.reshape(6, ny2, nxl, 1).astype(dtype)
-    cot, dscal = _pallas_tiled_adjoint(
+    cot, dscal, _, _ = _pallas_tiled_adjoint(
         _tiled_scal(smesh, dt, dtype),
         st.ssh[..., None], st.layer_thickness,
         st.normal_velocity.reshape(6, ny2, nxl, k),

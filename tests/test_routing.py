@@ -47,7 +47,7 @@ def setup():
         layer_thickness=jnp.asarray(h),
         normal_velocity=jnp.asarray(u),
     )
-    return sm, sm.to_struct(prog), mesh
+    return sm, sm.to_struct(prog), mesh, prog
 
 
 @pytest.fixture
@@ -89,7 +89,7 @@ def test_routing_decision_table(setup, tpu_routing, monkeypatch):
     """_rollout_fwd picks: fused residuals when VMEM fits, tiled residuals
     for beyond-VMEM linear, roll fallback for beyond-VMEM nonlinear (until
     the tiled adjoint covers it)."""
-    sm, st, _ = setup
+    sm, st, _, _ = setup
     mesh = sm.struct_mesh
 
     out, res = pm._rollout_fwd(st, mesh, 10.0, 4)
@@ -104,7 +104,7 @@ def test_routing_decision_table(setup, tpu_routing, monkeypatch):
 
 def test_fused_arm_end_to_end_traced_dt(setup, tpu_routing):
     """Fused custom-VJP arm (interpret kernels) with dt a traced input."""
-    sm, st, _ = setup
+    sm, st, _, _ = setup
     mesh = sm.struct_mesh
     n = 4
     ref = structured_run_loop(st, mesh, 10.0, n)
@@ -121,7 +121,7 @@ def test_fused_arm_end_to_end_traced_dt(setup, tpu_routing):
 def test_tiled_arm_end_to_end_traced_dt(setup, tpu_routing, no_vmem):
     """Tiled beyond-VMEM custom-VJP arm (the 88c90f1 branch): forward
     checkpoints + tiled Pallas reverse, dt traced, all in interpret mode."""
-    sm, st, _ = setup
+    sm, st, _, _ = setup
     mesh = sm.struct_mesh
     n = 4
     plan = pm._tiled_adjoint_plan(st, mesh, n, False, False, None, None)
@@ -137,9 +137,116 @@ def test_tiled_arm_end_to_end_traced_dt(setup, tpu_routing, no_vmem):
     np.testing.assert_allclose(float(g[1]), float(gr[1]), rtol=1e-8)
 
 
+def _grad_pair(st, mesh, n, dt, diff_kwargs, roll_kwargs, extra=None):
+    """(grads of diff path, grads of roll path) w.r.t. (state, dt[, extra])
+    where extra is ('strat', obj) or ('forcing', obj)."""
+    import mpas_ocean_tpu.structured.pallas_model as pmod
+
+    kind, obj = extra if extra else (None, None)
+
+    def mk(runner, kwargs):
+        def f(s, t, *rest):
+            kw = dict(kwargs)
+            if kind:
+                kw[kind] = rest[0]
+            out = runner(s, mesh, t, **kw)
+            return jnp.sum(out.ssh**2) + jnp.sum(out.normal_velocity**2)
+
+        return f
+
+    def diff_runner(s, mesh_, t, **kw):
+        return pmod.pallas_rollout_diff(
+            s, mesh_, t, n, kw.get("nonlinear", False),
+            kw.get("tracer_kappa", 0.0), kw.get("tracer_upwind", 1.0),
+            kw.get("strat"), kw.get("forcing"),
+        )
+
+    def roll_runner(s, mesh_, t, **kw):
+        return structured_run_loop(s, mesh_, t, n, **kw)
+
+    args = (st, dt) + ((obj,) if kind else ())
+    nums = tuple(range(len(args)))
+    gd = jax.grad(mk(diff_runner, diff_kwargs), argnums=nums)(*args)
+    gr = jax.grad(mk(roll_runner, roll_kwargs), argnums=nums)(*args)
+    return gd, gr
+
+
+@pytest.mark.parametrize("config", ["nonlinear", "tracers", "strat",
+                                    "forced", "forced_nonlinear"])
+def test_tiled_adjoint_all_subsystems(setup, tpu_routing, no_vmem, config):
+    """Generalized tiled Pallas adjoint: beyond-VMEM gradients for
+    nonlinear, tracer-carrying, stratified and FORCED rollouts (the
+    production wind-stress-sensitivity configuration) must match the
+    roll-model vjp — end-to-end through pallas_rollout_diff's routing."""
+    import mpas_ocean_tpu.structured.pallas_model as pmod
+    from mpas_ocean_tpu.models.forcing import make_forcing
+    from mpas_ocean_tpu.models.stratification import make_stratification
+    from mpas_ocean_tpu.models.tracers import make_tracers
+
+    sm, st, mesh, prog = setup
+    smesh = sm.struct_mesh
+    n, dt = 4, jnp.asarray(5.0)
+    nonlinear = "nonlinear" in config
+    if nonlinear:
+        # deeper water for a stable nonlinear perturbation
+        h = st.layer_thickness + 90.0
+        st = st.replace(
+            ssh=h.sum(-1) - smesh.resting_thickness_sum, layer_thickness=h
+        )
+    dkw, rkw, extra = {}, {}, None
+    if nonlinear:
+        dkw["nonlinear"] = rkw["nonlinear"] = True
+    if config == "tracers":
+        x = np.asarray(mesh.horz.cells.x)
+        tr = make_tracers(
+            mesh, [10.0 + np.sin(2 * np.pi * x / (x.max() + 1.0)),
+                   np.full(mesh.n_cells, 35.0)],
+        )
+        st = sm.to_struct(prog.replace(tracers=tr))
+        dkw["tracer_kappa"] = rkw["tracer_kappa"] = 5.0
+    if config == "strat":
+        strat = make_stratification(1025.0 + np.linspace(0.0, 1.0, K))
+        extra = ("strat", strat)
+    if "forced" in config:
+        f = sm.to_struct_forcing(make_forcing(
+            mesh, wind_stress_zonal=0.1, bottom_drag_linear=1e-4,
+            bottom_drag_quadratic=1e-3, rayleigh=1e-5,
+        ))
+        extra = ("forcing", f)
+
+    plan = pmod._tiled_adjoint_plan(
+        st, smesh, n, nonlinear, st.tracers is not None,
+        extra[1] if config == "strat" else None,
+        extra[1] if "forced" in config else None,
+    )
+    assert plan is not None, "routing must pick the tiled adjoint"
+
+    gd, gr = _grad_pair(st, smesh, n, dt, dkw, rkw, extra)
+    # state + dt cotangents
+    _assert_state_close(gd[0], gr[0], rtol=1e-8)
+    np.testing.assert_allclose(float(gd[1]), float(gr[1]), rtol=1e-8)
+    if config == "strat":
+        np.testing.assert_allclose(
+            np.asarray(gd[2].phi_weights), np.asarray(gr[2].phi_weights),
+            rtol=1e-8, atol=1e-12,
+        )
+    if "forced" in config:
+        np.testing.assert_allclose(
+            np.asarray(gd[2].wind_edge), np.asarray(gr[2].wind_edge),
+            rtol=1e-8, atol=1e-12,
+        )
+        for nm in ("drag_linear", "drag_quadratic", "rayleigh"):
+            np.testing.assert_allclose(
+                float(getattr(gd[2], nm)), float(getattr(gr[2], nm)),
+                rtol=1e-7,
+            )
+        # level-mask cotangents are deliberately zero on the tiled path
+        assert float(jnp.abs(gd[2].top_mask).max()) == 0.0
+
+
 def test_auto_run_loop_tpu_arms(setup, tpu_routing, monkeypatch):
     """structured_auto_run_loop's fused and tiled TPU arms, on CPU."""
-    sm, st, _ = setup
+    sm, st, _, _ = setup
     mesh = sm.struct_mesh
     n = 4
     ref = structured_run_loop(st, mesh, 10.0, n)
