@@ -276,12 +276,18 @@ def build_planar_trisk_mesh(
         # globally-reversed orientation
         area_cell = np.abs(area_cell)
 
-    # kite_i: quad (0, mid_i, vertex_i, mid_{i+1}) in the cell frame
+    # kite_i: quad (0, mid_i, vertex_i, mid_{i+1}) in the cell frame.
+    # SIGNED shoelace, not abs: on irregular meshes an obtuse Delaunay
+    # triangle puts the circumcenter outside it and the kite quad folds —
+    # the signed areas still tile the cell (and the triangle) EXACTLY,
+    # which the PV / cell->vertex interpolation identities rely on
+    # (sum of kites around a vertex == area_triangle). On uniform hex
+    # lattices every kite is convex CCW, so signed == abs there.
     mid_i = edge_mid_disp
     mid_n = np.take_along_axis(edge_mid_disp, nxt[..., None], axis=1)
     zeros = np.zeros_like(mid_i)
     kite_poly = np.stack([zeros, mid_i, vert_disp, mid_n], axis=2)
-    kite_areas_on_cell = np.abs(_shoelace(kite_poly))
+    kite_areas_on_cell = _shoelace(kite_poly)
     kite_areas_on_cell = np.where(slot_valid, kite_areas_on_cell, 0.0)
 
     # --- vertex-frame arrays -------------------------------------------
