@@ -600,14 +600,16 @@ def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
     )
 
 
-def _with_halo(interior, axis_name: str, n_parts: int):
-    """Rebuild padded slabs from stacked interior planes (planes, R, nx, ...):
-    halo row 0 comes from the previous device's last interior row, halo row
-    R+1 from the next device's first — one ppermute per direction per field."""
+def _with_halo(interior, axis_name: str, n_parts: int, hq: int = 1):
+    """Rebuild padded slabs from stacked interior planes (planes, R, nx,
+    ...): ``hq`` halo rows per side, row block [-hq:] from the previous
+    device and [:hq] from the next — one ppermute per direction per field
+    regardless of hq (the payload just carries hq rows). Requires hq <= R
+    (one-neighbor exchange)."""
     down = [(i, (i + 1) % n_parts) for i in range(n_parts)]
     up = [(i, (i - 1) % n_parts) for i in range(n_parts)]
-    top = jax.lax.ppermute(interior[:, -1:], axis_name, down)  # -> my row 0
-    bot = jax.lax.ppermute(interior[:, :1], axis_name, up)  # -> my row R+1
+    top = jax.lax.ppermute(interior[:, -hq:], axis_name, down)
+    bot = jax.lax.ppermute(interior[:, :hq], axis_name, up)
     return jnp.concatenate([top, interior, bot], axis=1)
 
 
@@ -875,16 +877,28 @@ class ShardedStructuredModel:
 
     def run(self, local, dt, n_steps: int, nonlinear: bool = False,
             forcing=None, tracer_kappa: float = 0.0,
-            tracer_upwind: float = 1.0, strat=None):
+            tracer_upwind: float = 1.0, strat=None, fb: bool = False):
+        """``fb=True`` selects the forward-backward stepper: the pressure
+        stage reads the fresh thickness, so each step exchanges TWO halo
+        rows per side (linear; still one ppermute pair per field) or adds
+        a fresh-thickness exchange round (nonlinear)."""
+        self._fb_validate(fb, nonlinear)
         args = self._run_prep(local, nonlinear, forcing, strat)
         return self._run_jit(
             local, *args, float(dt), n_steps, nonlinear, tracer_kappa,
-            tracer_upwind,
+            tracer_upwind, fb=fb,
         )
+
+    def _fb_validate(self, fb: bool, nonlinear: bool):
+        if fb and not nonlinear and self.rows < 2:
+            raise ValueError(
+                "forward-backward needs >= 2 rows per device for the "
+                f"2-row halo exchange; got rows/device={self.rows}"
+            )
 
     def objective(self, local, dt, n_steps: int, nonlinear: bool = False,
                   forcing=None, tracer_kappa: float = 0.0,
-                  tracer_upwind: float = 1.0, strat=None):
+                  tracer_upwind: float = 1.0, strat=None, fb: bool = False):
         """Replicated scalar objective sum(ssh_final^2) of an n-step
         sharded rollout — DIFFERENTIABLE through the whole loop:
         ``jax.grad(lambda l: model.objective(l, dt, n))(local)`` yields the
@@ -897,21 +911,22 @@ class ShardedStructuredModel:
         rebuilt from the interior before the loop, so the cotangent lands
         entirely on interior rows and ``gather`` of the gradient dict
         reassembles the global gradient."""
+        self._fb_validate(fb, nonlinear)
         args = self._run_prep(local, nonlinear, forcing, strat)
         return self._run_jit(
             local, *args, float(dt), n_steps, nonlinear, tracer_kappa,
-            tracer_upwind, True,
+            tracer_upwind, True, fb=fb,
         )
 
     @partial(
         jax.jit, static_argnames=("self", "dt", "n_steps", "nonlinear",
                                   "tracer_kappa", "tracer_upwind",
-                                  "objective")
+                                  "objective", "fb")
     )
     def _run_jit(self, local, f_local, rts_local, mask_local, fv_local,
                  forcel, cmask_local, strat_local, dt, n_steps,
                  nonlinear=False, tracer_kappa=0.0, tracer_upwind=1.0,
-                 objective=False):
+                 objective=False, fb=False):
         axis, n_parts, rows = self.axes, self.n_parts, self.rows
         overlap = self.overlap
         terms = self.smesh.coriolis_terms
@@ -1094,7 +1109,103 @@ class ShardedStructuredModel:
                     new["t"] = _with_halo(jnp.stack(t_i), axis, n_parts)
                 return new, None
 
-            if nonlinear:
+            if fb and not nonlinear:
+                # 2-padded constants for the fb slab step, rebuilt once
+                # from the 1-halo inputs (payload: 2 rows per ppermute)
+                pad2 = lambda arr: _with_halo(arr[:, 1:-1], axis, n_parts, 2)
+                f_edge2 = tuple(pad2(jnp.stack(f_edge))[c] for c in range(6))
+                rts2 = tuple(pad2(jnp.stack(rts))[p] for p in range(2))
+                masks2 = (
+                    None if masks is None
+                    else tuple(pad2(jnp.stack(masks))[c] for c in range(6))
+                )
+                cmask2 = (
+                    None if cmask is None
+                    else tuple(pad2(jnp.stack(cmask))[p] for p in range(2))
+                )
+                forc2 = None
+                if forc is not None:
+                    forc2 = (
+                        tuple(pad2(jnp.stack(forc[0]))[c] for c in range(6)),
+                        tuple(pad2(jnp.stack(forc[1]))[c] for c in range(6)),
+                        tuple(pad2(jnp.stack(forc[2]))[c] for c in range(6)),
+                        forc[3], forc[4], forc[5],
+                    )
+
+            def body_fb(carry, _):
+                """Forward-backward (reach-2 stencil): rebuild TWO halo
+                rows per side from the carried interior (still one
+                ppermute pair per field — the payload just carries 2
+                rows), then one fb slab step on the 2-padded window
+                (_step_slab's fb branch: fresh-thickness pressure)."""
+                ext = {
+                    kk: _with_halo(v[:, 1:-1], axis, n_parts, 2)
+                    for kk, v in carry.items()
+                }
+                ssh = tuple(ext["ssh"][p] for p in range(2))
+                h = tuple(ext["h"][p] for p in range(2))
+                u = tuple(ext["u"][c] for c in range(6))
+                tr = (
+                    tuple(ext["t"][i] for i in range(ext["t"].shape[0]))
+                    if with_tracers else None
+                )
+                ssh_i, h_i, u_i, t_i = _step_slab(
+                    ssh, h, u, f_edge2, rts2, dt, inv_dc, s_div, terms,
+                    rows, masks2, forc2, tr, tropts, cmask2, strat_w, True,
+                )
+                new = {
+                    "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
+                    "h": _with_halo(jnp.stack(h_i), axis, n_parts),
+                    "u": _with_halo(jnp.stack(u_i), axis, n_parts),
+                }
+                if with_tracers:
+                    new["t"] = _with_halo(jnp.stack(t_i), axis, n_parts)
+                return new, None
+
+            def body_nonlinear_fb(carry, _):
+                """Nonlinear + forward-backward: THREE exchange rounds per
+                step — carried state halos feed the derived fields (round
+                1), the derived fields' own halos arrive by round 2 (as
+                body_nonlinear), and the FRESH thickness/ssh computed from
+                the exchanged flux get their halos in round 3 for the fb
+                pressure stage (model.structured_fb_step nonlinear
+                semantics)."""
+                ssh = tuple(carry["ssh"][p] for p in range(2))
+                h = tuple(carry["h"][p] for p in range(2))
+                u = tuple(carry["u"][c] for c in range(6))
+                tr = (
+                    tuple(carry["t"][i] for i in range(carry["t"].shape[0]))
+                    if with_tracers else None
+                )
+                flux, ke, q_e = _derived_slab(h, u, mesh_sc, rows)
+                packed = jnp.stack(flux + ke + q_e)
+                padded = _with_halo(packed, axis, n_parts)
+                fluxp = tuple(padded[c] for c in range(6))
+                kep = (padded[6], padded[7])
+                qep = tuple(padded[8 + c] for c in range(6))
+                hn, sshn = _nl_continuity(h, fluxp, rts, dt, s_div, rows)
+                sshn_p = _with_halo(jnp.stack(sshn), axis, n_parts)
+                hn_p = _with_halo(jnp.stack(hn), axis, n_parts)
+                ssh_i, h_i, u_i, t_i = _apply_slab_nonlinear(
+                    ssh, h, u, fluxp, kep, qep, rts, dt, inv_dc, s_div,
+                    terms, rows, forc, tr, tropts, strat_w, masks, cmask,
+                    pg_fresh=(
+                        tuple(sshn_p[p] for p in range(2)),
+                        tuple(hn_p[p] for p in range(2)),
+                    ),
+                )
+                new = {
+                    "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
+                    "h": _with_halo(jnp.stack(h_i), axis, n_parts),
+                    "u": _with_halo(jnp.stack(u_i), axis, n_parts),
+                }
+                if with_tracers:
+                    new["t"] = _with_halo(jnp.stack(t_i), axis, n_parts)
+                return new, None
+
+            if fb:
+                body = body_nonlinear_fb if nonlinear else body_fb
+            elif nonlinear:
                 body = body_nonlinear
             else:
                 body = body_overlap if (overlap and rows >= 3) else body_serial

@@ -486,6 +486,66 @@ def test_sharded_objective_grad_matches_global(setup, nonlinear):
         )
 
 
+@pytest.mark.parametrize("n_devices,nonlinear", [(2, False), (4, False),
+                                                 (2, True)])
+def test_sharded_slab_fb_matches_global(setup, n_devices, nonlinear):
+    """Slab `run` with the forward-backward stepper: linear fb exchanges a
+    2-row halo payload per field (reach-2 window), nonlinear fb adds the
+    fresh-thickness exchange round — both must match the global roll
+    rollout at f64 roundoff."""
+    sm, st = setup
+    from mpas_ocean_tpu.structured.model import StructState
+
+    if nonlinear:
+        h = st.layer_thickness + 90.0
+        st = StructState(
+            ssh=h.sum(-1) - sm.struct_mesh.resting_thickness_sum,
+            layer_thickness=h, normal_velocity=st.normal_velocity,
+        )
+    n, dt = 6, 5.0
+    ref = structured_run_loop(st, sm.struct_mesh, dt, n,
+                              nonlinear=nonlinear, fb=True)
+    ssm = ShardedStructuredModel(
+        sm.struct_mesh, devices=jax.devices()[:n_devices]
+    )
+    out = ssm.gather(
+        ssm.run(ssm.scatter(st), dt, n, nonlinear=nonlinear, fb=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ssh), np.asarray(ref.ssh), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity), np.asarray(ref.normal_velocity),
+        rtol=0, atol=1e-13,
+    )
+
+
+def test_sharded_slab_fb_objective_grad(setup):
+    """Differentiable slab fb: jax.grad through objective(fb=True) equals
+    the global fb rollout's gradient (ppermute transposes to ppermute
+    through the 2-row halo rebuild)."""
+    sm, st = setup
+    n, dt = 6, 5.0
+
+    def gobj(s):
+        out = structured_run_loop(s, sm.struct_mesh, dt, n, fb=True)
+        return jnp.sum(out.ssh ** 2)
+
+    gref = jax.grad(gobj)(st)
+    ssm = ShardedStructuredModel(sm.struct_mesh, devices=jax.devices()[:2])
+    local = ssm.scatter(st)
+    o = ssm.objective(local, dt, n, fb=True)
+    np.testing.assert_allclose(float(o), float(gobj(st)), rtol=1e-12)
+    gg = ssm.gather(jax.grad(
+        lambda l: ssm.objective(l, dt, n, fb=True)
+    )(local))
+    for name in ("ssh", "layer_thickness", "normal_velocity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gg, name)), np.asarray(getattr(gref, name)),
+            rtol=0, atol=1e-11,
+        )
+
+
 @pytest.mark.parametrize("kw", [{}, {"nonlinear": True}, {"fb": True}])
 def test_sharded_objective_pallas_grad_matches_global(setup, kw):
     """Differentiable communication-avoiding superstep: the primal runs
