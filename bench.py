@@ -455,12 +455,20 @@ def measure_sharded_adjoint(device, sm, prog, dt, steps, reps: int = 1):
 
 
 def measure_scaling_virtual():
-    """Devices->efficiency on an 8-virtual-device CPU mesh, for both
-    sharded models (slab `run` + superstep q=4). NOT chip truth — a
-    collective-count/structure proxy that pins the scaling shape and makes
-    collective regressions visible (BASELINE's >=70% weak-scaling gate is
-    judged on real multi-chip hardware). Runs in a subprocess because the
-    virtual-device CPU platform must be configured before JAX initializes."""
+    """Devices->efficiency on an 8-virtual-device CPU mesh: slab `run` vs
+    the superstep at several (q, rows/device) points. NOT chip truth — a
+    collective-count/structure proxy (BASELINE's >=70% weak-scaling gate is
+    judged on real multi-chip hardware). Each point is a MEDIAN-of-3
+    timing with the spread recorded, plus the DETERMINISTIC structural
+    profile (collectives/step, bytes/collective, redundant-compute
+    fraction) that is the regression-diffable part. The summary also
+    computes the measured crossover attribution: the per-collective
+    latency at which the superstep's saved ppermutes would pay for its
+    measured extra per-step cost — on the shared-memory CPU proxy a
+    collective is nearly free, so the proxy structurally penalizes the
+    communication-avoiding design; real ICI latency is what it saves.
+    Runs in a subprocess because the virtual-device CPU platform must be
+    configured before JAX initializes."""
     import subprocess
     import sys
 
@@ -473,9 +481,15 @@ def measure_scaling_virtual():
         "import json\n"
         "from mpas_ocean_tpu.tools.scaling import measure_scaling\n"
         "out = {\n"
-        " 'slab_run': measure_scaling(rows_per_device=8, nx=32, levels=8,"
-        " steps=48),\n"
-        " 'superstep_q4': measure_scaling(rows_per_device=8, nx=32,"
+        " 'slab_run_r8': measure_scaling(rows_per_device=8, nx=32,"
+        " levels=8, steps=48),\n"
+        " 'superstep_q1_r8': measure_scaling(rows_per_device=8, nx=32,"
+        " levels=8, steps=48, path='pallas', q=1),\n"
+        " 'superstep_q2_r8': measure_scaling(rows_per_device=8, nx=32,"
+        " levels=8, steps=48, path='pallas', q=2),\n"
+        " 'superstep_q4_r8': measure_scaling(rows_per_device=8, nx=32,"
+        " levels=8, steps=48, path='pallas', q=4),\n"
+        " 'superstep_q4_r16': measure_scaling(rows_per_device=16, nx=32,"
         " levels=8, steps=48, path='pallas', q=4),\n"
         "}\n"
         "print('SCALING_JSON ' + json.dumps(out))\n"
@@ -483,24 +497,51 @@ def measure_scaling_virtual():
     try:
         r = subprocess.run(
             [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=3000,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in r.stdout.splitlines():
-            if line.startswith("SCALING_JSON "):
-                full = json.loads(line[len("SCALING_JSON "):])
-                out = {"note": (
-                    "8-VIRTUAL-device CPU mesh: collective-structure "
-                    "proxy, not chip truth (gate: >=0.70 weak efficiency "
-                    "on real multi-chip hardware, BASELINE.md)"
-                )}
-                for key, recs in full.items():
-                    out[key] = [
+            if not line.startswith("SCALING_JSON "):
+                continue
+            full = json.loads(line[len("SCALING_JSON "):])
+            out = {"note": (
+                "8-VIRTUAL-device CPU mesh: collective-structure proxy, "
+                "not chip truth (gate: >=0.70 weak efficiency on real "
+                "multi-chip hardware, BASELINE.md). 'structural' entries "
+                "are deterministic (regression-diff those); efficiencies "
+                "are median-of-3 with the min-max spread recorded."
+            )}
+            for key, recs in full.items():
+                out[key] = {
+                    "points": [
                         {kk: r2[kk] for kk in
-                         ("devices", "gridpoints_per_sec", "efficiency")}
+                         ("devices", "gridpoints_per_sec", "efficiency",
+                          "seconds_per_step", "timing_spread_frac")}
                         for r2 in recs
-                    ]
-                return out
+                    ],
+                    "structural": recs[-1]["structural"],
+                }
+            # measured crossover attribution at 8 devices: how expensive a
+            # collective pair must be for the superstep's saved ppermutes
+            # to pay for its measured extra per-step cost on this proxy
+            try:
+                slab8 = out["slab_run_r8"]["points"][-1]
+                for key in ("superstep_q2_r8", "superstep_q4_r8"):
+                    ss8 = out[key]["points"][-1]
+                    saved = (
+                        out["slab_run_r8"]["structural"][
+                            "collective_pairs_per_step"]
+                        - out[key]["structural"][
+                            "collective_pairs_per_step"]
+                    )
+                    dtstep = (ss8["seconds_per_step"]
+                              - slab8["seconds_per_step"])
+                    out[key]["breakeven_collective_latency_s"] = (
+                        dtstep / saved if saved > 0 else None
+                    )
+            except (KeyError, IndexError):
+                pass
+            return out
         return {"error": (r.stderr or "no output").strip()[-400:]}
     except Exception as e:  # pragma: no cover
         return {"error": repr(e)[:400]}

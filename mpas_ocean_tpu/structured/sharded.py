@@ -754,6 +754,84 @@ class ShardedStructuredModel:
             tracers=tracers,
         )
 
+    def step_stats(self, n_vert_levels: int, itemsize: int = 4, *,
+                   path: str = "run", q: int = 1, row_tile: int | None = None,
+                   nonlinear: bool = False, fb: bool = False,
+                   n_tracers: int = 0) -> dict:
+        """DETERMINISTIC structural communication/compute profile of one
+        timestep on this decomposition — no timing, no noise, exactly
+        reproducible, so it can serve as a regression sentinel where
+        wall-clock proxies cannot (the virtual-CPU mesh's run-to-run
+        swings make its efficiencies useless for regression diffing).
+
+        Counts per STEP (averaged over a superstep for path='pallas'):
+        ppermute pairs, payload bytes per collective and per step, and the
+        redundant-compute fraction (extra row-updates beyond one update
+        per interior row: the superstep's shrinking-window recompute,
+        reach*(q-1)/rt per tile side; the slab paths re-compute nothing).
+        The superstep's design tradeoff is exactly visible here:
+        collectives/step fall as 1/q while redundant compute rises as
+        (q-1)/rt — a wall-clock proxy whose collectives are nearly free
+        (shared-memory CPU) sees only the cost side."""
+        from .pallas_model import _pick_row_tile, _reach
+
+        R, nx, k = self.rows, self.smesh.nx, n_vert_levels
+        reach = _reach(nonlinear, fb)
+        n_tr = n_tracers
+        # plane-values exchanged per field group one way: ssh(2x1) + h(2K)
+        # + u(6K) [+ tracers(2*nT*K)]
+        state_vals = (2 * 1 + (8 + 2 * n_tr) * k) * nx
+        if path == "pallas":
+            q = max(1, int(q))
+            hq = reach * q
+            rt = (row_tile if row_tile is not None
+                  else _pick_row_tile(R, nx, k, itemsize, q, n_tr, reach,
+                                      nonlinear))
+            n_fields = 3 + (1 if n_tr else 0)
+            pairs_per_step = n_fields / q
+            bytes_per_collective = state_vals * hq * itemsize / n_fields
+            bytes_per_step = 2 * state_vals * hq * itemsize / q
+            # per superstep per tile: sum_j (rt + 2*reach*(q-1-j)) row
+            # updates vs q*rt useful
+            redundant = reach * (q - 1) / rt
+            rounds_per_step = 1.0 / q
+            detail = {"q": q, "row_tile": rt, "halo_rows": hq}
+        else:
+            rounds = 3 if (nonlinear and fb) else (2 if nonlinear else 1)
+            if fb and not nonlinear:
+                hq = 2
+            else:
+                hq = 1
+            n_fields = 3 + (1 if n_tr else 0)
+            if nonlinear:
+                # round 2 carries the 14 derived planes (flux 6K + ke 2K +
+                # qe 6K); round 3 (fb) the fresh ssh/h (2 + 2K)
+                extra_vals = 14 * k * nx + (
+                    (2 + 2 * k) * nx if fb else 0
+                )
+            else:
+                extra_vals = 0
+            pairs_per_step = float(n_fields * rounds if nonlinear
+                                   else n_fields)
+            total_vals = state_vals * hq + extra_vals
+            bytes_per_collective = total_vals * itemsize / max(
+                pairs_per_step, 1
+            )
+            bytes_per_step = 2 * total_vals * itemsize
+            redundant = 0.0
+            rounds_per_step = float(rounds)
+            detail = {"halo_rows": hq}
+        return {
+            "path": path,
+            "rows_per_device": R,
+            "collective_pairs_per_step": float(pairs_per_step),
+            "exchange_rounds_per_step": float(rounds_per_step),
+            "bytes_per_collective_per_device": float(bytes_per_collective),
+            "exchange_bytes_per_step_per_device": float(bytes_per_step),
+            "redundant_compute_frac": float(redundant),
+            **detail,
+        }
+
     def overlap_stats(self, n_vert_levels: int, itemsize: int = 4) -> dict:
         """Static communication/overlap profile of one sharded step (the
         BASELINE 'halo-exchange overlap %' metric, reported structurally:

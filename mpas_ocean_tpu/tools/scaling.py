@@ -70,11 +70,16 @@ def measure_scaling(
     dtype=np.float32,
     path: str = "run",
     q: int = 4,
+    reps: int = 3,
 ) -> list[dict]:
     """Sweep device counts; returns one record per count with throughput
-    and efficiency. NOTE: wall-clock numbers are meaningful on real
-    accelerators only — on the virtual-CPU test mesh this validates the
-    code path, not performance."""
+    (MEDIAN of ``reps`` timed runs, spread reported so noise is visible)
+    and efficiency, plus a DETERMINISTIC structural profile
+    (ShardedStructuredModel.step_stats: collectives/step, bytes per
+    collective, redundant-compute fraction) that is exactly reproducible —
+    the regression-diffable part of the artifact. NOTE: wall-clock numbers
+    are meaningful on real accelerators only — on the virtual-CPU test
+    mesh they validate the code path and scaling SHAPE, not performance."""
     import jax
 
     from ..structured import ShardedStructuredModel
@@ -112,10 +117,14 @@ def measure_scaling(
                 out = ssm.run(local, dtype(30.0), steps)
             return float(ssm.checksum(out))
 
-        run()  # compile + warm
-        t0 = time.perf_counter()
-        chk = run()
-        t = time.perf_counter() - t0
+        chk = run()  # compile + warm
+        times = []
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            chk = run()
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        spread = float((max(times) - min(times)) / t) if t else 0.0
         thr = gridpoints * steps / t
         if base is None:
             # efficiency is normalized to the SMALLEST measured count (per-
@@ -127,14 +136,20 @@ def measure_scaling(
             "devices": n,
             "mode": mode,
             "path": path,
+            "q": q if path == "pallas" else None,
             "lattice": f"{nx}x{ny}x{levels}",
             "gridpoints": gridpoints,
             "gridpoints_per_sec": thr,
             "seconds_per_step": t / steps,
+            "timing_spread_frac": spread,
             # both modes: per-device throughput relative to the baseline
             # count's per-device throughput
             "efficiency": thr / (n * base),
             "efficiency_baseline_devices": base_devices,
+            "structural": ssm.step_stats(
+                levels, np.dtype(dtype).itemsize, path=path,
+                q=q if path == "pallas" else 1,
+            ),
             "overlap": ssm.overlap_stats(levels, np.dtype(dtype).itemsize),
             "checksum": chk,
         }
