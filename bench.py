@@ -434,6 +434,182 @@ def measure_tiled_large(device, sm, prog, k, steps, reps: int = 1, *,
     return n_cells * k * steps / t, t / steps
 
 
+def measure_linearized(device, mesh, prog, dt, steps, reps: int = 1,
+                       q: int | None = None):
+    """LINEARIZED dynamics on the matrix path: step-by-step (q=None) or
+    the A^q composed-operator superstep (models/linear_matrix.py — q-fold
+    fewer batched-matmul dispatches, attacking the measured per-matmul
+    overhead bound, ops/bsr.py). Returns (seconds, operator_bytes)."""
+    from mpas_ocean_tpu.models.linear_matrix import (
+        LinearizedMatrixModel, linearized_ref_loop, linearized_run_loop,
+    )
+
+    prog = jax.device_put(prog, device)
+    if q is None:
+        def run():
+            out = linearized_ref_loop(prog, mesh, dt, steps,
+                                      dtype=np.float32)
+            return float(out.ssh.sum())
+
+        return _time_fn(run, reps), 0
+    lmm = jax.device_put(
+        LinearizedMatrixModel.from_mesh(mesh, float(dt), q=q), device
+    )
+    assert steps % q == 0
+
+    def run():
+        out = linearized_run_loop(prog, lmm, steps // q)
+        return float(out.ssh.sum())
+
+    return _time_fn(run, reps), int(lmm.nbytes)
+
+
+def measure_stream_floor(device, arrays, reps: int = 1) -> float:
+    """Seconds per PASS to stream the given arrays from HBM (a jitted
+    T-pass reduce) — the hard lower bound any step reading those operands
+    must pay. Used to reconcile the matrix-path roofline entry with its
+    bf16 ablation instead of an impossible modeled fraction."""
+    import jax.numpy as jnp
+
+    arrays = [jax.device_put(a, device) for a in arrays]
+    T = 64
+
+    @jax.jit
+    def sweep(xs):
+        def body(i, acc):
+            # i-dependent scale defeats loop-invariant hoisting of the read
+            s = sum((x * (1.0 + 1e-9 * i)).sum() for x in xs)
+            return acc + s
+        return jax.lax.fori_loop(0, T, body, jnp.zeros((), jnp.float32))
+
+    def run():
+        return float(sweep(arrays))
+
+    t = _time_fn(run, reps)
+    return t / T
+
+
+def measure_tiled_halo_overhead(device, sm, prog, k, steps, reps: int = 1):
+    """Seconds/step of ONLY the tiled path's XLA halo-block extraction
+    (the strided-slice gather feeding the kernel) — the measured (not
+    modeled) residual split the tiled roofline entries cite."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _tile_halo_fns, auto_tile_plan,
+    )
+
+    st = jax.device_put(sm.to_struct(prog), device)
+    smesh = sm.struct_mesh
+    ny2, nx = smesh.ny2, smesh.nx
+    rt, q = auto_tile_plan(ny2, nx, k, 4)
+    halos = _tile_halo_fns(rt, q, ny2 // rt)
+    ssh = st.ssh[..., None]
+    h = st.layer_thickness
+    u = st.normal_velocity.reshape(6, ny2, nx, k)
+
+    @jax.jit
+    def extract(ssh, h, u):
+        def body(c, _):
+            ssh, h, u = c
+            parts = []
+            for x in (ssh, h, u):
+                t, b = halos(x)
+                parts.append(t.sum() + b.sum())
+            # fold the reduction back so the loop carries a dependency
+            return (ssh + parts[0] * 1e-30, h, u), None
+
+        (ssh, h, u), _ = jax.lax.scan(body, (ssh, h, u), length=steps)
+        return ssh.sum()
+
+    def run():
+        return float(extract(ssh, h, u))
+
+    t = _time_fn(run, reps)
+    # the extraction runs once per SUPERSTEP (q steps) on the real path
+    return t / steps / q
+
+
+def measure_adjoint_cfg(device, sm, prog, dt, steps, reps: int = 1, *,
+                        nonlinear=False, forcing=None, force_roll=False):
+    """Whole-rollout adjoint with optional physics: the generalized tiled
+    Pallas reverse (default routing), or the old HBM-bound checkpointed
+    ROLL replay (force_roll=True — kept as the comparison line the round-4
+    verdict measured at ~2x slower)."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.structured import pallas_rollout_diff
+    from mpas_ocean_tpu.structured.pallas_model import (
+        _checkpointed_roll_rollout,
+    )
+
+    st = jax.device_put(sm.to_struct(prog), device)
+    smesh = jax.device_put(sm.struct_mesh, device)
+    sf = None
+    if forcing is not None:
+        sf = jax.device_put(sm.to_struct_forcing(forcing), device)
+
+    if force_roll:
+        def obj(s):
+            out = _checkpointed_roll_rollout(
+                s, smesh, dt, steps, nonlinear, forcing=sf
+            )
+            return jnp.sum(out.ssh ** 2)
+    else:
+        def obj(s):
+            out = pallas_rollout_diff(
+                s, smesh, dt, steps, nonlinear, 0.0, 1.0, None, sf
+            )
+            return jnp.sum(out.ssh ** 2)
+
+    grad_fn = jax.jit(jax.grad(obj))
+
+    def run():
+        g = grad_fn(st)
+        return float(g.ssh.sum())
+
+    return _time_fn(run, reps)
+
+
+def build_irregular_matrix(n_points=4096, dtype=np.float32):
+    """Irregular (jittered + Lloyd-relaxed) Voronoi mesh of ~the headline
+    cell count, through the general-mesh matrix path — the regime the
+    reference's arbitrary NetCDF meshes occupy (reference: README.MD:5),
+    where no lattice fast path applies."""
+    import jax.numpy as jnp
+
+    from mpas_ocean_tpu.mesh.irregular import irregular_trisk_mesh
+    from mpas_ocean_tpu.mesh.mesh import Mesh
+    from mpas_ocean_tpu.mesh.reorder import rcm_reorder
+    from mpas_ocean_tpu.mesh.vert_mesh import make_vertical_mesh
+    from mpas_ocean_tpu.models.shallow_water import PrognosticVars
+
+    nx = int(np.sqrt(n_points))
+    dc = 10000.0e3 / nx
+    horz = irregular_trisk_mesh(
+        nx, nx, nx * dc, nx * dc, jitter=0.25, lloyd=2, seed=0, f0=1e-4,
+        dtype=dtype,
+    )
+    horz, _ = rcm_reorder(horz)
+    vert = make_vertical_mesh(
+        horz, n_vert_levels=LEVELS,
+        resting_thickness=np.full((horz.n_cells, LEVELS), 1000.0 / LEVELS,
+                                  dtype=dtype),
+        dtype=dtype,
+    )
+    mesh = Mesh(horz=horz, vert=vert)
+    rng = np.random.default_rng(0)
+    h = (1000.0 / LEVELS
+         + 0.01 * rng.normal(size=(horz.n_cells, LEVELS))).astype(dtype)
+    u = (0.01 * rng.normal(size=(horz.n_edges, LEVELS))).astype(dtype)
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    return mesh, prog
+
+
 def measure_sharded_adjoint(device, sm, prog, dt, steps, reps: int = 1):
     """Gradient through the sharded superstep objective (P=1 degenerate
     ring): custom-VJP Pallas primal + pure-jnp window-rollout reverse under
@@ -636,13 +812,50 @@ def main():
         t_adj = measure_adjoint(accel, sm, prog, dt, adj_steps)
         adj_spstep = t_adj / adj_steps
         _prog("large-mesh tiled adjoint")
-        try:
-            ladj_steps = max(10, STEPS // 80)
-            t_ladj = measure_adjoint(accel, lsm, lprog, dt, ladj_steps)
-            ladj_spstep = t_ladj / ladj_steps
-        except Exception as e:  # never sink the whole bench JSON
-            _prog(f"large-mesh adjoint FAILED: {e!r:.200}")
-            ladj_spstep = float("nan")
+
+        def _try(fn, label):
+            try:
+                return fn()
+            except Exception as e:  # never sink the whole bench JSON
+                _prog(f"{label} FAILED: {e!r:.200}")
+                return float("nan")
+
+        ladj_steps = max(10, STEPS // 80)
+        ladj_spstep = _try(
+            lambda: measure_adjoint(accel, lsm, lprog, dt, ladj_steps)
+            / ladj_steps, "large-mesh adjoint")
+        # the generalized tiled adjoint (round-5): FORCED and NONLINEAR
+        # beyond-VMEM reverses, vs the old HBM-bound roll replay
+        from mpas_ocean_tpu.models.forcing import make_forcing
+
+        lforc = make_forcing(lmesh, wind_stress_zonal=0.1,
+                             bottom_drag_linear=1e-4, rayleigh=1e-5)
+        _prog("large-mesh FORCED tiled adjoint")
+        ladj_forced_spstep = _try(
+            lambda: measure_adjoint_cfg(accel, lsm, lprog, dt, ladj_steps,
+                                        forcing=lforc) / ladj_steps,
+            "forced tiled adjoint")
+        _prog("large-mesh NONLINEAR tiled adjoint")
+        ladj_nl_spstep = _try(
+            lambda: measure_adjoint_cfg(accel, lsm, lprog, dt, ladj_steps,
+                                        nonlinear=True) / ladj_steps,
+            "nonlinear tiled adjoint")
+        roll_adj_steps = max(10, STEPS // 160)
+        _prog("roll-replay adjoint comparison lines")
+        ladj_roll_spstep = _try(
+            lambda: measure_adjoint_cfg(accel, lsm, lprog, dt,
+                                        roll_adj_steps, force_roll=True)
+            / roll_adj_steps, "roll-replay adjoint")
+        ladj_forced_roll_spstep = _try(
+            lambda: measure_adjoint_cfg(accel, lsm, lprog, dt,
+                                        roll_adj_steps, forcing=lforc,
+                                        force_roll=True) / roll_adj_steps,
+            "forced roll-replay adjoint")
+        _prog("tiled halo-extraction overhead")
+        halo_spstep = _try(
+            lambda: measure_tiled_halo_overhead(accel, lsm, lprog, LEVELS,
+                                                200),
+            "halo overhead")
         sadj_steps = max(8, STEPS // 8)
         _prog("sharded adjoint")
         t_sadj = measure_sharded_adjoint(accel, sm, prog, dt, sadj_steps)
@@ -657,11 +870,58 @@ def main():
         _prog("superstep")
         t_ss = measure_superstep(accel, sm, prog, dt, STEPS, 1)
         ss_gps = n_gridpoints * STEPS / t_ss
+        _prog("linearized matrix path + A^q superstep")
+        lin_steps = max(16, STEPS // 8) // 8 * 8  # divisible by 2/4/8
+        res_lin = _try(
+            lambda: measure_linearized(accel, mesh, prog, dt, lin_steps, 1),
+            "linearized stepwise")
+        t_lin = (res_lin[0] / lin_steps if isinstance(res_lin, tuple)
+                 else float("nan"))
+        aq = {}
+        for qq in (2, 4, 8):
+            res = _try(
+                lambda qq=qq: measure_linearized(accel, mesh, prog, dt,
+                                                 lin_steps, 1, q=qq),
+                f"A^{qq}")
+            if isinstance(res, tuple):
+                aq[str(qq)] = {
+                    "seconds_per_step": res[0] / lin_steps,
+                    "operator_bytes": res[1],
+                }
+        _prog("irregular matrix path")
+        irr_gps = float("nan")
+        irr_detail = {}
+        try:
+            imesh, iprog = build_irregular_matrix(NX * NX)
+            t_imat = measure_matrix(accel, imesh, iprog, dt, k_steps, 1)
+            irr_gps = imesh.n_cells * LEVELS * k_steps / t_imat
+            from mpas_ocean_tpu.models.matrix_model import MatrixModel as _MM
+
+            imm = _MM.from_mesh(imesh)
+            irr_detail = {
+                "n_cells": int(imesh.n_cells),
+                "operand_bytes": int(sum(
+                    np.prod(x.shape) * x.dtype.itemsize
+                    for x in jax.tree.leaves(imm) if hasattr(x, "shape")
+                )),
+                "note": (
+                    "jittered+Lloyd Voronoi mesh, RCM-reordered; compare "
+                    "operand_bytes vs matrix_path.operand_bytes for the "
+                    "irregular-mesh BSR band growth"
+                ),
+            }
+        except Exception as e:
+            _prog(f"irregular matrix FAILED: {e!r:.200}")
     else:
         large_gps = large_spstep = adj_spstep = nl_gps = float("nan")
         tr_gps = st_gps = ss_gps = sadj_spstep = ladj_spstep = float("nan")
         large_nl_gps = large_fb_gps = large_nl_roll_gps = float("nan")
         large_nl_spstep = float("nan")
+        ladj_forced_spstep = ladj_nl_spstep = float("nan")
+        ladj_roll_spstep = ladj_forced_roll_spstep = float("nan")
+        halo_spstep = t_lin = irr_gps = float("nan")
+        aq = {}
+        irr_detail = {}
 
     # static halo-overlap profile of an 8-part decomposition of this mesh
     # (single real chip here; the sharded tests execute the same code on 8
@@ -724,16 +984,67 @@ def main():
             if hasattr(x, "shape")
         )
         t_mat_step = t_matrix / max(10, STEPS // 4)
+        # MEASURED stream floor of the matrix operands (replaces the
+        # previous modeled fraction, which exceeded 1.0 — i.e. charged
+        # bytes the step evidently does not stream; the bf16 ablation in
+        # ops/bsr.py already proved the path is not HBM-bound)
+        _prog("matrix operand stream floor")
+        mat_stream_sp = measure_stream_floor(
+            accel, [x for x in jax.tree.leaves(mm) if hasattr(x, "shape")]
+        )
         mat_roof = {
             "operand_bytes": int(mat_bytes),
             "mfu_physics": fl_step / t_mat_step / vpu_peak,
-            "hbm_gbps_modeled": (mat_bytes + 4 * state_bytes)
-            / t_mat_step / 1e9,
-            "hbm_frac_modeled": (mat_bytes + 4 * state_bytes)
-            / t_mat_step / hbm_peak,
+            "stream_floor_seconds_per_step": mat_stream_sp,
+            "stream_floor_frac_of_step": mat_stream_sp / t_mat_step,
+            "stream_floor_gbps": mat_bytes / mat_stream_sp / 1e9,
+            "bound": (
+                "per-matmul dispatch overhead (bf16 ablation <1%, "
+                "ops/bsr.py:27-47); stream floor is the measured time to "
+                "read the operands once — the gap to the step time is "
+                "dispatch+compute, not bandwidth"
+            ),
         }
+        # tiled ADJOINT roofline (round-4 weak item 3): measured reverse
+        # vs a 9.5-state-passes/step traffic model (ckpt-saving forward
+        # 2.5 + inner rebuild 3 + reverse kernel ~4 passes incl. halo
+        # amplification at rt=4), with the measured halo-extraction share
+        from mpas_ocean_tpu.structured.pallas_model import (
+            _tiled_adjoint_plan,
+        )
+
+        lst_ = lsm.to_struct(lprog)
+        tplan_ = _tiled_adjoint_plan(
+            lst_, lsm.struct_mesh, max(10, STEPS // 80), False, False,
+            None, None,
+        )
+        lny2, lnx = lsm.struct_mesh.ny2, lsm.struct_mesh.nx
+        lstate_bytes = (2 + 8 * LEVELS) * lny2 * lnx * 4
+        fl_step_large = step_flop_count(
+            lny2, lnx, LEVELS, len(lsm.struct_mesh.coriolis_terms)
+        )
+        tiled_adj_roof = {}
+        if tplan_ is not None and np.isfinite(ladj_spstep):
+            rt_a, q_a, b_a = tplan_
+            adj_bytes_step = 9.5 * lstate_bytes
+            tiled_adj_roof = {
+                "plan_rt_q_b": [int(rt_a), int(q_a), int(b_a)],
+                "mfu": 3 * fl_step_large / ladj_spstep / vpu_peak,
+                "hbm_gbps_modeled": adj_bytes_step / ladj_spstep / 1e9,
+                "hbm_frac_modeled": adj_bytes_step / ladj_spstep / hbm_peak,
+                "reverse_to_tiled_forward_ratio": ladj_spstep / large_spstep,
+                "halo_extraction_frac_of_tiled_forward": (
+                    halo_spstep / large_spstep
+                ),
+                "traffic_model": (
+                    "9.5 state passes/step: ckpt fwd 2.5 + rebuild 3 + "
+                    "reverse kernel ~4 (primal+cot in, cot out, halo "
+                    "amplification 2q/rt)"
+                ),
+            }
     else:
         tiled_roof = tiled_nl_roof = ss_roof = mat_roof = {}
+        tiled_adj_roof = {}
 
     # devices->efficiency on the virtual CPU mesh (round-3 VERDICT item 6)
     _prog("virtual-8 scaling sweep")
@@ -786,6 +1097,19 @@ def main():
                     "large_mesh_config": "256x256 hex, 100 levels (HBM-streaming tiled path)",
                     "adjoint_rollout_seconds_per_step": adj_spstep,
                     "large_mesh_adjoint_seconds_per_step": ladj_spstep,
+                    "large_mesh_forced_adjoint_seconds_per_step":
+                        ladj_forced_spstep,
+                    "large_mesh_nonlinear_adjoint_seconds_per_step":
+                        ladj_nl_spstep,
+                    "large_mesh_roll_replay_adjoint_seconds_per_step":
+                        ladj_roll_spstep,
+                    "large_mesh_forced_roll_replay_adjoint_seconds_per_step":
+                        ladj_forced_roll_spstep,
+                    "tiled_halo_extraction_seconds_per_step": halo_spstep,
+                    "linearized_matrix_seconds_per_step": t_lin,
+                    "linearized_matrix_Aq": aq,
+                    "irregular_matrix_gridpoints_per_sec": irr_gps,
+                    "irregular_matrix_detail": irr_detail,
                     "sharded_adjoint_seconds_per_step": sadj_spstep,
                     "nonlinear_fused_gridpoints_per_sec": nl_gps,
                     "tracer2_fused_gridpoints_per_sec": tr_gps,
@@ -809,6 +1133,7 @@ def main():
                         "tiled_path": tiled_roof,
                         "tiled_nonlinear_path": tiled_nl_roof,
                         "superstep_path": ss_roof,
+                        "tiled_adjoint_path": tiled_adj_roof,
                         "matrix_path": mat_roof,
                         "note": (
                             "peaks are MEASURED sustained rates on this "
