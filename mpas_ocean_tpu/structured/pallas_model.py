@@ -654,6 +654,27 @@ def _forcing_setup(forcing, ny2, nx, dtype):
     if forcing is None:
         return None, None
     wind = jnp.asarray(forcing.wind_edge).reshape(6, ny2, nx, 1).astype(dtype)
+    traced = any(
+        isinstance(m, jax.core.Tracer)
+        for m in (forcing.top_mask, forcing.bottom_mask)
+    )
+    if traced:
+        # jit(grad(... wrt forcing)) — the production calling convention:
+        # the masks arrive as tracers, so the one-hot STRUCTURE cannot be
+        # validated here (make_forcing builds one-hot masks by
+        # construction; a traced NON-one-hot mask would compress lossily —
+        # use the roll/gather paths for general masks). The encoding
+        # itself is pure jnp, identical to the concrete branch.
+        idx = []
+        for m in (forcing.top_mask, forcing.bottom_mask):
+            mm = jnp.asarray(m).reshape(6, ny2, nx, -1)
+            on = mm != 0
+            cnt = on.sum(-1)
+            ii = jnp.where(
+                cnt == 1, jnp.argmax(on, axis=-1), -1
+            ).astype(jnp.int32)
+            idx.append(ii)
+        return wind, jnp.concatenate(idx, axis=0)[..., None]
     idx = []
     for m in (forcing.top_mask, forcing.bottom_mask):
         m = np.asarray(m).reshape(6, ny2, nx, -1)
@@ -2471,14 +2492,20 @@ def _adj_window_planes(q: int, n_tracers: int = 0, nonlinear: bool = False,
                        forced: bool = False, stratified: bool = False) -> int:
     """Plane-equivalent VMEM model of the tiled ADJOINT window: the padded
     forward window + q steps of in-kernel vjp residuals + the cotangent
-    window buffers. The linear q=1 point (100 planes -> rt=4 on
-    256x256x100 f32) is CALIBRATED on v5e Mosaic compile success (round-4
-    sweep); the per-subsystem increments mirror the fused-segment plan's
-    measured ratios (_adjoint_plan)."""
-    per = 90 if nonlinear else 45
+    window buffers. CALIBRATED on v5e 256x256x100 f32 Mosaic compile
+    success/failure (round-5 sweep; planes_max(window) = 0.9*budget /
+    (window_rows * nx * k_pad * 4)):
+      linear q=1:    rt=4 compiles, rt=8 OOMs      -> 100 planes
+      forced q=1:    rt=4 OOMs at 111.8 MB (=142), rt=2 compiles -> 150
+      nonlinear q=1: rt=4 OOMs, rt=2 compiles      -> 110
+    (the forcing vjp keeps ~50 planes of window residuals even with the
+    recompute-backward _forcing_term; the nonlinear step's derived-field
+    residuals largely reuse the linear slots, +10). Tracer/strat
+    increments follow the fused-segment plan's measured ratios."""
+    per = 55 if nonlinear else 45
     per += 26 * n_tracers
     if forced:
-        per += 16
+        per += 50
     if stratified:
         per += 6
     return 55 + q * per

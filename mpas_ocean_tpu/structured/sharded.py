@@ -71,27 +71,86 @@ def _level_onehot(idx, like):
     return (lvl == idx).astype(like.dtype)
 
 
+def _forcing_core(u_i, he_i, wind_c, top_c, bot_c, dlin, dquad, rayl):
+    """models/forcing.forcing_tendency, operation for operation: single
+    shared reciprocal, wind on the top mask, linear+quadratic drag on the
+    bottom mask, Rayleigh everywhere."""
+    inv_h = jnp.ones_like(he_i) / jnp.where(
+        he_i > 0, he_i, jnp.ones_like(he_i)
+    )
+    t = top_c * (wind_c * inv_h)
+    t = t - bot_c * (dlin * u_i + dquad * jnp.abs(u_i) * u_i * inv_h)
+    return t - rayl * u_i
+
+
+@jax.custom_vjp
+def _forcing_term(u_i, he_i, wind_c, tidx, bidx, dlin, dquad, rayl):
+    """Forcing term with a RECOMPUTING hand-written VJP: the backward
+    re-expands the compressed level-index planes and re-derives
+    inv_h / |u| instead of keeping them as residuals — ~20 window K-planes
+    the in-kernel tiled adjoint would otherwise hold resident per step
+    (measured on v5e 256x256x100: storing them forces row_tile 2; the
+    recompute unlocks row_tile 4, halving the halo read amplification).
+    tidx/bidx are compressed int32 index planes (_level_onehot encoding);
+    their cotangent is structurally zero (None)."""
+    top_c = _level_onehot(tidx, u_i)
+    bot_c = _level_onehot(bidx, u_i)
+    return _forcing_core(u_i, he_i, wind_c, top_c, bot_c, dlin, dquad, rayl)
+
+
+def _forcing_term_fwd(u_i, he_i, wind_c, tidx, bidx, dlin, dquad, rayl):
+    return (
+        _forcing_term(u_i, he_i, wind_c, tidx, bidx, dlin, dquad, rayl),
+        (u_i, he_i, wind_c, tidx, bidx, dlin, dquad, rayl),
+    )
+
+
+def _forcing_term_bwd(res, g):
+    u_i, he_i, wind_c, tidx, bidx, dlin, dquad, rayl = res
+    top_c = _level_onehot(tidx, u_i)
+    bot_c = _level_onehot(bidx, u_i)
+    pos = he_i > 0
+    one = jnp.ones_like(he_i)
+    inv_h = one / jnp.where(pos, he_i, one)
+    au = jnp.abs(u_i)
+    # d|u|u/du = 2|u| (sign(u)*u + |u|); matches jax's subgradient at 0
+    d_u = g * (-bot_c * (dlin + 2.0 * dquad * au * inv_h) - rayl)
+    # d(inv_h)/d(he) = -1/he^2 where he > 0, else 0 (the where routes it)
+    dinv = jnp.where(pos, -inv_h * inv_h, jnp.zeros_like(inv_h))
+    d_he = g * (top_c * wind_c - bot_c * (dquad * au * u_i)) * dinv
+    d_wind = (g * top_c * inv_h).sum(axis=-1, keepdims=True)
+    d_dlin = -(g * bot_c * u_i).sum()
+    d_dquad = -(g * bot_c * au * u_i * inv_h).sum()
+    d_rayl = -(g * u_i).sum()
+    return (d_u, d_he, d_wind, None, None,
+            d_dlin.astype(jnp.asarray(dlin).dtype),
+            d_dquad.astype(jnp.asarray(dquad).dtype),
+            d_rayl.astype(jnp.asarray(rayl).dtype))
+
+
+_forcing_term.defvjp(_forcing_term_fwd, _forcing_term_bwd)
+
+
 def _apply_forcing(u_i, he_i, forc, c):
     """Elementwise wind / bottom-drag / Rayleigh term for edge channel c on
     interior rows (models/forcing.forcing_tendency, slab layout):
     forc = (wind6, top6, bot6, drag_lin, drag_quad, rayleigh), each field a
     6-tuple of halo-padded planes sliced to interior by the caller. The
-    top/bot entries are either dense one-hot (..., K) level masks or
-    compressed int32 (..., 1) level-index planes (see _level_onehot)."""
+    top/bot entries are either dense one-hot (..., K) level masks (plain
+    AD) or compressed int32 (..., 1) level-index planes, which route
+    through the recompute-backward _forcing_term (see _level_onehot)."""
     wind, top, bot, dlin, dquad, rayl = forc
     top_c, bot_c = top[c], bot[c]
+    if (jnp.issubdtype(top_c.dtype, jnp.integer)
+            and jnp.issubdtype(bot_c.dtype, jnp.integer)):
+        return _forcing_term(u_i, he_i, wind[c], top_c, bot_c,
+                             dlin, dquad, rayl)
     if jnp.issubdtype(top_c.dtype, jnp.integer):
         top_c = _level_onehot(top_c, u_i)
     if jnp.issubdtype(bot_c.dtype, jnp.integer):
         bot_c = _level_onehot(bot_c, u_i)
-    # single reciprocal, shared by wind and quadratic drag — matches
-    # models/forcing.forcing_tendency operation for operation
-    inv_h = jnp.ones_like(he_i) / jnp.where(
-        he_i > 0, he_i, jnp.ones_like(he_i)
-    )
-    t = top_c * (wind[c] * inv_h)
-    t = t - bot_c * (dlin * u_i + dquad * jnp.abs(u_i) * u_i * inv_h)
-    return t - rayl * u_i
+    return _forcing_core(u_i, he_i, wind[c], top_c, bot_c, dlin, dquad,
+                         rayl)
 
 
 def _flux_thickness(h, u, rts, dt, s_div, rows):

@@ -244,6 +244,46 @@ def test_tiled_adjoint_all_subsystems(setup, tpu_routing, no_vmem, config):
         assert float(jnp.abs(gd[2].top_mask).max()) == 0.0
 
 
+@pytest.mark.parametrize("fits", [True, False])
+def test_jitted_forced_gradient(setup, tpu_routing, monkeypatch, fits):
+    """jit(grad(...)) w.r.t. state AND forcing — the production calling
+    convention (an optimization loop jits its update step), which feeds
+    TRACED forcing masks into the routing plans and operand builders.
+    Unjitted jax.grad hides this class of bug: the custom-vjp forward
+    then sees concrete primals. Covers the fused (fits=True) and tiled
+    (fits=False) arms."""
+    from mpas_ocean_tpu.models.forcing import make_forcing
+
+    sm, st, mesh, _ = setup
+    smesh = sm.struct_mesh
+    if not fits:
+        monkeypatch.setattr(pm, "fits_in_vmem", lambda *a, **k: False)
+    f = sm.to_struct_forcing(make_forcing(
+        mesh, wind_stress_zonal=0.1, bottom_drag_linear=1e-4, rayleigh=1e-5,
+    ))
+    n = 4
+
+    def obj_diff(s, t, fo):
+        out = pm.pallas_rollout_diff(s, smesh, t, n, False, 0.0, 1.0,
+                                     None, fo)
+        return jnp.sum(out.ssh**2)
+
+    def obj_roll(s, t, fo):
+        out = structured_run_loop(s, smesh, t, n, forcing=fo)
+        return jnp.sum(out.ssh**2)
+
+    gd = jax.jit(jax.grad(obj_diff, argnums=(0, 1, 2)))(
+        st, jnp.asarray(10.0), f
+    )
+    gr = jax.grad(obj_roll, argnums=(0, 1, 2))(st, jnp.asarray(10.0), f)
+    _assert_state_close(gd[0], gr[0], rtol=1e-8)
+    np.testing.assert_allclose(float(gd[1]), float(gr[1]), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gd[2].wind_edge), np.asarray(gr[2].wind_edge),
+        rtol=1e-8, atol=1e-12,
+    )
+
+
 def test_auto_run_loop_tpu_arms(setup, tpu_routing, monkeypatch):
     """structured_auto_run_loop's fused and tiled TPU arms, on CPU."""
     sm, st, _, _ = setup
