@@ -446,9 +446,23 @@ def measure_linearized(device, mesh, prog, dt, steps, reps: int = 1,
 
     prog = jax.device_put(prog, device)
     if q is None:
+        # build the operators ONCE outside the timed region (the first
+        # measurement of this line accidentally timed the host-side
+        # MatrixModel rebuild every rep, inflating it ~10x)
+        from mpas_ocean_tpu.models.linear_matrix import _linearized_ref_loop
+        from mpas_ocean_tpu.models.matrix_model import MatrixModel
+
+        mm = jax.device_put(MatrixModel.from_mesh(mesh), device)
+        rt = np.asarray(mesh.vert.resting_thickness, dtype=np.float64)
+        coe = np.asarray(mesh.horz.edges.cells_on_edge)
+        import jax.numpy as jnp
+
+        he = jax.device_put(jnp.asarray(
+            (0.5 * (rt[coe[:, 0]] + rt[coe[:, 1]]))[:, 0].astype(np.float32)
+        ), device)
+
         def run():
-            out = linearized_ref_loop(prog, mesh, dt, steps,
-                                      dtype=np.float32)
+            out = _linearized_ref_loop(prog, mm, he, np.float32(dt), steps)
             return float(out.ssh.sum())
 
         return _time_fn(run, reps), 0
@@ -478,7 +492,10 @@ def measure_stream_floor(device, arrays, reps: int = 1) -> float:
     def sweep(xs):
         def body(i, acc):
             # i-dependent scale defeats loop-invariant hoisting of the read
-            s = sum((x * (1.0 + 1e-9 * i)).sum() for x in xs)
+            s = sum(
+                ((x * (1.0 + 1e-9 * i)).sum()).astype(jnp.float32)
+                for x in xs
+            )
             return acc + s
         return jax.lax.fori_loop(0, T, body, jnp.zeros((), jnp.float32))
 
@@ -851,6 +868,11 @@ def main():
                                         roll_adj_steps, forcing=lforc,
                                         force_roll=True) / roll_adj_steps,
             "forced roll-replay adjoint")
+        ladj_nl_roll_spstep = _try(
+            lambda: measure_adjoint_cfg(accel, lsm, lprog, dt,
+                                        roll_adj_steps, nonlinear=True,
+                                        force_roll=True) / roll_adj_steps,
+            "nonlinear roll-replay adjoint")
         _prog("tiled halo-extraction overhead")
         halo_spstep = _try(
             lambda: measure_tiled_halo_overhead(accel, lsm, lprog, LEVELS,
@@ -919,6 +941,7 @@ def main():
         large_nl_spstep = float("nan")
         ladj_forced_spstep = ladj_nl_spstep = float("nan")
         ladj_roll_spstep = ladj_forced_roll_spstep = float("nan")
+        ladj_nl_roll_spstep = float("nan")
         halo_spstep = t_lin = irr_gps = float("nan")
         aq = {}
         irr_detail = {}
@@ -995,14 +1018,18 @@ def main():
         mat_roof = {
             "operand_bytes": int(mat_bytes),
             "mfu_physics": fl_step / t_mat_step / vpu_peak,
-            "stream_floor_seconds_per_step": mat_stream_sp,
-            "stream_floor_frac_of_step": mat_stream_sp / t_mat_step,
-            "stream_floor_gbps": mat_bytes / mat_stream_sp / 1e9,
+            "operand_readonly_sweep_seconds_per_pass": mat_stream_sp,
+            "sweep_to_step_ratio": mat_stream_sp / t_mat_step,
             "bound": (
                 "per-matmul dispatch overhead (bf16 ablation <1%, "
-                "ops/bsr.py:27-47); stream floor is the measured time to "
-                "read the operands once — the gap to the step time is "
-                "dispatch+compute, not bandwidth"
+                "ops/bsr.py:27-47). The read-only operand sweep costs "
+                "SEVERAL TIMES the measured step, so the step cannot be "
+                "re-streaming the operands each iteration: the whole "
+                "operand set (< the 128 MB VMEM) stays resident across "
+                "the scan, which is also why halving operand bytes "
+                "(bf16) moves the time <1%. This replaces the previous "
+                "modeled HBM fraction, which charged per-step streaming "
+                "that demonstrably does not happen."
             ),
         }
         # tiled ADJOINT roofline (round-4 weak item 3): measured reverse
@@ -1105,6 +1132,8 @@ def main():
                         ladj_roll_spstep,
                     "large_mesh_forced_roll_replay_adjoint_seconds_per_step":
                         ladj_forced_roll_spstep,
+                    "large_mesh_nonlinear_roll_replay_adjoint_seconds_per_step":
+                        ladj_nl_roll_spstep,
                     "tiled_halo_extraction_seconds_per_step": halo_spstep,
                     "linearized_matrix_seconds_per_step": t_lin,
                     "linearized_matrix_Aq": aq,

@@ -2511,9 +2511,10 @@ def _adj_window_planes(q: int, n_tracers: int = 0, nonlinear: bool = False,
     return 55 + q * per
 
 
-# reverse-side temporal-blocking order tried by _tiled_adjoint_plan: q=1
-# first (calibrated); flipped to prefer deeper blocking only if the
-# on-chip sweep shows it pays (bench tiled-adjoint roofline entry).
+# reverse-side temporal blocking: MEASURED on v5e 256x256x100 f32 (round-5
+# sweep) — q=2 forces the row tile from 4 down to 2 (the window residuals
+# double) and lands at 8.48 ms/step vs q=1's 7.75, so deeper reverse
+# blocking does not pay on this chip; the plan stays at q=1.
 _ADJ_Q_ORDER = (1,)
 
 
