@@ -32,6 +32,16 @@ so A^q / C^q / b^q are computed ONCE host-side (scipy.sparse) and applied
 as one BSR matmul + one single-column matvec per q steps. Composition is
 exact in real arithmetic; in floating point it reassociates sums, so f32
 results drift at roundoff scale per application (test-pinned).
+
+MEASURED OUTCOME (v5e, 64x64x100 f32, BENCH_r05): stepwise linearized
+96 us/step; A^2 88 us/step (1.09x); A^4 112; A^8 133. The q-fold
+dispatch saving is real but the composed operator's band roughly doubles
+per q-doubling (143 -> 264 -> 505 MB stored), so bytes-per-step stays
+~flat and the path crosses from dispatch-bound into HBM-bound around
+q=2 — the measured answer to "compose q steps to amortize per-matmul
+overhead": it pays ~9% at q=2 and then loses. Kept for its modest win
+and because the composed operator is also the exact q-step propagator
+(useful for stability/normal-mode analysis).
 """
 
 from __future__ import annotations
