@@ -1588,6 +1588,14 @@ _ADJ_VMEM_BUDGET = 100 * 1024 * 1024
 # the live cotangent/halo working set needs a few states' worth of headroom
 _ADJ_HBM_BUDGET = 8 * 1024**3
 
+# Scoped-VMEM limit for the TILED adjoint kernel specifically: its in/out
+# pipeline windows are small per-tile blocks (unlike the whole-array fused
+# kernels, whose 110 MB budgets OOM at link time), so it can claim more of
+# the physical 128 MB/core for the vjp working set. 116 MB verified on
+# v5e by COMPILING AND RUNNING 48-step forced reverses at rt=4 (the same
+# window OOMs the default 100 MB limit at a reported 111.8 MB).
+_ADJ_TILED_VMEM_BUDGET = 116 * 1024 * 1024
+
 
 def _adjoint_plan(n_steps: int, ny2: int, nx: int, k: int, itemsize: int,
                   nonlinear: bool = False, n_tracers: int = 0,
@@ -2117,7 +2125,7 @@ def _make_tiled_adjoint_call(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET
+            vmem_limit_bytes=_ADJ_TILED_VMEM_BUDGET
         ),
         interpret=interpret,
     )
@@ -2490,22 +2498,22 @@ def pallas_rollout_diff(
 
 def _adj_window_planes(q: int, n_tracers: int = 0, nonlinear: bool = False,
                        forced: bool = False, stratified: bool = False) -> int:
-    """Plane-equivalent VMEM model of the tiled ADJOINT window: the padded
-    forward window + q steps of in-kernel vjp residuals + the cotangent
-    window buffers. CALIBRATED on v5e 256x256x100 f32 Mosaic compile
-    success/failure (round-5 sweep; planes_max(window) = 0.9*budget /
-    (window_rows * nx * k_pad * 4)):
-      linear q=1:    rt=4 compiles, rt=8 OOMs      -> 100 planes
-      forced q=1:    rt=4 OOMs at 111.8 MB (=142), rt=2 compiles -> 150
-      nonlinear q=1: rt=4 OOMs, rt=2 compiles      -> 110
-    (the forcing vjp keeps ~50 planes of window residuals even with the
-    recompute-backward _forcing_term; the nonlinear step's derived-field
-    residuals largely reuse the linear slots, +10). Tracer/strat
-    increments follow the fused-segment plan's measured ratios."""
-    per = 55 if nonlinear else 45
+    """TRUE plane-equivalent VMEM requirement of the tiled ADJOINT window
+    (padded forward window + q steps of in-kernel vjp residuals +
+    cotangent buffers), checked DIRECTLY against _ADJ_TILED_VMEM_BUDGET.
+    CALIBRATED on v5e 256x256x100 f32 compile success/failure at BOTH the
+    100 MB and 116 MB scoped limits (round-5 sweep; a window of W rows
+    costs planes * W * nx * k_pad * itemsize):
+      linear:    rt=4 OK, rt=8 OOMs even @116      -> in (88, 127]: 120
+      forced:    rt=4 needs 111.8 MB (compiler-reported = 142 planes),
+                 OK @116, OOM @100                  -> 145
+      nonlinear: rt=2 OK, rt=4 OOMs even @116      -> in (110, 127]: 120
+      forced+nl: rt=2 OOMs @116, rt=1 OK           -> 160 (admits rt=1)
+    Tracer/strat increments follow the fused-segment plan's ratios."""
+    per = 65
     per += 26 * n_tracers
     if forced:
-        per += 50
+        per += 25 + (15 if nonlinear else 0)
     if stratified:
         per += 6
     return 55 + q * per
@@ -2543,7 +2551,7 @@ def _tiled_adjoint_plan(state: StructState, mesh: StructMesh,
     reach = 2 if nonlinear else 1
     k_pad = -(-k // 128) * 128
     plane = mesh.nx * k_pad * itemsize
-    limit = int(0.9 * _VMEM_BUDGET)
+    limit = _ADJ_TILED_VMEM_BUDGET
 
     def pick_rt(q_c):
         planes = _adj_window_planes(q_c, n_tr, nonlinear, forced,
