@@ -977,13 +977,25 @@ def main():
         state_b = (2 * 1 + 2 * k_ + 6 * k_) * ny2_ * nx_ * 4
         halo_frac = 2.0 * reach_ * q_ / rt_
         bytes_step = state_b * (2.0 + 3.0 * halo_frac) / q_
-        fl = step_flop_count(ny2_, nx_, k_, len(sm.struct_mesh.coriolis_terms))
+        fl = step_flop_count(
+            ny2_, nx_, k_, len(sm.struct_mesh.coriolis_terms),
+            nonlinear=nonlinear_,
+        )
+        # useful-FLOP rate vs compute INCLUDING the halo-window recompute:
+        # each kernel window advances rt interior rows but computes
+        # rt + 2*reach*(q-1-j)... rows per inner step; averaged, the
+        # window does (1 + reach*(q-1)/rt) x the useful row-updates, and
+        # the halo READS amplify by halo_frac — the attributable residual
+        # between mfu and the HBM fraction
+        redundant_compute = reach_ * max(q_ - 1, 0) / rt_
         return {
             "row_tile": rt_,
             "q": q_,
             "mfu": fl / t_step / vpu_peak,
             "hbm_gbps_modeled": bytes_step / t_step / 1e9,
             "hbm_frac_modeled": bytes_step / t_step / hbm_peak,
+            "halo_read_amplification": 1.0 + halo_frac,
+            "window_recompute_frac": redundant_compute,
         }
 
     from mpas_ocean_tpu.structured.pallas_model import step_flop_count

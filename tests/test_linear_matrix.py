@@ -89,6 +89,41 @@ def test_f32_drift_is_roundoff_scale(setup):
     assert e_comp < 5.0 * max(e_step, 1e-7), (e_comp, e_step)
 
 
+def test_composed_on_irregular_mesh():
+    """A^q composition with genuinely non-uniform metrics (irregular
+    Voronoi mesh): entries of GRAD/DIV/CORF all vary per element, so this
+    pins the composition algebra beyond the lattice's uniform case."""
+    from mpas_ocean_tpu.mesh.irregular import irregular_trisk_mesh
+
+    horz = irregular_trisk_mesh(16, 16, 16000.0, 16000.0, jitter=0.25,
+                                lloyd=2, seed=3, f0=1e-4)
+    vert = make_vertical_mesh(
+        horz, n_vert_levels=2,
+        resting_thickness=np.full((horz.n_cells, 2), 100.0),
+    )
+    mesh = Mesh(horz=horz, vert=vert).to_device()
+    rng = np.random.default_rng(11)
+    h = 100.0 + 0.05 * rng.normal(size=(horz.n_cells, 2))
+    u = 0.01 * rng.normal(size=(horz.n_edges, 2))
+    prog = PrognosticVars(
+        ssh=jnp.asarray(h.sum(1) - np.asarray(vert.resting_thickness_sum)),
+        layer_thickness=jnp.asarray(h),
+        normal_velocity=jnp.asarray(u),
+    )
+    dt, q, n_super = 2.0, 4, 2
+    ref = linearized_ref_loop(prog, mesh, dt, q * n_super)
+    lmm = LinearizedMatrixModel.from_mesh(mesh, dt, q=q, dtype=np.float64)
+    out = linearized_run_loop(prog, lmm, n_super)
+    np.testing.assert_allclose(
+        np.asarray(out.layer_thickness), np.asarray(ref.layer_thickness),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal_velocity), np.asarray(ref.normal_velocity),
+        rtol=1e-8, atol=1e-11,
+    )
+
+
 def test_composed_rejects_masked_configs():
     from mpas_ocean_tpu.mesh.cull import cull_cells
 
