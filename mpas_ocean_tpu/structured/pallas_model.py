@@ -932,32 +932,46 @@ def _tiled_step_kernel(
         t_out[i] = tr[i]
 
 
+# Scoped-VMEM limit for the TILED step kernel: like the tiled adjoint,
+# its pipeline windows are per-tile blocks, so it can claim more of the
+# physical 128 MB/core than the whole-array fused kernels. 116 MB
+# verified on v5e by compiling AND running 500-step nonlinear q=2
+# rollouts at 256x256x100 f32 (window cost 110 MB — over the old 100 MB
+# budget; measured 3.77 vs 3.38 Gp/s at q=1).
+_TILED_VMEM_BUDGET = 116 * 1024 * 1024
+
+
 def tile_cost_planes(n_tracers: int = 0, nonlinear: bool = False) -> int:
-    """Plane-equivalent VMEM working set of one tiled-kernel window: ~80
-    planes — 18 input + 10 output block planes double-buffered by the
-    pipeline, plus ~24 planes of step temporaries; each tracer adds ~14
-    more (2 in + 2 out double-buffered + flux temporaries). CALIBRATED on
-    v5e against Mosaic compile success on 256x256x100 f32 (round-4 sweep):
-    linear compiles at 8 window rows x 80 planes (84 MB) and fails at 12
-    (125 MB); nonlinear compiles at 8 rows and fails at 12, i.e. its live
-    set is ~70 planes — the derived-field temporaries (KE/PV/kite) largely
-    REUSE the linear step's flux/grad slots, they don't add to them. The
-    SINGLE cost model shared by _pick_row_tile and the sharded superstep's
-    fit check — keep them from drifting by always going through
-    tile_window_fits."""
-    return (70 if nonlinear else 80) + 14 * n_tracers
+    """Per-WINDOW-ROW plane cost of the tiled kernel (the 'a' coefficient
+    of tile_window_fits' two-term model): step temporaries + single-
+    buffered window reads. Each tracer adds ~14 more. See
+    tile_window_fits for the calibration evidence."""
+    return (68 if nonlinear else 80) + 14 * n_tracers
+
+
+# per-CENTER-ROW extra cost (double-buffered center in/out blocks scale
+# with rt, not with the whole window — the round-5 sweep point that
+# separates them: nonlinear rt=4/q=2 and rt=8/q=1 have the SAME 12-row
+# window, yet the first compiles at 116 MB and the second does not)
+_TILE_RT_PLANES = 16
 
 
 def tile_window_fits(rt: int, q: int, nx: int, k: int, itemsize: int,
                      n_tracers: int = 0, reach: int = 1,
                      nonlinear: bool = False) -> bool:
-    """Whether a (rt + 2*reach*q)-row kernel window fits the VMEM budget.
-    Trailing-singleton fields pad to a full 128-lane tile, so they count
-    at the same k_pad as the 3-D fields."""
+    """Whether a (rt + 2*reach*q)-row kernel window fits the tiled-kernel
+    VMEM budget. Two-term cost: a * window_rows + b * rt, with a =
+    tile_cost_planes and b = _TILE_RT_PLANES, checked directly against
+    _TILED_VMEM_BUDGET. CALIBRATED on v5e Mosaic compile success at
+    256x256x100 f32 (plane-row = nx * k_pad * itemsize = 131072 B;
+    budget = 885 plane-rows): linear rt4/q2 OK (704), rt8/q2 FAIL (1088);
+    nonlinear rt4/q1 OK (608), rt4/q2 OK (880 — razor thin, runs),
+    rt8/q1 FAIL (944). Trailing-singleton fields pad to a full 128-lane
+    tile, so they count at the same k_pad as the 3-D fields."""
     k_pad = -(-k // 128) * 128
-    planes = tile_cost_planes(n_tracers, nonlinear)
-    return (planes * (rt + 2 * reach * q) * nx * k_pad * itemsize
-            <= int(0.9 * _VMEM_BUDGET))
+    a = tile_cost_planes(n_tracers, nonlinear)
+    cost_rows = a * (rt + 2 * reach * q) + _TILE_RT_PLANES * rt
+    return cost_rows * nx * k_pad * itemsize <= _TILED_VMEM_BUDGET
 
 
 def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
@@ -979,16 +993,17 @@ def auto_tile_plan(ny2: int, nx: int, k: int, itemsize: int,
                    n_tracers: int = 0, reach: int = 1,
                    nonlinear: bool = False, n_steps: int = 0):
     """(row_tile, q) for the tiled rollout: deepest temporal blocking whose
-    row tile stays at least as large as the halo it carries (a smaller
-    tile re-computes more halo rows than it advances interior rows —
-    measured slower than shallower blocking on every config swept)."""
+    row tile stays at least as large as the PER-SIDE halo it carries
+    (round-4 required the full 2-sided halo, but the round-5 budget sweep
+    measured nonlinear rt=4/q=2 — halo 8 > rt 4 — FASTER than rt=4/q=1:
+    3.77 vs 3.38 Gp/s on 256x256x100, so the guard is per-side now)."""
     q = 1
     for cand in (4, 2):
         if n_steps and n_steps % cand:
             continue
         rt_c = _pick_row_tile(ny2, nx, k, itemsize, cand, n_tracers, reach,
                               nonlinear)
-        if rt_c >= 2 * reach * cand:
+        if rt_c >= reach * cand:
             q = cand
             break
     return _pick_row_tile(ny2, nx, k, itemsize, q, n_tracers, reach,
@@ -1107,7 +1122,7 @@ def _make_tiled_step_call(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET
+            vmem_limit_bytes=_TILED_VMEM_BUDGET
         ),
         # each tile reads its own center block and writes its own: in-place
         # is safe, and donation avoids a whole-state copy per scan step
@@ -2479,16 +2494,20 @@ def pallas_rollout_diff(
     nonlinear: bool = False, tracer_kappa: float = 0.0,
     tracer_upwind: float = 1.0, strat=None, forcing=None,
 ) -> StructState:
-    """n-step structured rollout, FAST forward and differentiable: the
-    primal runs the fused/tiled Pallas kernel (VMEM-resident loop), the VJP
-    reverse-integrates the equal-math roll model under sqrt checkpointing —
-    the whole-loop reverse the reference validates with Enzyme
-    (reference: test/enzyme/test_Enzyme_end2end.jl:78-92) at the fused
-    path's forward speed. ``forcing`` (struct layout) is a differentiated
-    input: the fused adjoint segments accumulate the exact wind and
+    """n-step structured rollout, FAST forward and differentiable — the
+    whole-loop reverse the reference validates with Enzyme (reference:
+    test/enzyme/test_Enzyme_end2end.jl:78-92). Routing: in-VMEM meshes run
+    the fused kernel forward and reverse through fused Pallas adjoint
+    segments; beyond-VMEM meshes run the tiled kernel forward and reverse
+    through the tiled Pallas adjoint (per-tile window vjp + halo
+    overlap-add + two-level checkpointing) — EVERY configuration (linear,
+    nonlinear, wall masks, forcing, tracers, stratification); CPU and
+    general (non-one-hot) level masks fall back to the sqrt-checkpointed
+    roll reverse. ``forcing`` (struct layout) is a differentiated input:
+    the Pallas reverses accumulate the exact wind and
     drag/Rayleigh-coefficient cotangents in-kernel (level-mask cotangents
-    are zero there — structural selectors; the checkpointed-roll fallback
-    produces them exactly when the fused path does not apply)."""
+    are zero there — structural selectors; the roll fallback produces
+    them exactly when the Pallas paths do not apply)."""
     return structured_auto_run_loop(
         state, mesh, dt, n_steps, nonlinear=nonlinear,
         tracer_kappa=tracer_kappa, tracer_upwind=tracer_upwind, strat=strat,
