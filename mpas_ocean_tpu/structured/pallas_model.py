@@ -1025,7 +1025,7 @@ def _make_tiled_step_call(
     ShardedStructuredModel.run_pallas), whose outermost halos arrive by
     lax.ppermute. ``nl_terms`` = (vertex_cell_terms, edge_vertex_terms)
     selects the nonlinear vector-invariant step (reach 2); ``fb`` the
-    forward-backward scheme (also reach 2).
+    forward-backward scheme (reach 2; nonlinear+fb reach 3).
 
     Operand order: the (1, 8) runtime scalar vector (_tiled_scal); then
     (ssh, h, u, f, rts) centers; the same five as top halo blocks; the
@@ -1251,7 +1251,7 @@ def pallas_tiled_run_loop(
     (walled lattices included — masked vertex constants ride the f_vertex
     plane group; derived fields recomputed locally on the 2-rows-per-step
     window, sharded._step_slab_nl); ``fb`` the forward-backward scheme
-    (also reach 2)."""
+    (reach 2; nonlinear+fb reach 3)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ny2, nx = mesh.ny2, mesh.nx

@@ -598,8 +598,10 @@ def _step_slab_nl(ssh, h, u, f_edge, rts, f_v, dt, inv_dc, s_div, ke_scale,
                   curl_scale, terms, vc_terms, ev_terms, rows, forc=None,
                   tr=None, tropts=(0.0, 1.0), strat_w=None, masks=None,
                   cmask=None, fb=False):
-    """One NONLINEAR (vector-invariant) forward-Euler step computed fully
-    locally on TWO-halo-padded planes (rows+4) -> interior rows.
+    """One NONLINEAR (vector-invariant) step computed fully locally on
+    TWO-halo-padded planes (rows+4) -> interior rows; ``fb=True`` selects
+    forward-backward semantics and needs THREE halo rows per side
+    (rows+6 planes, reach 3).
 
     Where the sharded `run` path exchanges the derived fields (flux, KE,
     edge PV) in a second ppermute round to stay exact on a 1-ring halo,
@@ -1483,9 +1485,9 @@ class ShardedStructuredModel:
         ``nonlinear=True`` runs the vector-invariant momentum equation
         (reach 2: the kernel recomputes the derived fields locally,
         _step_slab_nl, so the PV-flux stencil needs 2q halo rows);
-        ``fb=True`` the forward-backward scheme (also reach 2). Accepts
-        and returns the same 1-halo-row slab dict as
-        ``run``/``scatter``/``gather``.
+        ``fb=True`` the forward-backward scheme (reach 2; nonlinear+fb
+        runs too, at reach 3). Accepts and returns the same 1-halo-row
+        slab dict as ``run``/``scatter``/``gather``.
         """
         import warnings
 
