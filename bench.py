@@ -1054,7 +1054,7 @@ def main():
 
         lst_ = lsm.to_struct(lprog)
         tplan_ = _tiled_adjoint_plan(
-            lst_, lsm.struct_mesh, max(10, STEPS // 80), False, False,
+            lst_, lsm.struct_mesh, max(10, STEPS // 80), False,
             None, None,
         )
         lny2, lnx = lsm.struct_mesh.ny2, lsm.struct_mesh.nx

@@ -272,9 +272,11 @@ def build_planar_trisk_mesh(
     )
     area_cell = 0.5 * np.where(slot_valid, cross, 0.0).sum(1)
     if (area_cell <= 0).any():
-        # CCW ordering guarantees positive areas; abs just in case of a
-        # globally-reversed orientation
-        area_cell = np.abs(area_cell)
+        # the ascending-angle vertex sort guarantees CCW cycles, so a
+        # non-positive area is a construction bug; silently flipping it
+        # (abs) would leave the SIGNED kite areas below inconsistent with
+        # it and corrupt the kite-weighted PV identities
+        raise ValueError("non-CCW cell vertex cycle (non-positive area)")
 
     # kite_i: quad (0, mid_i, vertex_i, mid_{i+1}) in the cell frame.
     # SIGNED shoelace, not abs: on irregular meshes an obtuse Delaunay

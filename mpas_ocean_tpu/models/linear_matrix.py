@@ -53,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import GRAVITY
-from ..ops.bsr import Bsr, bsr_matvec, build_bsr
+from ..ops.bsr import Bsr, bsr_matvec, build_bsr, trisk_coo
 from ..utils.pytree import pytree_dataclass, static_field
 from .shallow_water import PrognosticVars
 
@@ -65,47 +65,19 @@ __all__ = [
 
 
 def _linear_operators(mesh):
-    """scipy.sparse pieces of the linearized step (entries identical to
-    ops/bsr.trisk_matrices; see that module for the kernel citations)."""
+    """scipy.sparse forms of the linearized step's operators, built from
+    the SAME COO triplets as the BSR path (ops/bsr.trisk_coo) — one
+    entry-level construction, so a sign-convention or weights fix there
+    propagates here instead of drifting between the two matrix paths."""
     from scipy import sparse
 
-    horz = mesh.horz
-    cells, edges, duals = horz.cells, horz.edges, horz.duals
-    nc, ne = cells.n_cells, edges.n_edges
-    coe = np.asarray(edges.cells_on_edge)
-    dc = np.asarray(edges.dc_edge, dtype=np.float64)
-    dv = np.asarray(edges.dv_edge, dtype=np.float64)
-    e_ids = np.arange(ne)
+    coo = trisk_coo(mesh)
 
-    GRAD = sparse.coo_matrix(
-        (
-            np.concatenate([1.0 / dc, -1.0 / dc]),
-            (np.concatenate([e_ids, e_ids]),
-             np.concatenate([coe[:, 1], coe[:, 0]])),
-        ),
-        shape=(ne, nc),
-    ).tocsr()
-    eoc = np.asarray(cells.edges_on_cell)
-    sign = np.asarray(cells.edge_sign_on_cell, dtype=np.float64)
-    area = np.asarray(cells.area_cell, dtype=np.float64)
-    DIV = sparse.coo_matrix(
-        (
-            (-(sign * dv[eoc]) / area[:, None]).ravel(),
-            (np.repeat(np.arange(nc), eoc.shape[1]), eoc.ravel()),
-        ),
-        shape=(nc, ne),
-    ).tocsr()
-    eoe = np.asarray(edges.edges_on_edge)
-    w = np.asarray(edges.weights_on_edge, dtype=np.float64)
-    f = np.asarray(edges.f, dtype=np.float64)
-    CORF = sparse.coo_matrix(
-        (
-            (w * f[eoe]).ravel(),
-            (np.repeat(e_ids, eoe.shape[1]), eoe.ravel()),
-        ),
-        shape=(ne, ne),
-    ).tocsr()
-    return GRAD, DIV, CORF
+    def csr(name):
+        rows, cols, vals, shape = coo[name]
+        return sparse.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
+
+    return csr("grad"), csr("div"), csr("corf")
 
 
 @pytree_dataclass

@@ -59,7 +59,60 @@ import numpy as np
 
 from ..utils.pytree import pytree_dataclass, static_field
 
-__all__ = ["Bsr", "build_bsr", "bsr_matvec", "trisk_matrices"]
+__all__ = ["Bsr", "build_bsr", "bsr_matvec", "trisk_coo", "trisk_matrices"]
+
+
+def trisk_coo(mesh) -> dict:
+    """COO triplets of the step's linear TRiSK operators:
+    ``{name: (rows, cols, vals, (n_out, n_in))}`` for grad / c2e / div /
+    corf / curl. This is the SINGLE entry-level construction consumed by
+    both trisk_matrices (the BSR/MXU path) and models/linear_matrix (the
+    A^q composed operator), so a sign-convention or weights fix here
+    propagates to every matrix-path consumer at once. Entries mirror
+    ops/operators.py exactly (reference: src/ocn/Operators.jl:12-222,
+    .../horizontal_advection_and_coriolis.jl:50-75); padded connectivity
+    slots carry zero weight/sign so they generate zero-valued entries."""
+    horz = mesh.horz if hasattr(mesh, "horz") else mesh
+    cells, edges, duals = horz.cells, horz.edges, horz.duals
+    nc, ne, nv = cells.n_cells, edges.n_edges, duals.n_vertices
+
+    coe = np.asarray(edges.cells_on_edge)
+    dc = np.asarray(edges.dc_edge, dtype=np.float64)
+    dv = np.asarray(edges.dv_edge, dtype=np.float64)
+    e_ids = np.arange(ne)
+
+    # gradient and interpolation share the cells_on_edge pattern
+    g_rows = np.concatenate([e_ids, e_ids])
+    g_cols = np.concatenate([coe[:, 1], coe[:, 0]])
+
+    # divergence: div_i = -(1/A_i) sum_s sign_{i,s} dv_e F_e
+    eoc = np.asarray(cells.edges_on_cell)
+    sign = np.asarray(cells.edge_sign_on_cell, dtype=np.float64)
+    area = np.asarray(cells.area_cell, dtype=np.float64)
+    c_ids = np.repeat(np.arange(nc), eoc.shape[1])
+
+    # Coriolis: tend_e += sum_j w_{e,j} f[eoe_j] u[eoe_j]
+    eoe = np.asarray(edges.edges_on_edge)
+    w = np.asarray(edges.weights_on_edge, dtype=np.float64)
+    f = np.asarray(edges.f, dtype=np.float64)
+    r = np.repeat(e_ids, eoe.shape[1])
+
+    # curl: zeta_v = (1/A_v) sum_j dc_e sign_{v,j} u_e
+    eov = np.asarray(duals.edges_on_vertex)
+    vsign = np.asarray(duals.edge_sign_on_vertex, dtype=np.float64)
+    atri = np.asarray(duals.area_triangle, dtype=np.float64)
+    v_ids = np.repeat(np.arange(nv), eov.shape[1])
+
+    return {
+        "grad": (g_rows, g_cols,
+                 np.concatenate([1.0 / dc, -1.0 / dc]), (ne, nc)),
+        "c2e": (g_rows, g_cols, np.full(2 * ne, 0.5), (ne, nc)),
+        "div": (c_ids, eoc.ravel(),
+                (-(sign * dv[eoc]) / area[:, None]).ravel(), (nc, ne)),
+        "corf": (r, eoe.ravel(), (w * f[eoe]).ravel(), (ne, ne)),
+        "curl": (v_ids, eov.ravel(),
+                 (vsign * dc[eov] / atri[:, None]).ravel(), (nv, ne)),
+    }
 
 
 @pytree_dataclass
@@ -260,49 +313,23 @@ def trisk_matrices(mesh, bs: int = 128, dtype=np.float32,
     cells, edges, duals = horz.cells, horz.edges, horz.duals
     nc, ne, nv = cells.n_cells, edges.n_edges, duals.n_vertices
 
+    mats = {
+        name: build_bsr(rows, cols, vals, n_out, n_in, bs, dtype)
+        for name, (rows, cols, vals, (n_out, n_in)) in trisk_coo(mesh).items()
+    }
+    if not nonlinear:
+        return mats
+
     coe = np.asarray(edges.cells_on_edge)
     dc = np.asarray(edges.dc_edge, dtype=np.float64)
     dv = np.asarray(edges.dv_edge, dtype=np.float64)
     e_ids = np.arange(ne)
-
-    # gradient and interpolation share the cells_on_edge pattern
-    g_rows = np.concatenate([e_ids, e_ids])
-    g_cols = np.concatenate([coe[:, 1], coe[:, 0]])
-    grad = build_bsr(
-        g_rows, g_cols,
-        np.concatenate([1.0 / dc, -1.0 / dc]),
-        ne, nc, bs, dtype,
-    )
-    c2e = build_bsr(
-        g_rows, g_cols, np.full(2 * ne, 0.5), ne, nc, bs, dtype
-    )
-
-    # divergence: div_i = -(1/A_i) sum_s sign_{i,s} dv_e F_e
     eoc = np.asarray(cells.edges_on_cell)
-    sign = np.asarray(cells.edge_sign_on_cell, dtype=np.float64)
     area = np.asarray(cells.area_cell, dtype=np.float64)
     c_ids = np.repeat(np.arange(nc), eoc.shape[1])
-    d_vals = (-(sign * dv[eoc]) / area[:, None]).ravel()
-    div = build_bsr(c_ids, eoc.ravel(), d_vals, nc, ne, bs, dtype)
-
-    # Coriolis: tend_e += sum_j w_{e,j} f[eoe_j] u[eoe_j]
     eoe = np.asarray(edges.edges_on_edge)
     w = np.asarray(edges.weights_on_edge, dtype=np.float64)
-    f = np.asarray(edges.f, dtype=np.float64)
     r = np.repeat(e_ids, eoe.shape[1])
-    corf = build_bsr(r, eoe.ravel(), (w * f[eoe]).ravel(), ne, ne, bs, dtype)
-
-    # curl: zeta_v = (1/A_v) sum_j dc_e sign_{v,j} u_e
-    eov = np.asarray(duals.edges_on_vertex)
-    vsign = np.asarray(duals.edge_sign_on_vertex, dtype=np.float64)
-    atri = np.asarray(duals.area_triangle, dtype=np.float64)
-    v_ids = np.repeat(np.arange(nv), eov.shape[1])
-    c_vals = (vsign * dc[eov] / atri[:, None]).ravel()
-    curl = build_bsr(v_ids, eov.ravel(), c_vals, nv, ne, bs, dtype)
-
-    mats = {"grad": grad, "c2e": c2e, "div": div, "corf": corf, "curl": curl}
-    if not nonlinear:
-        return mats
 
     # weights-only tangential reconstruction (models/shallow_water.py
     # pv_flux_tendency applies it to the thickness flux twice)

@@ -650,7 +650,9 @@ def _forcing_setup(forcing, ny2, nx, dtype):
     sentinel -1 on edges with no active level (closed/dead slots). The
     expansion (_level_onehot) reproduces the dense masks bitwise, so the
     fused paths agree with the roll/slab paths to the same roundoff as the
-    unforced step."""
+    unforced step. Non-one-hot masks raise when concrete; when traced
+    (jit/grad) they NaN-poison the wind planes instead — loud, never
+    silently mis-scaled."""
     if forcing is None:
         return None, None
     wind = jnp.asarray(forcing.wind_edge).reshape(6, ny2, nx, 1).astype(dtype)
@@ -661,11 +663,17 @@ def _forcing_setup(forcing, ny2, nx, dtype):
     if traced:
         # jit(grad(... wrt forcing)) — the production calling convention:
         # the masks arrive as tracers, so the one-hot STRUCTURE cannot be
-        # validated here (make_forcing builds one-hot masks by
-        # construction; a traced NON-one-hot mask would compress lossily —
-        # use the roll/gather paths for general masks). The encoding
-        # itself is pure jnp, identical to the concrete branch.
+        # validated eagerly (make_forcing builds one-hot masks by
+        # construction). A NON-one-hot mask would compress lossily, and
+        # this branch cannot raise like the concrete one below — so
+        # instead of silently mis-scaling the physics, NaN-poison the
+        # wind planes when any mask row fails the same one-hot/unit-weight
+        # check the concrete branch enforces (0*NaN = NaN, so the poison
+        # survives the one-hot products and every forced step goes NaN —
+        # loud, never wrong-but-plausible). General level masks route via
+        # the roll/gather paths.
         idx = []
+        ok = jnp.bool_(True)
         for m in (forcing.top_mask, forcing.bottom_mask):
             mm = jnp.asarray(m).reshape(6, ny2, nx, -1)
             on = mm != 0
@@ -673,7 +681,14 @@ def _forcing_setup(forcing, ny2, nx, dtype):
             ii = jnp.where(
                 cnt == 1, jnp.argmax(on, axis=-1), -1
             ).astype(jnp.int32)
+            picked = jnp.take_along_axis(
+                mm, jnp.maximum(ii, 0)[..., None], axis=-1
+            )[..., 0]
+            ok = ok & jnp.all(cnt <= 1) & jnp.all(
+                jnp.where(cnt == 1, picked == 1, True)
+            )
             idx.append(ii)
+        wind = wind * jnp.where(ok, 1.0, jnp.nan).astype(wind.dtype)
         return wind, jnp.concatenate(idx, axis=0)[..., None]
     idx = []
     for m in (forcing.top_mask, forcing.bottom_mask):
@@ -1323,7 +1338,8 @@ def structured_auto_run_loop(
     lattices included — and forward-backward; nonlinear/FB tiles carry
     2-rows-per-step halos, nonlinear+FB 3); roll model on CPU. Every
     stepper x physics x size combination runs fused."""
-    if interpret is None:
+    explicit = interpret is not None
+    if not explicit:
         interpret = jax.default_backend() != "tpu"
     k = state.layer_thickness.shape[-1]
     n_tr = 0 if state.tracers is None else state.tracers.shape[3]
@@ -1335,7 +1351,10 @@ def structured_auto_run_loop(
                                    tracer_kappa=tracer_kappa,
                                    tracer_upwind=tracer_upwind, strat=strat,
                                    fb=fb)
-    interpret = _interp()
+    if not explicit:
+        # forced-routing tests on CPU still need interpret-mode kernels;
+        # an EXPLICIT interpret= from the caller is honored as given
+        interpret = _interp()
     if fits_in_vmem(mesh, k, state.layer_thickness.dtype.itemsize, n_tr,
                     forcing is not None):
         return pallas_run_loop(
@@ -2546,7 +2565,7 @@ _ADJ_Q_ORDER = (1,)
 
 
 def _tiled_adjoint_plan(state: StructState, mesh: StructMesh,
-                        n_steps: int, nonlinear, tracer_on, strat, forcing,
+                        n_steps: int, nonlinear, strat, forcing,
                         fb: bool = False):
     """(rt, q, b) when the tiled Pallas adjoint applies (beyond-VMEM
     rollouts on TPU — linear, NONLINEAR, FORCED, tracer-carrying and
@@ -2655,8 +2674,7 @@ def _rollout_fwd(state, mesh, dt, n_steps, nonlinear=False,
                               forcing is not None)
     if plan is None:
         tplan = _tiled_adjoint_plan(
-            state, mesh, n_steps, nonlinear, state.tracers is not None,
-            strat, forcing,
+            state, mesh, n_steps, nonlinear, strat, forcing,
         )
         if tplan is not None:
             # beyond-VMEM rollout on TPU (every subsystem): tiled forward
@@ -2776,8 +2794,7 @@ def _rollout_bwd(n_steps, nonlinear, tracer_kappa, tracer_upwind, res, g):
     # checkpoints the forward saved — instead of the HBM-bound roll replay
     if ckpts_t is not None:
         rt, q, b = _tiled_adjoint_plan(
-            state, mesh, n_steps, nonlinear, state.tracers is not None,
-            strat, forcing,
+            state, mesh, n_steps, nonlinear, strat, forcing,
         )
         ny2, nx = mesh.ny2, mesh.nx
         k = state.layer_thickness.shape[-1]

@@ -866,14 +866,17 @@ class ShardedStructuredModel:
             n_fields = 3 + (1 if n_tr else 0)
             if nonlinear:
                 # round 2 carries the 14 derived planes (flux 6K + ke 2K +
-                # qe 6K); round 3 (fb) the fresh ssh/h (2 + 2K)
+                # qe 6K) as ONE stacked ppermute pair; round 3 (fb) the
+                # fresh ssh and h as two more pairs — so pairs/step is
+                # n_fields + 1 (nl) or n_fields + 3 (nl+fb), matching the
+                # body_nonlinear/_fb implementations exactly
                 extra_vals = 14 * k * nx + (
                     (2 + 2 * k) * nx if fb else 0
                 )
+                pairs_per_step = float(n_fields + (3 if fb else 1))
             else:
                 extra_vals = 0
-            pairs_per_step = float(n_fields * rounds if nonlinear
-                                   else n_fields)
+                pairs_per_step = float(n_fields)
             total_vals = state_vals * hq + extra_vals
             bytes_per_collective = total_vals * itemsize / max(
                 pairs_per_step, 1
@@ -1251,41 +1254,40 @@ class ShardedStructuredModel:
             if fb and not nonlinear:
                 # 2-padded constants for the fb slab step, rebuilt once
                 # from the 1-halo inputs (payload: 2 rows per ppermute)
-                pad2 = lambda arr: _with_halo(arr[:, 1:-1], axis, n_parts, 2)
-                f_edge2 = tuple(pad2(jnp.stack(f_edge))[c] for c in range(6))
-                rts2 = tuple(pad2(jnp.stack(rts))[p] for p in range(2))
-                masks2 = (
-                    None if masks is None
-                    else tuple(pad2(jnp.stack(masks))[c] for c in range(6))
-                )
-                cmask2 = (
-                    None if cmask is None
-                    else tuple(pad2(jnp.stack(cmask))[p] for p in range(2))
-                )
+                def pad2(stacked):
+                    # ONE exchange per stacked constant (an earlier version
+                    # re-evaluated this inside each tuple comprehension,
+                    # tracing a fresh ppermute pair per unpacked plane)
+                    ext2 = _with_halo(stacked[:, 1:-1], axis, n_parts, 2)
+                    return tuple(ext2[c] for c in range(ext2.shape[0]))
+
+                f_edge2 = pad2(jnp.stack(f_edge))
+                rts2 = pad2(jnp.stack(rts))
+                masks2 = None if masks is None else pad2(jnp.stack(masks))
+                cmask2 = None if cmask is None else pad2(jnp.stack(cmask))
                 forc2 = None
                 if forc is not None:
                     forc2 = (
-                        tuple(pad2(jnp.stack(forc[0]))[c] for c in range(6)),
-                        tuple(pad2(jnp.stack(forc[1]))[c] for c in range(6)),
-                        tuple(pad2(jnp.stack(forc[2]))[c] for c in range(6)),
+                        pad2(jnp.stack(forc[0])),
+                        pad2(jnp.stack(forc[1])),
+                        pad2(jnp.stack(forc[2])),
                         forc[3], forc[4], forc[5],
                     )
 
             def body_fb(carry, _):
-                """Forward-backward (reach-2 stencil): rebuild TWO halo
-                rows per side from the carried interior (still one
-                ppermute pair per field — the payload just carries 2
-                rows), then one fb slab step on the 2-padded window
-                (_step_slab's fb branch: fresh-thickness pressure)."""
-                ext = {
-                    kk: _with_halo(v[:, 1:-1], axis, n_parts, 2)
-                    for kk, v in carry.items()
-                }
-                ssh = tuple(ext["ssh"][p] for p in range(2))
-                h = tuple(ext["h"][p] for p in range(2))
-                u = tuple(ext["u"][c] for c in range(6))
+                """Forward-backward (reach-2 stencil): the carry is a
+                2-PADDED slab (unlike the other bodies' 1-padded), so each
+                step is one fb slab step on the carried window followed by
+                ONE ppermute pair per field whose payload carries 2 rows —
+                an earlier version discarded the end-of-step halos and
+                re-exchanged at the start of the next step, doubling the
+                fb stepper's collective count (_step_slab's fb branch:
+                fresh-thickness pressure)."""
+                ssh = tuple(carry["ssh"][p] for p in range(2))
+                h = tuple(carry["h"][p] for p in range(2))
+                u = tuple(carry["u"][c] for c in range(6))
                 tr = (
-                    tuple(ext["t"][i] for i in range(ext["t"].shape[0]))
+                    tuple(carry["t"][i] for i in range(carry["t"].shape[0]))
                     if with_tracers else None
                 )
                 ssh_i, h_i, u_i, t_i = _step_slab(
@@ -1293,12 +1295,12 @@ class ShardedStructuredModel:
                     rows, masks2, forc2, tr, tropts, cmask2, strat_w, True,
                 )
                 new = {
-                    "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts),
-                    "h": _with_halo(jnp.stack(h_i), axis, n_parts),
-                    "u": _with_halo(jnp.stack(u_i), axis, n_parts),
+                    "ssh": _with_halo(jnp.stack(ssh_i), axis, n_parts, 2),
+                    "h": _with_halo(jnp.stack(h_i), axis, n_parts, 2),
+                    "u": _with_halo(jnp.stack(u_i), axis, n_parts, 2),
                 }
                 if with_tracers:
-                    new["t"] = _with_halo(jnp.stack(t_i), axis, n_parts)
+                    new["t"] = _with_halo(jnp.stack(t_i), axis, n_parts, 2)
                 return new, None
 
             def body_nonlinear_fb(carry, _):
@@ -1348,6 +1350,9 @@ class ShardedStructuredModel:
                 body = body_nonlinear
             else:
                 body = body_overlap if (overlap and rows >= 3) else body_serial
+            # body_fb carries a 2-padded slab: widen on entry, narrow on
+            # exit (a 2-padded slab's rows [1:-1] ARE the 1-padded slab)
+            pad = 2 if (fb and not nonlinear) else 1
             if objective:
                 # differentiable whole-loop objective: rebuild the input
                 # halos from the interior (so the cotangent lands entirely
@@ -1357,7 +1362,7 @@ class ShardedStructuredModel:
                 import math
 
                 local = {
-                    kk: _with_halo(v[:, 1:-1], axis, n_parts)
+                    kk: _with_halo(v[:, 1:-1], axis, n_parts, pad)
                     for kk, v in local.items()
                 }
                 step = jax.checkpoint(body)
@@ -1374,9 +1379,16 @@ class ShardedStructuredModel:
                                           length=a)
                 if rem:
                     out, _ = jax.lax.scan(step, out, length=rem)
-                s = jnp.sum(out["ssh"][:, 1:-1] ** 2)
+                s = jnp.sum(out["ssh"][:, pad:-pad] ** 2)
                 return jax.lax.psum(s, axis)
+            if pad == 2:
+                local = {
+                    kk: _with_halo(v[:, 1:-1], axis, n_parts, 2)
+                    for kk, v in local.items()
+                }
             out, _ = jax.lax.scan(body, local, length=n_steps)
+            if pad == 2:
+                out = {kk: v[:, 1:-1] for kk, v in out.items()}
             return jax.tree.map(lambda a: a[None], out)
 
         specs = jax.tree.map(lambda _: P(self.axes), local)
@@ -1573,10 +1585,14 @@ class ShardedStructuredModel:
             # the cache VALUE keeps a strong reference to the Forcing object
             # so its id() cannot be recycled onto a different Forcing while
             # the entry lives; the identity check guards against any entry
-            # written before this invariant held
+            # written before this invariant held. LRU-bounded so a
+            # forcing-update loop (fresh Forcing per iteration) cannot grow
+            # host/HBM without limit — evicting drops the pinned Forcing
+            # and its device slabs together.
             ent = fcache.get(fkey)
             if ent is not None and ent[0] is forcing:
                 force_q = ent[1]
+                fcache[fkey] = fcache.pop(fkey)  # refresh LRU position
             else:
                 fwind, fidx = _forcing_setup(forcing, ny2, nx, dtype)
                 force_q = {
@@ -1584,6 +1600,8 @@ class ShardedStructuredModel:
                     "fidx": self._put(self._slab(np.asarray(fidx), halo=hq)),
                 }
                 fcache[fkey] = (forcing, force_q)
+                while len(fcache) > 4:
+                    fcache.pop(next(iter(fcache)))
             scal_np[0, 3] = np.asarray(forcing.drag_linear).astype(npdt)
             scal_np[0, 4] = np.asarray(forcing.drag_quadratic).astype(npdt)
             scal_np[0, 5] = np.asarray(forcing.rayleigh).astype(npdt)

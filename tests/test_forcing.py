@@ -524,3 +524,44 @@ def test_forcing_auto_run_loop_routes_forced(setup):
         np.asarray(out.normal_velocity), np.asarray(ref.normal_velocity),
         rtol=0, atol=0,
     )
+
+
+def test_traced_non_onehot_mask_nan_poisons(setup):
+    """_forcing_setup's traced branch (jit/grad calling convention) cannot
+    raise like its concrete branch when a level mask is not one-hot — it
+    must NaN-poison the wind planes instead of silently compressing the
+    mask lossily and returning wrong-but-plausible physics. A valid
+    one-hot mask through the same traced branch stays finite and encodes
+    identically to the concrete branch."""
+    import dataclasses
+
+    from mpas_ocean_tpu.structured import StructuredModel
+    from mpas_ocean_tpu.structured.pallas_model import _forcing_setup
+
+    mesh, prog = setup
+    sm = StructuredModel(mesh, NX, NY)
+    sf = sm.to_struct_forcing(_full_forcing(mesh))
+    ny2, nx = sm.struct_mesh.ny2, sm.struct_mesh.nx
+    dtype = np.dtype(np.float64)
+
+    setup_jit = jax.jit(
+        lambda f: _forcing_setup(f, ny2, nx, dtype)
+    )
+    # valid one-hot masks: traced branch must agree with the concrete one
+    wind_t, fidx_t = setup_jit(sf)
+    wind_c, fidx_c = _forcing_setup(sf, ny2, nx, dtype)
+    assert np.isfinite(np.asarray(wind_t)).all()
+    np.testing.assert_array_equal(np.asarray(wind_t), np.asarray(wind_c))
+    np.testing.assert_array_equal(np.asarray(fidx_t), np.asarray(fidx_c))
+
+    # two active levels on one edge: concrete branch raises ...
+    bad_top = np.asarray(sf.top_mask).copy()
+    flat = bad_top.reshape(-1, bad_top.shape[-1])
+    live = np.flatnonzero(flat.sum(axis=1) == 1)[0]
+    flat[live] = 1.0
+    bad = dataclasses.replace(sf, top_mask=jnp.asarray(bad_top))
+    with pytest.raises(NotImplementedError, match="one-hot"):
+        _forcing_setup(bad, ny2, nx, dtype)
+    # ... and the traced branch poisons every wind value with NaN
+    wind_b, _ = setup_jit(bad)
+    assert np.isnan(np.asarray(wind_b)).all()

@@ -124,7 +124,7 @@ def test_tiled_arm_end_to_end_traced_dt(setup, tpu_routing, no_vmem):
     sm, st, _, _ = setup
     mesh = sm.struct_mesh
     n = 4
-    plan = pm._tiled_adjoint_plan(st, mesh, n, False, False, None, None)
+    plan = pm._tiled_adjoint_plan(st, mesh, n, False, None, None)
     assert plan is not None
     ref = structured_run_loop(st, mesh, 10.0, n)
     out = jax.jit(
@@ -215,7 +215,7 @@ def test_tiled_adjoint_all_subsystems(setup, tpu_routing, no_vmem, config):
         extra = ("forcing", f)
 
     plan = pmod._tiled_adjoint_plan(
-        st, smesh, n, nonlinear, st.tracers is not None,
+        st, smesh, n, nonlinear,
         extra[1] if config == "strat" else None,
         extra[1] if "forced" in config else None,
     )
