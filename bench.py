@@ -964,10 +964,13 @@ def main():
     )
 
     def tiled_model(ny2_, nx_, k_, t_step, q_=None, reach_=1,
-                    nonlinear_=False):
+                    nonlinear_=False, gathered_halos=False):
         """Traffic/compute model of the tiled path: per q-step superstep
         the kernel reads centers (1x state) + halo blocks (2*reach*q/rt x)
-        and writes 1x; the XLA halo-block extraction reads the state
+        and writes 1x. With DIRECT halo views (hq-aligned row tiles, the
+        single-chip default — pallas_model._TILED_DIRECT_HALOS) that is
+        the whole traffic; with gathered halos (sharded superstep, or
+        misaligned tiles) the XLA halo-block extraction reads the state
         strided and writes the blocks (~2 more passes of the halo
         fraction). Constant singleton planes are O(1/K) and ignored."""
         if q_ is None:
@@ -976,7 +979,10 @@ def main():
             rt_ = _pick_row_tile(ny2_, nx_, k_, 4, q_, 0, reach_, nonlinear_)
         state_b = (2 * 1 + 2 * k_ + 6 * k_) * ny2_ * nx_ * 4
         halo_frac = 2.0 * reach_ * q_ / rt_
-        bytes_step = state_b * (2.0 + 3.0 * halo_frac) / q_
+        direct_ = not gathered_halos and rt_ % (reach_ * q_) == 0
+        bytes_step = state_b * (
+            (2.0 + halo_frac) if direct_ else (2.0 + 3.0 * halo_frac)
+        ) / q_
         fl = step_flop_count(
             ny2_, nx_, k_, len(sm.struct_mesh.coriolis_terms),
             nonlinear=nonlinear_,
@@ -996,6 +1002,9 @@ def main():
             "hbm_frac_modeled": bytes_step / t_step / hbm_peak,
             "halo_read_amplification": 1.0 + halo_frac,
             "window_recompute_frac": redundant_compute,
+            "halo_delivery": ("direct BlockSpec views (in-kernel DMA)"
+                              if direct_ else
+                              "gathered blocks (XLA strided extraction)"),
         }
 
     from mpas_ocean_tpu.structured.pallas_model import step_flop_count
@@ -1004,7 +1013,8 @@ def main():
         tiled_roof = tiled_model(128, 256, LEVELS, large_spstep)
         tiled_nl_roof = tiled_model(128, 256, LEVELS, large_nl_spstep,
                                     reach_=2, nonlinear_=True)
-        ss_roof = tiled_model(NX // 2, NX, LEVELS, t_ss / STEPS, q_=2)
+        ss_roof = tiled_model(NX // 2, NX, LEVELS, t_ss / STEPS, q_=2,
+                              gathered_halos=True)
         # matrix/BSR path: operand bytes measured from the actual
         # MatrixModel arrays; ~4 state passes for state/tendency temps.
         # mfu_physics counts only the USEFUL physics flops (same fl_step
@@ -1146,6 +1156,11 @@ def main():
                         ladj_forced_roll_spstep,
                     "large_mesh_nonlinear_roll_replay_adjoint_seconds_per_step":
                         ladj_nl_roll_spstep,
+                    # the XLA strided-slice halo gather the DIRECT-view
+                    # tiled forward no longer performs (kept as the
+                    # measured cost the BlockSpec halo views eliminate;
+                    # the tiled ADJOINT's rebuild/reverse supersteps
+                    # still pay it)
                     "tiled_halo_extraction_seconds_per_step": halo_spstep,
                     "linearized_matrix_seconds_per_step": t_lin,
                     "linearized_matrix_Aq": aq,

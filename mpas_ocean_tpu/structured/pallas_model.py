@@ -955,6 +955,12 @@ def _tiled_step_kernel(
 # budget; measured 3.77 vs 3.38 Gp/s at q=1).
 _TILED_VMEM_BUDGET = 116 * 1024 * 1024
 
+# Single-chip tiled rollouts read halo rows DIRECTLY from the state arrays
+# via modular BlockSpec indices when the row tile is hq-aligned (see
+# _make_tiled_step_call); False restores the gathered-halo operands for
+# A/B measurement.
+_TILED_DIRECT_HALOS = True
+
 
 def tile_cost_planes(n_tracers: int = 0, nonlinear: bool = False) -> int:
     """Per-WINDOW-ROW plane cost of the tiled kernel (the 'a' coefficient
@@ -1029,7 +1035,7 @@ def _make_tiled_step_call(
     n_rows: int, nx: int, k: int, dtype, *, terms, rt: int, q: int,
     tropts=(0.0, 1.0), masked=False, forced=False, n_tracers=0,
     cell_masked=False, strat_shape=None, interpret=False, nl_terms=None,
-    fb=False,
+    fb=False, direct_halos=False,
 ):
     """Build the q-step row-tiled pallas_call over an ``n_rows``-row
     parity-plane stack. The reach*q-row halo blocks per tile side are
@@ -1042,6 +1048,16 @@ def _make_tiled_step_call(
     selects the nonlinear vector-invariant step (reach 2); ``fb`` the
     forward-backward scheme (reach 2; nonlinear+fb reach 3).
 
+    ``direct_halos`` (single-chip periodic caller, needs rt % hq == 0):
+    the halo operands are the CENTER arrays passed again, and their
+    BlockSpecs address the neighbor tiles' boundary rows directly with
+    modular hq-row block indices — the kernel DMAs halo rows straight
+    from the state in HBM, eliminating the per-step strided-slice halo
+    gather (its XLA dispatch AND its extra ~2*hq/rt state-pass of HBM
+    traffic). In-place donation must be OFF in this mode: tile t+1 reads
+    tile t's pre-step boundary rows, which donation would have already
+    overwritten.
+
     Operand order: the (1, 8) runtime scalar vector (_tiled_scal); then
     (ssh, h, u, f, rts) centers; the same five as top halo blocks; the
     same five as bottom halo blocks; then optional groups in this order —
@@ -1053,6 +1069,8 @@ def _make_tiled_step_call(
     reach = _reach(nonlinear, fb)
     hq = reach * q
     n_tiles = n_rows // rt
+    if direct_halos:
+        assert rt % hq == 0, "direct halo views need hq-aligned row tiles"
     kernel = functools.partial(
         _tiled_step_kernel, terms=terms, rows=rt,
         masked=masked, q=q, n_tracers=n_tracers, tropts=tropts,
@@ -1068,17 +1086,47 @@ def _make_tiled_step_call(
             memory_space=pltpu.VMEM,
         )
 
-    def halo_spec(planes, tr):
-        return pl.BlockSpec(
-            (planes, hq, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
-            memory_space=pltpu.VMEM,
-        )
+    if direct_halos:
+        # hq-row blocks over the (n_rows)-row center array itself: tile
+        # t's top halo is block t*(rt/hq) - 1, its bottom (t+1)*(rt/hq),
+        # both mod the block count (periodic wrap). The wrap MUST be raw
+        # lax.rem on non-negative operands: under the package's x64
+        # policy, jnp's %, // and where trace sign-correction converts
+        # into the index map that Mosaic's convert_element_type lowering
+        # re-expands forever (RecursionError at lowering).
+        c_blk = rt // hq
+        n_blk = n_rows // hq
+        _rem = lambda v: jax.lax.rem(v, jnp.int32(n_blk))
 
-    def group():
+        def top_spec(planes, tr):
+            return pl.BlockSpec(
+                (planes, hq, nx, tr),
+                lambda t: (t * 0, _rem(t * c_blk - 1 + n_blk), t * 0, t * 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def bot_spec(planes, tr):
+            return pl.BlockSpec(
+                (planes, hq, nx, tr),
+                lambda t: (t * 0, _rem((t + 1) * c_blk), t * 0, t * 0),
+                memory_space=pltpu.VMEM,
+            )
+    else:
+        def top_spec(planes, tr):
+            return pl.BlockSpec(
+                (planes, hq, nx, tr), lambda t: (t * 0, t, t * 0, t * 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        bot_spec = top_spec
+
+    halo_spec = top_spec
+
+    def group(spec):
         # (ssh, h, u, f, rts) halo blocks
         return [
-            halo_spec(2, 1), halo_spec(2, k), halo_spec(6, k),
-            halo_spec(6, 1), halo_spec(2, 1),
+            spec(2, 1), spec(2, k), spec(6, k),
+            spec(6, 1), spec(2, 1),
         ]
 
     sds = lambda planes, tr: jax.ShapeDtypeStruct(
@@ -1099,32 +1147,35 @@ def _make_tiled_step_call(
         center_spec(6, rt, k),   # u
         center_spec(6, rt, 1),   # f
         center_spec(2, rt, 1),   # rts
-    ] + group() + group()        # top halos, bottom halos
-    aliases = {1: 0, 2: 1, 3: 2}
+    ] + group(top_spec) + group(bot_spec)   # top halos, bottom halos
+    # in-place donation is only safe when each tile reads ITS OWN block
+    # alone; direct halo views read neighbor tiles' pre-step rows
+    aliases = {} if direct_halos else {1: 0, 2: 1, 3: 2}
     if masked:
-        in_specs += [center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1)]
+        in_specs += [center_spec(6, rt, 1), top_spec(6, 1), bot_spec(6, 1)]
     if nonlinear:
         # 4 f_vertex planes, +16 vertex-mask/kite-weight planes when walled
         nl_p = 4 + (4 + len(nl_terms[0]) if masked else 0)
-        in_specs += [center_spec(nl_p, rt, 1), halo_spec(nl_p, 1),
-                     halo_spec(nl_p, 1)]
+        in_specs += [center_spec(nl_p, rt, 1), top_spec(nl_p, 1),
+                     bot_spec(nl_p, 1)]
     if forced:
         in_specs += [
-            center_spec(6, rt, 1), halo_spec(6, 1), halo_spec(6, 1),
-            center_spec(12, rt, 1), halo_spec(12, 1), halo_spec(12, 1),
+            center_spec(6, rt, 1), top_spec(6, 1), bot_spec(6, 1),
+            center_spec(12, rt, 1), top_spec(12, 1), bot_spec(12, 1),
         ]
     if n_tracers:
         nt2 = 2 * n_tracers
         # tracer center operand position (for the alias map): count the
         # operands laid down so far
         tr_pos = len(in_specs)
-        in_specs += [center_spec(nt2, rt, k), halo_spec(nt2, k),
-                     halo_spec(nt2, k)]
-        aliases[tr_pos] = 3
+        in_specs += [center_spec(nt2, rt, k), top_spec(nt2, k),
+                     bot_spec(nt2, k)]
+        if not direct_halos:
+            aliases[tr_pos] = 3
         out_shape.append(sds(nt2, k))
         out_specs.append(center_spec(nt2, rt, k))
     if cell_masked:
-        in_specs += [center_spec(2, rt, 1), halo_spec(2, 1), halo_spec(2, 1)]
+        in_specs += [center_spec(2, rt, 1), top_spec(2, 1), bot_spec(2, 1)]
     if stratified:
         in_specs += [pl.BlockSpec(strat_shape,
                                   lambda t: (t * 0, t * 0),
@@ -1150,14 +1201,14 @@ def _make_tiled_step_call(
     jax.jit,
     static_argnames=(
         "terms", "row_tile", "n_steps", "interpret", "q", "tropts",
-        "nl_terms", "fb",
+        "nl_terms", "fb", "direct_halos",
     ),
 )
 def _pallas_tiled_rollout(
     scal_t, ssh, h, u, f_edge, rts, mask=None, tracers=None, cmask=None,
     strat_w=None, fwind=None, fidx=None, f_vert=None, *,
     terms, row_tile, n_steps, interpret, q=1, tropts=(0.0, 1.0),
-    nl_terms=None, fb=False,
+    nl_terms=None, fb=False, direct_halos=False,
 ):
     masked = mask is not None
     n_tracers = 0 if tracers is None else tracers.shape[0] // 2
@@ -1170,12 +1221,20 @@ def _pallas_tiled_rollout(
     ny2, nx, k = h.shape[1], h.shape[2], h.shape[3]
     rt = row_tile
     n_tiles = ny2 // rt
+    # hq-aligned row tiles let the kernel read halo rows DIRECTLY from the
+    # state arrays via modular block indices (no per-step strided-slice
+    # gather, no extra HBM pass); misaligned plans keep the gathered-halo
+    # operands. STATIC argument (resolved by the caller outside jit): a
+    # global read here would be baked into the first compilation and
+    # silently ignored on toggles.
+    direct = direct_halos and rt % hq == 0 and n_tiles > 1
     step_call = _make_tiled_step_call(
         ny2, nx, k, h.dtype, terms=terms, rt=rt, q=q,
         tropts=tropts, masked=masked, forced=forced, n_tracers=n_tracers,
         cell_masked=cell_masked,
         strat_shape=None if strat_w is None else strat_w.shape,
         interpret=interpret, nl_terms=nl_terms, fb=fb,
+        direct_halos=direct,
     )
 
     def halos(x):
@@ -1205,6 +1264,10 @@ def _pallas_tiled_rollout(
 
         return rows_at(range(-hq, 0)), rows_at(range(rt, rt + hq))
 
+    if direct:
+        # halo operands ARE the center arrays; their BlockSpecs address
+        # the neighbor rows
+        halos = lambda x: (x, x)
     f_t, f_b = halos(f_edge)
     rts_t, rts_b = halos(rts)
     if masked:
@@ -1317,6 +1380,7 @@ def pallas_tiled_run_loop(
         terms=mesh.coriolis_terms, row_tile=int(row_tile),
         n_steps=n_steps, interpret=bool(interpret), q=int(q),
         tropts=tropts, nl_terms=nl_terms, fb=fb,
+        direct_halos=_TILED_DIRECT_HALOS,
     )
     ssh_f, h_f, u_f = out[:3]
     return StructState(
@@ -2219,12 +2283,16 @@ def _pallas_tiled_adjoint(
 
 def _tiled_calls(ny2, nx, k, dtype, mask, *, terms, rt, q, interpret,
                  adjoint, nl_terms=None, n_tracers=0, tropts=(0.0, 1.0),
-                 cell_masked=False, strat_shape=None, forced=False):
+                 cell_masked=False, strat_shape=None, forced=False,
+                 direct_halos=False):
+    """``direct_halos`` applies to the FORWARD call only: the adjoint
+    window kernel keeps separate halo operands because its halo-row
+    COTANGENTS are outputs (overlap-added back by _halo_unscatter)."""
     fwd_call = _make_tiled_step_call(
         ny2, nx, k, dtype, terms=terms, rt=rt, q=q, tropts=tropts,
         masked=mask is not None, forced=forced, n_tracers=n_tracers,
         cell_masked=cell_masked, strat_shape=strat_shape,
-        interpret=interpret, nl_terms=nl_terms,
+        interpret=interpret, nl_terms=nl_terms, direct_halos=direct_halos,
     )
     adj_call = None
     if adjoint:
@@ -2333,14 +2401,18 @@ def _tiled_fwd_ckpts(
     n_tr = 0 if tracers0 is None else tracers0.shape[0] // 2
     reach = _reach(nl_terms is not None, False)
     hq = reach * q
+    # hq-aligned tiles: the forward kernel reads halo rows directly from
+    # the state (same optimization as _pallas_tiled_rollout; trace-time
+    # read of the module toggle)
+    direct = _TILED_DIRECT_HALOS and rt % hq == 0 and n_tiles > 1
     fwd_call, _ = _tiled_calls(
         ny2, nx, k, dtype, mask, terms=terms, rt=rt, q=q,
         interpret=interpret, adjoint=False, nl_terms=nl_terms,
         n_tracers=n_tr, tropts=tropts, cell_masked=cmask is not None,
         strat_shape=None if strat_w is None else strat_w.shape,
-        forced=fwind is not None,
+        forced=fwind is not None, direct_halos=direct,
     )
-    halos = _tile_halo_fns(rt, hq, n_tiles)
+    halos = (lambda x: (x, x)) if direct else _tile_halo_fns(rt, hq, n_tiles)
     f_t, f_b = halos(f_edge)
     rts_t, rts_b = halos(rts)
     consts = _tiled_consts(halos, mask, f_vert, fwind, fidx, cmask, strat_w)
@@ -2397,22 +2469,34 @@ def _tiled_adjoint_from_ckpts(
     n_tr = outer_ckpts[3].shape[1] // 2 if with_tr else 0
     reach = _reach(nl_terms is not None, False)
     hq = reach * q
+    # the inner primal rebuilds use direct halo views like the plain
+    # tiled forward; the REVERSE kernel keeps gathered halo operands
+    # (its halo-row cotangents are outputs, overlap-added back)
+    direct = _TILED_DIRECT_HALOS and rt % hq == 0 and n_tiles > 1
     fwd_call, adj_call = _tiled_calls(
         ny2, nx, k, dtype, mask, terms=terms, rt=rt, q=q,
         interpret=interpret, adjoint=True, nl_terms=nl_terms,
         n_tracers=n_tr, tropts=tropts, cell_masked=cmask is not None,
         strat_shape=None if strat_w is None else strat_w.shape,
-        forced=forced,
+        forced=forced, direct_halos=direct,
     )
     halos = _tile_halo_fns(rt, hq, n_tiles)
     f_t, f_b = halos(f_edge)
     rts_t, rts_b = halos(rts)
     consts = _tiled_consts(halos, mask, f_vert, fwind, fidx, cmask, strat_w)
+    halos_d = (lambda x: (x, x)) if direct else halos
+    if direct:
+        fd_t = fd_b = f_edge
+        rtsd_t = rtsd_b = rts
+        consts_d = _tiled_consts(halos_d, mask, f_vert, fwind, fidx,
+                                 cmask, strat_w)
+    else:
+        fd_t, fd_b, rtsd_t, rtsd_b, consts_d = f_t, f_b, rts_t, rts_b, consts
 
     def fwd_superstep(carry):
         args = _tiled_superstep_args(
-            scal_t, carry, halos, f_edge, rts, f_t, f_b, rts_t, rts_b,
-            consts,
+            scal_t, carry, halos_d, f_edge, rts, fd_t, fd_b, rtsd_t, rtsd_b,
+            consts_d,
         )
         return tuple(fwd_call(*args))
 
