@@ -962,12 +962,20 @@ _TILED_VMEM_BUDGET = 116 * 1024 * 1024
 _TILED_DIRECT_HALOS = True
 
 
-def tile_cost_planes(n_tracers: int = 0, nonlinear: bool = False) -> int:
+def tile_cost_planes(n_tracers: int = 0, nonlinear: bool = False,
+                     forced: bool = False) -> int:
     """Per-WINDOW-ROW plane cost of the tiled kernel (the 'a' coefficient
     of tile_window_fits' two-term model): step temporaries + single-
-    buffered window reads. Each tracer adds ~14 more. See
-    tile_window_fits for the calibration evidence."""
-    return (68 if nonlinear else 80) + 14 * n_tracers
+    buffered window reads. Recalibrated for the direct-halo kernels
+    (round-5 sweep, see tile_window_fits): base 70 for linear, nonlinear
+    AND forward-backward; +8 when forced (the wind + level-index
+    singleton planes pad to full k_pad lanes); tracer-carrying configs
+    keep the previous calibrated costs exactly (+10 base +14/tracer —
+    their compile boundary was not re-swept)."""
+    per = 70 + 14 * n_tracers + (10 if n_tracers else 0)
+    if forced:
+        per += 8
+    return per
 
 
 # per-CENTER-ROW extra cost (double-buffered center in/out blocks scale
@@ -979,25 +987,28 @@ _TILE_RT_PLANES = 16
 
 def tile_window_fits(rt: int, q: int, nx: int, k: int, itemsize: int,
                      n_tracers: int = 0, reach: int = 1,
-                     nonlinear: bool = False) -> bool:
+                     nonlinear: bool = False, forced: bool = False) -> bool:
     """Whether a (rt + 2*reach*q)-row kernel window fits the tiled-kernel
     VMEM budget. Two-term cost: a * window_rows + b * rt, with a =
     tile_cost_planes and b = _TILE_RT_PLANES, checked directly against
-    _TILED_VMEM_BUDGET. CALIBRATED on v5e Mosaic compile success at
-    256x256x100 f32 (plane-row = nx * k_pad * itemsize = 131072 B;
-    budget = 885 plane-rows): linear rt4/q2 OK (704), rt8/q2 FAIL (1088);
-    nonlinear rt4/q1 OK (608), rt4/q2 OK (880 — razor thin, runs),
-    rt8/q1 FAIL (944). Trailing-singleton fields pad to a full 128-lane
-    tile, so they count at the same k_pad as the 3-D fields."""
+    _TILED_VMEM_BUDGET (= 928 plane-rows at 256x256x100 f32; plane-row =
+    nx * k_pad * itemsize = 131072 B). RECALIBRATED on v5e Mosaic
+    compile success for the direct-halo kernels (round-5 sweep), all
+    points consistent with a=70, b=16: linear q4/rt4 OK (904), q2/rt8
+    FAIL (968), q8/rt4 FAIL (1464), q1/rt8 OK (828); nonlinear q2/rt4 OK
+    (904), q1/rt8 FAIL (968), q4/rt2 FAIL (1292); fb q2/rt4 OK (904,
+    6.17 Gp/s); forced q2/rt4 OK (688 at a=78), forced q4/rt4 FAIL
+    (1000). Trailing-singleton fields pad to a full 128-lane tile, so
+    they count at the same k_pad as the 3-D fields."""
     k_pad = -(-k // 128) * 128
-    a = tile_cost_planes(n_tracers, nonlinear)
+    a = tile_cost_planes(n_tracers, nonlinear, forced)
     cost_rows = a * (rt + 2 * reach * q) + _TILE_RT_PLANES * rt
     return cost_rows * nx * k_pad * itemsize <= _TILED_VMEM_BUDGET
 
 
 def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
                    n_tracers: int = 0, reach: int = 1,
-                   nonlinear: bool = False) -> int:
+                   nonlinear: bool = False, forced: bool = False) -> int:
     """Largest divisor of ny2 whose tile window fits the VMEM budget
     (tile_window_fits cost model)."""
     for t in range(1, ny2 + 1):
@@ -1005,30 +1016,33 @@ def _pick_row_tile(ny2: int, nx: int, k: int, itemsize: int, q: int = 1,
             continue
         rt = ny2 // t
         if tile_window_fits(rt, q, nx, k, itemsize, n_tracers, reach,
-                            nonlinear):
+                            nonlinear, forced):
             return rt
     return 1
 
 
 def auto_tile_plan(ny2: int, nx: int, k: int, itemsize: int,
                    n_tracers: int = 0, reach: int = 1,
-                   nonlinear: bool = False, n_steps: int = 0):
+                   nonlinear: bool = False, n_steps: int = 0,
+                   forced: bool = False):
     """(row_tile, q) for the tiled rollout: deepest temporal blocking whose
     row tile stays at least as large as the PER-SIDE halo it carries
     (round-4 required the full 2-sided halo, but the round-5 budget sweep
-    measured nonlinear rt=4/q=2 — halo 8 > rt 4 — FASTER than rt=4/q=1:
-    3.77 vs 3.38 Gp/s on 256x256x100, so the guard is per-side now)."""
+    measured nonlinear rt=4/q=2 — halo 8 > rt 4 — FASTER than rt=4/q=1;
+    with direct halo views linear q=4/rt=4 measures 12.3 Gp/s vs q=2's
+    7.9 and fb q=2/rt=4 6.2 vs q=1's 4.0, so the recalibrated fit model
+    admits them)."""
     q = 1
     for cand in (4, 2):
         if n_steps and n_steps % cand:
             continue
         rt_c = _pick_row_tile(ny2, nx, k, itemsize, cand, n_tracers, reach,
-                              nonlinear)
+                              nonlinear, forced)
         if rt_c >= reach * cand:
             q = cand
             break
     return _pick_row_tile(ny2, nx, k, itemsize, q, n_tracers, reach,
-                          nonlinear), q
+                          nonlinear, forced), q
 
 
 def _make_tiled_step_call(
@@ -1340,7 +1354,8 @@ def pallas_tiled_run_loop(
     if q is None:
         if row_tile is None:
             _, q = auto_tile_plan(ny2, nx, k, dtype.itemsize, n_tr, reach,
-                                  nonlinear, n_steps)
+                                  nonlinear, n_steps,
+                                  forced=forcing is not None)
         else:
             q = max(1, row_tile // (2 * reach))
             while n_steps % q:
@@ -1350,7 +1365,8 @@ def pallas_tiled_run_loop(
         q -= 1
     if row_tile is None:
         row_tile = _pick_row_tile(ny2, nx, k, dtype.itemsize, q, n_tr,
-                                  reach, nonlinear)
+                                  reach, nonlinear,
+                                  forced=forcing is not None)
     if ny2 % row_tile:
         raise ValueError(f"row_tile {row_tile} must divide ny2={ny2}")
     if row_tile + 2 * reach * q > ny2:

@@ -1537,14 +1537,16 @@ class ShardedStructuredModel:
 
         def fits(rt_, q_):
             return tile_window_fits(rt_, q_, nx, k, npdt.itemsize, n_tr,
-                                    reach, nonlinear)
+                                    reach, nonlinear,
+                                    forced=forcing is not None)
 
         while True:
             while n_steps % q:
                 q -= 1
             rt = (row_tile if row_tile is not None
                   else _pick_row_tile(R, nx, k, npdt.itemsize, q, n_tr,
-                                      reach, nonlinear))
+                                      reach, nonlinear,
+                                      forced=forcing is not None))
             if interpret or fits(rt, q) or q == 1:
                 break
             q -= 1
