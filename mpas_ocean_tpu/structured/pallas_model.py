@@ -1357,9 +1357,18 @@ def pallas_tiled_run_loop(
                                   nonlinear, n_steps,
                                   forced=forcing is not None)
         else:
-            q = max(1, row_tile // (2 * reach))
-            while n_steps % q:
-                q -= 1
+            # explicit row tile, auto q: deepest temporal blocking whose
+            # window the fit model admits for THIS tile (same criterion
+            # as auto_tile_plan)
+            q = 1
+            for cand in (4, 2):
+                if n_steps % cand:
+                    continue
+                if tile_window_fits(row_tile, cand, nx, k, dtype.itemsize,
+                                    n_tr, reach, nonlinear,
+                                    forced=forcing is not None):
+                    q = cand
+                    break
     q = max(1, min(int(q), n_steps))
     while n_steps % q:
         q -= 1
